@@ -1,0 +1,119 @@
+"""Snapshot output with the reference's frozen NetCDF schema.
+
+Schema (reference: src/io.cpp:378-448): dims ``time`` (UNLIMITED), ``y``
+(ny_global), ``x`` (nx_global); one NC_DOUBLE variable ``u(time, y, x)``;
+global text attributes ``description``, ``grid`` ("NX x NY"), ``dt``,
+``steps``, ``D``, ``velocity`` ("(vx,vy)"), ``boundary_conditions``
+("left=.. right=.. bottom=.. top=..").  Numbers are formatted like C++
+``std::to_string`` (fixed, 6 decimals) so downstream tooling sees identical
+strings.  The file is CDF-5 (NC_64BIT_DATA), matching
+``ncmpi_create(NC_CLOBBER | NC_64BIT_DATA)`` (io.cpp:386).
+
+The reference's Python visualization package reads these files unchanged.
+
+When the native C++ I/O runtime is available (``climate_sim_tpu.io.native``),
+record appends are handed to a background writer thread so snapshot encoding
+and disk I/O overlap device compute — the TPU-side analogue of PnetCDF's
+nonblocking collective writes.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from ..config import SimConfig
+from .netcdf import NetCDFWriter
+
+
+def _cxx_to_string(v: float) -> str:
+    """Format like C++ std::to_string(double): fixed, 6 decimals."""
+    return f"{v:.6f}"
+
+
+def metadata_attrs(cfg: SimConfig) -> dict:
+    """The exact global-attribute set (reference: io.cpp:428-448)."""
+    return {
+        "description": "climate-sim-tpu",
+        "grid": f"{cfg.nx} x {cfg.ny}",
+        "dt": _cxx_to_string(cfg.dt),
+        "steps": str(cfg.steps),
+        "D": _cxx_to_string(cfg.D),
+        "velocity": f"({_cxx_to_string(cfg.vx)},{_cxx_to_string(cfg.vy)})",
+        "boundary_conditions": cfg.bc.describe(),
+    }
+
+
+class SnapshotWriter:
+    """Writes ``u(time, y, x)`` snapshots; one instance per run.
+
+    ``use_native=True`` offloads appends to the C++ async writer when the
+    shared library is available, falling back to the pure-Python codec.
+    """
+
+    def __init__(self, path: str, cfg: SimConfig, use_native: bool = True):
+        self.path = path
+        self.cfg = cfg
+        d = os.path.dirname(path)
+        if d:
+            os.makedirs(d, exist_ok=True)
+
+        self._native = None
+        if use_native:
+            try:
+                from .native import NativeSnapshotWriter
+
+                self._native = NativeSnapshotWriter(path, cfg, metadata_attrs(cfg))
+            except Exception:
+                self._native = None
+
+        if self._native is None:
+            self._w = NetCDFWriter(path, version=5)
+            self._w.def_dim("time", None)
+            self._w.def_dim("y", cfg.ny)
+            self._w.def_dim("x", cfg.nx)
+            self._w.def_var("u", np.float64, ("time", "y", "x"))
+            for k, v in metadata_attrs(cfg).items():
+                self._w.put_gatt(k, v)
+            self._w.enddef()
+        else:
+            self._w = None
+        self._next_index = 0
+
+    @property
+    def time_index(self) -> int:
+        return self._next_index
+
+    def write(self, u, step_index: Optional[int] = None) -> int:
+        """Append one snapshot (converted to float64, matching NC_DOUBLE).
+
+        Returns the time index written.  Mirrors write_field_netcdf's
+        halo-stripped interior hyperslab write (io.cpp:402-418) — here ``u``
+        is already the interior global field.
+        """
+        idx = self._next_index if step_index is None else step_index
+        frame = np.asarray(u, dtype=np.float64)
+        if frame.shape != (self.cfg.ny, self.cfg.nx):
+            raise ValueError(
+                f"snapshot shape {frame.shape} != (ny={self.cfg.ny}, nx={self.cfg.nx})"
+            )
+        if self._native is not None:
+            self._native.append(idx, frame)
+        else:
+            self._w.put_rec("u", idx, frame)
+        self._next_index = max(self._next_index, idx + 1)
+        return idx
+
+    def close(self) -> None:
+        if self._native is not None:
+            self._native.close()
+        elif self._w is not None:
+            self._w.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

@@ -1,0 +1,44 @@
+"""Command-line entry point.
+
+Usage parity with the reference binary (reference: src/main.cpp:30-40):
+
+    python -m climate_sim_tpu [run] --config=cfg.yaml --nx=1024 --dt 0.05 ...
+
+accepts ``--config=<yaml>`` / ``--config <yaml>`` plus any ``--key=value`` or
+``--key value`` overrides understood by the config system.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import List, Optional, Sequence
+
+from ..config import extract_config_path, merged_config
+from .driver import run_simulation
+
+
+def main(argv: Optional[Sequence[str]] = None) -> int:
+    args: List[str] = list(sys.argv[1:] if argv is None else argv)
+    if args and args[0] == "run":
+        args = args[1:]
+    if args and args[0] in ("-h", "--help"):
+        print(__doc__)
+        return 0
+
+    try:
+        cfg_path = extract_config_path(args)
+        cfg = merged_config(cfg_path, args)
+    except Exception as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+
+    try:
+        run_simulation(cfg)
+    except Exception as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

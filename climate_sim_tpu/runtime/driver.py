@@ -1,0 +1,195 @@
+"""Run driver: the TPU-native analogue of the reference's main()
+(reference: src/main.cpp:23-138).
+
+Flow parity: merge config -> CFL clamp with warning -> banner -> decomposition
+(device mesh) -> IC -> IC min/max log -> open snapshot file -> time loop with
+pre-update snapshots at ``n % out_every == 0`` -> timing line
+``timing: total_max=<s> s, worst_avg_step=<s> s`` (greppable by the benchmark
+harness, reference: run_benchmark.sh:34-39).
+
+TPU-native differences: the time loop is chunked — each span between snapshot
+points runs as ONE jitted ``lax.fori_loop`` program (halo exchange + BC +
+fused stencil per step, all on device), so the host only intervenes at
+snapshot cadence.  Snapshot host-transfers overlap the already-dispatched next
+chunk (JAX async dispatch), the moral equivalent of the reference overlapping
+PnetCDF writes with compute.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+import time
+from typing import Callable, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import SimConfig, bc_to_string
+from ..ops.init import apply_initial_condition
+from ..ops.stability import clamp_dt
+from ..ops.step import build_single_device_advance, make_interior_step
+from ..io.snapshots import SnapshotWriter
+from ..parallel.mesh import choose_mesh_shape, divisible, field_sharding, make_mesh
+from ..parallel.halo import build_sharded_advance
+
+_DTYPES = {"f32": jnp.float32, "f64": jnp.float64, "bf16": jnp.bfloat16}
+
+
+@dataclasses.dataclass
+class RunResult:
+    u: jax.Array            # final state (never snapshotted unless write_final)
+    total_time: float
+    avg_step_time: float
+    steps: int
+    snapshots_written: int
+    output_path: Optional[str]
+    mesh_shape: Optional[tuple]
+    dt: float
+    clamped: bool
+
+
+def _log(msg: str) -> None:
+    print(msg, flush=True)
+
+
+def setup_precision(cfg: SimConfig) -> None:
+    if cfg.precision == "f64":
+        jax.config.update("jax_enable_x64", True)
+    if cfg.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+
+
+def prepare(cfg: SimConfig, devices=None):
+    """Resolve dtype, dt clamp, mesh, sharded/single advance, and the IC.
+
+    Returns (u0, advance, mesh, dt).  ``advance(k)`` is a jitted function
+    advancing the global field k steps.
+    """
+    setup_precision(cfg)
+    dtype = _DTYPES[cfg.precision]
+
+    dt, limit, clamped = clamp_dt(cfg.dt, cfg.dx, cfg.dy, cfg.vx, cfg.vy, cfg.D)
+    if clamped:
+        print(
+            f"[warn] dt={cfg.dt:g} exceeds stability limit {limit:g}"
+            f" -> clamping to dt={dt:g}",
+            file=sys.stderr,
+            flush=True,
+        )
+
+    devs = list(devices) if devices is not None else jax.devices()
+    mesh = None
+    if cfg.mesh.enable and len(devs) > 1:
+        px, py = choose_mesh_shape(len(devs), cfg.nx, cfg.ny, cfg.mesh.x, cfg.mesh.y)
+        mesh = make_mesh(px, py, devs)
+
+    u0 = apply_initial_condition(cfg, dtype)
+
+    if mesh is not None and divisible(mesh, cfg.nx, cfg.ny):
+        u0 = jax.device_put(u0, field_sharding(mesh))
+        interior = make_interior_step(cfg, dt)
+        advance = build_sharded_advance(cfg, mesh, dt, interior)
+    else:
+        if mesh is not None:
+            # Indivisible grid: let GSPMD partition the global program
+            # (decision log #6); still sharded, just compiler-managed halos.
+            u0 = jax.device_put(u0, field_sharding(mesh))
+        else:
+            u0 = jax.device_put(u0, devs[0])
+        advance = build_single_device_advance(cfg, dt)
+
+    return u0, advance, mesh, dt, clamped
+
+
+def run_simulation(cfg: SimConfig, devices=None, write_output: bool = True) -> RunResult:
+    """Execute a full run (the reference main loop, main.cpp:93-133)."""
+    u, advance, mesh, dt, clamped = prepare(cfg, devices)
+
+    _log(
+        "climate-sim-tpu\n"
+        f"  grid: {cfg.nx} x {cfg.ny}  dt: {dt:g}  steps: {cfg.steps}"
+        f"  D: {cfg.D:g}  v=({cfg.vx:g},{cfg.vy:g})\n"
+        f"  bc: left={bc_to_string(cfg.bc.left)} right={bc_to_string(cfg.bc.right)}"
+        f" bottom={bc_to_string(cfg.bc.bottom)} top={bc_to_string(cfg.bc.top)}"
+    )
+    if mesh is not None:
+        _log(f"  mesh: x={mesh.shape['x']} y={mesh.shape['y']} ({len(mesh.devices.ravel())} devices)")
+
+    ic_host = np.asarray(jax.device_get(u), dtype=np.float64)
+    _log(f"IC min/max: {ic_host.min():g} / {ic_host.max():g}")
+
+    writer = None
+    out_path = None
+    if write_output:
+        out_path = cfg.resolved_output_path()
+        _log("Opening NetCDF file for output")
+        writer = SnapshotWriter(out_path, cfg)
+
+    # Warm-up: AOT-compile every distinct chunk program outside the timed
+    # region (the reference pays no JIT cost; and through a remote-compile
+    # TPU tunnel the first execution would otherwise absorb ~seconds of
+    # compilation into the timing).
+    chunk_sizes = set()
+    n = 0
+    while n < cfg.steps:
+        k = min(cfg.out_every - (n % cfg.out_every), cfg.steps - n)
+        chunk_sizes.add(k)
+        n += k
+    compiled = {}
+    for k in chunk_sizes:
+        fn = advance(k)
+        try:
+            compiled[k] = fn.lower(u).compile()
+        except Exception:
+            compiled[k] = fn
+
+    def advance_compiled(k):
+        return compiled.get(k) or advance(k)
+
+    snapshots = 0
+    n = 0
+    t0 = time.perf_counter()
+    while n < cfg.steps:
+        if n % cfg.out_every == 0 and writer is not None:
+            u_snap = u
+            k = min(cfg.out_every - (n % cfg.out_every), cfg.steps - n)
+            u = advance_compiled(k)(u)  # dispatch next chunk before the host transfer
+            writer.write(np.asarray(jax.device_get(u_snap)))
+            snapshots += 1
+        else:
+            k = min(cfg.out_every - (n % cfg.out_every), cfg.steps - n)
+            u = advance_compiled(k)(u)
+        if cfg.diagnostics_every and (n // cfg.out_every) % max(1, cfg.diagnostics_every) == 0:
+            h = np.asarray(jax.device_get(u), dtype=np.float64)
+            _log(
+                f"diag: step={n + k} min={h.min():.6g} max={h.max():.6g}"
+                f" mean={h.mean():.6g} l2={np.sqrt((h * h).sum()):.6g}"
+            )
+        n += k
+    u.block_until_ready()
+    total = time.perf_counter() - t0
+
+    if writer is not None:
+        if cfg.write_final:
+            writer.write(np.asarray(jax.device_get(u)))
+            snapshots += 1
+        writer.close()
+
+    avg_step = total / max(1, cfg.steps)
+    # Single-controller JAX: max-over-ranks == local (the MPI_Reduce(MAX)
+    # analogue is a no-op on one process; multi-host uses process 0's value).
+    _log(f"timing: total_max={total:g} s, worst_avg_step={avg_step:g} s")
+
+    return RunResult(
+        u=u,
+        total_time=total,
+        avg_step_time=avg_step,
+        steps=cfg.steps,
+        snapshots_written=snapshots,
+        output_path=out_path,
+        mesh_shape=(mesh.shape["y"], mesh.shape["x"]) if mesh is not None else None,
+        dt=dt,
+        clamped=clamped,
+    )

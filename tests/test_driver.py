@@ -1,0 +1,184 @@
+"""End-to-end driver tests (reference analogues: the integration_* gtest
+binaries that shell out to climate_sim and re-read snapshots.nc)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from climate_sim_tpu.config import merged_config
+from climate_sim_tpu.io.netcdf import NetCDFFile
+from climate_sim_tpu.runtime.cli import main as cli_main
+from climate_sim_tpu.runtime.driver import run_simulation
+
+
+def run(tmp_path, extra):
+    out = str(tmp_path / "outputs")
+    cfg = merged_config(
+        None,
+        ["--precision=f64", "--kernel=jnp", "--output.dir", out] + extra,
+    )
+    res = run_simulation(cfg)
+    return res, os.path.join(out, "snapshots.nc")
+
+
+def com_x(u):
+    """Mass-weighted x centroid at cell centers i+0.5
+    (reference: integration_helpers.cpp:76-93)."""
+    ny, nx = u.shape
+    xs = np.arange(nx) + 0.5
+    m = u.sum()
+    return float((u.sum(axis=0) * xs).sum() / m)
+
+
+def test_integration_diffusion_peak_decays(tmp_path):
+    """64^2, D=1, 10 steps, periodic: peak decreases, field stays >= 0
+    (reference: integration_diffusion.cpp:36-47)."""
+    res, nc = run(
+        tmp_path,
+        ["--nx=64", "--ny=64", "--D=1.0", "--dt=0.2", "--steps=10",
+         "--out_every=5", "--bc=periodic"],
+    )
+    with NetCDFFile(nc) as ds:
+        assert ds.dimensions["time"] == 2
+        u0 = ds.variables["u"][0, :, :]
+        u1 = ds.variables["u"][1, :, :]
+    assert u1.max() < u0.max()
+    assert u1.min() >= -1e-12
+    final = np.asarray(res.u, dtype=np.float64)
+    assert final.max() < u1.max()
+
+
+def test_integration_advection_com_drift(tmp_path):
+    """vx=1, dt=1, 6 steps: center-of-mass x moves by 5 +/- 1; mass conserved
+    within 5% (reference: integration_advection.cpp:28-35).
+
+    NOTE the reference asserts a +5 drift after 6 steps because its snapshots
+    are PRE-update: the last snapshot at n=5 has seen 5 updates... it writes
+    at n%out_every==0 with out_every=1, so snapshot k is the state after k
+    steps' worth of updates minus one.  We compare IC vs final state after 5
+    visible steps the same way: snapshot[5] - snapshot[0] == 5 cells.
+    """
+    res, nc = run(
+        tmp_path,
+        ["--nx=64", "--ny=32", "--vx=1.0", "--dt=1.0", "--steps=6",
+         "--out_every=1", "--bc=dirichlet", "--ic.sigma_frac=0.05"],
+    )
+    with NetCDFFile(nc) as ds:
+        nt = ds.dimensions["time"]
+        assert nt == 6
+        first = ds.variables["u"][0, :, :]
+        last = ds.variables["u"][nt - 1, :, :]
+    drift = com_x(last) - com_x(first)
+    assert abs(drift - 5.0) <= 1.0
+    assert abs(last.sum() - first.sum()) / first.sum() <= 0.05
+
+
+def test_integration_nonsquare_axis_order(tmp_path):
+    """64x32 grid: snapshot shape is (ny=32, nx=64) — pins the (time,y,x)
+    axis order (reference: integration_ic.cpp:28-35)."""
+    _, nc = run(tmp_path, ["--nx=64", "--ny=32", "--steps=2", "--out_every=1"])
+    with NetCDFFile(nc) as ds:
+        u = ds.variables["u"][0, :, :]
+        assert u.shape == (32, 64)
+        assert u.max() > 1e-6
+
+
+def test_snapshot_is_pre_update_and_final_not_written(tmp_path):
+    """t=0 snapshot equals the IC; state after the final step is never
+    written (reference: main.cpp:96-99, SURVEY call-stack note)."""
+    res, nc = run(
+        tmp_path,
+        ["--nx=32", "--ny=32", "--D=0.5", "--dt=0.2", "--steps=10", "--out_every=5"],
+    )
+    with NetCDFFile(nc) as ds:
+        assert ds.dimensions["time"] == 2  # n=0 and n=5
+        u0 = ds.variables["u"][0, :, :]
+        u5 = ds.variables["u"][1, :, :]
+    from climate_sim_tpu.config import SimConfig
+    from climate_sim_tpu.ops import gaussian_hotspot
+    import jax.numpy as jnp
+
+    ic = np.asarray(gaussian_hotspot(SimConfig(nx=32, ny=32), jnp.float64))
+    np.testing.assert_allclose(u0, ic, atol=1e-12)
+    # final state differs from every snapshot
+    final = np.asarray(res.u, dtype=np.float64)
+    assert not np.allclose(final, u5)
+
+
+def test_write_final_opt_in(tmp_path):
+    res, nc = run(
+        tmp_path,
+        ["--nx=16", "--ny=16", "--D=0.5", "--dt=0.2", "--steps=4",
+         "--out_every=2", "--write_final=true"],
+    )
+    with NetCDFFile(nc) as ds:
+        assert ds.dimensions["time"] == 3  # n=0, n=2, final
+        last = ds.variables["u"][2, :, :]
+    np.testing.assert_allclose(last, np.asarray(res.u, dtype=np.float64), atol=0)
+
+
+def test_metadata_attrs_schema(tmp_path):
+    _, nc = run(
+        tmp_path,
+        ["--nx=24", "--ny=12", "--D=0.25", "--vx=0.5", "--vy=-1.5",
+         "--dt=0.125", "--steps=2", "--out_every=1",
+         "--bc.left=neumann", "--bc.bottom=periodic"],
+    )
+    with NetCDFFile(nc) as ds:
+        attrs = {k: ds.getncattr(k) for k in ds.ncattrs()}
+    assert attrs["grid"] == "24 x 12"
+    assert attrs["dt"] == "0.125000"
+    assert attrs["steps"] == "2"
+    assert attrs["D"] == "0.250000"
+    assert attrs["velocity"] == "(0.500000,-1.500000)"
+    assert attrs["boundary_conditions"] == (
+        "left=neumann right=dirichlet bottom=periodic top=dirichlet"
+    )
+
+
+def test_dt_clamped_to_cfl(tmp_path, capsys):
+    res, _ = run(
+        tmp_path,
+        ["--nx=16", "--ny=16", "--D=1.0", "--dt=99.0", "--steps=2", "--out_every=1"],
+    )
+    assert res.clamped
+    assert res.dt == pytest.approx(0.25)
+    err = capsys.readouterr().err
+    assert "clamping" in err
+
+
+def test_cli_error_exit_on_bad_ic(tmp_path, capsys):
+    """Bad IC path: nonzero exit and no snapshot file
+    (reference: integration_boundary_error.cpp:22-46)."""
+    out = str(tmp_path / "outputs")
+    rc = cli_main(
+        ["--nx=16", "--ny=16", "--steps=2", "--ic.mode=file",
+         "--ic.path=/nonexistent/ic.nc", "--output.dir", out]
+    )
+    assert rc != 0
+    assert not os.path.exists(os.path.join(out, "snapshots.nc"))
+
+
+def test_cli_good_run_exit_zero(tmp_path):
+    out = str(tmp_path / "outputs")
+    rc = cli_main(
+        ["run", "--nx=16", "--ny=16", "--steps=2", "--out_every=1",
+         "--precision=f64", "--kernel=jnp", "--output.dir", out]
+    )
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "snapshots.nc"))
+
+
+def test_cli_config_file(tmp_path):
+    out = str(tmp_path / "outputs")
+    cfgfile = tmp_path / "cfg.yaml"
+    cfgfile.write_text(
+        "grid: { nx: 20, ny: 10 }\ntime: { dt: 0.1, steps: 3, out_every: 1 }\n"
+        f"output: {{ dir: \"{out}\" }}\nprecision: f64\nkernel: jnp\n"
+    )
+    rc = cli_main([f"--config={cfgfile}", "--ny=12"])
+    assert rc == 0
+    with NetCDFFile(os.path.join(out, "snapshots.nc")) as ds:
+        assert ds.dimensions["y"] == 12  # CLI override beat the YAML
+        assert ds.dimensions["x"] == 20

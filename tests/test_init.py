@@ -1,0 +1,118 @@
+"""Initial-condition tests (reference analogue: test_init.cpp:47-95)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from climate_sim_tpu.config import SimConfig
+from climate_sim_tpu.io.netcdf import NetCDFWriter
+from climate_sim_tpu.ops import apply_initial_condition
+from oracle import gaussian_ic
+
+
+def test_constant_zero():
+    cfg = SimConfig(nx=16, ny=8)
+    cfg.ic.preset = "constant_zero"
+    u = np.asarray(apply_initial_condition(cfg, jnp.float64))
+    assert u.shape == (8, 16)
+    assert np.all(u == 0.0)
+
+
+def test_gaussian_matches_reference_formula():
+    cfg = SimConfig(nx=64, ny=32, dx=0.5, dy=1.5)
+    cfg.ic.A = 2.0
+    cfg.ic.sigma_frac = 0.1
+    cfg.ic.xc_frac = 0.25
+    cfg.ic.yc_frac = 0.75
+    u = np.asarray(apply_initial_condition(cfg, jnp.float64))
+    expect = gaussian_ic(64, 32, 0.5, 1.5, 2.0, 0.1, 0.25, 0.75)
+    np.testing.assert_allclose(u, expect, rtol=0, atol=1e-12)
+    assert u.max() > 1e-6  # nonzero (reference: test_init.cpp gaussian case)
+
+
+def test_unknown_preset_raises():
+    cfg = SimConfig()
+    cfg.ic.preset = "nope"
+    with pytest.raises(ValueError, match="Unknown IC preset: nope"):
+        apply_initial_condition(cfg)
+
+
+def test_unknown_mode_raises():
+    cfg = SimConfig()
+    cfg.ic.mode = "wat"
+    with pytest.raises(ValueError, match="Unknown IC mode"):
+        apply_initial_condition(cfg)
+
+
+def test_file_ic_roundtrip(tmp_path):
+    """File IC is implemented for real (the reference throws,
+    init.cpp:44-46; decision log #2)."""
+    path = str(tmp_path / "ic.nc")
+    data = gaussian_ic(20, 10)
+    w = NetCDFWriter(path, version=2)
+    w.def_dim("y", 10)
+    w.def_dim("x", 20)
+    w.def_var("u", np.float64, ("y", "x"))
+    w.enddef()
+    w.put_var("u", data)
+    w.close()
+
+    cfg = SimConfig(nx=20, ny=10)
+    cfg.ic.mode = "file"
+    cfg.ic.path = path
+    u = np.asarray(apply_initial_condition(cfg, jnp.float64))
+    np.testing.assert_allclose(u, data, rtol=0, atol=0)
+
+
+def test_file_ic_restart_from_snapshots(tmp_path):
+    """3D (time,y,x) files restart from the LAST record — checkpoint/resume."""
+    path = str(tmp_path / "snaps.nc")
+    w = NetCDFWriter(path, version=5)
+    w.def_dim("time", None)
+    w.def_dim("y", 4)
+    w.def_dim("x", 6)
+    w.def_var("u", np.float64, ("time", "y", "x"))
+    w.enddef()
+    w.put_rec("u", 0, np.zeros((4, 6)))
+    last = np.arange(24, dtype=np.float64).reshape(4, 6)
+    w.put_rec("u", 1, last)
+    w.close()
+
+    cfg = SimConfig(nx=6, ny=4)
+    cfg.ic.mode = "file"
+    cfg.ic.path = path
+    u = np.asarray(apply_initial_condition(cfg, jnp.float64))
+    np.testing.assert_array_equal(u, last)
+
+
+def test_file_ic_errors(tmp_path):
+    cfg = SimConfig(nx=8, ny=8)
+    cfg.ic.mode = "file"
+    cfg.ic.path = ""
+    with pytest.raises(ValueError, match="requires ic.path"):
+        apply_initial_condition(cfg)
+
+    cfg.ic.path = str(tmp_path / "missing.nc")
+    with pytest.raises(FileNotFoundError):
+        apply_initial_condition(cfg)
+
+    # wrong shape
+    path = str(tmp_path / "bad.nc")
+    w = NetCDFWriter(path, version=2)
+    w.def_dim("y", 3)
+    w.def_dim("x", 3)
+    w.def_var("u", np.float64, ("y", "x"))
+    w.enddef()
+    w.put_var("u", np.zeros((3, 3)))
+    w.close()
+    cfg.ic.path = path
+    with pytest.raises(ValueError, match="does not match grid"):
+        apply_initial_condition(cfg)
+
+    # missing variable
+    cfg2 = SimConfig(nx=3, ny=3)
+    cfg2.ic.mode = "file"
+    cfg2.ic.path = path
+    cfg2.ic.var = "missing"
+    with pytest.raises(KeyError):
+        apply_initial_condition(cfg2)

@@ -1,0 +1,161 @@
+"""NetCDF codec tests: round-trips through our reader for CDF-5 and
+cross-checks against scipy's independent CDF-1/2 implementation
+(reference analogue: test_io.cpp PnetCDF write/read-back sections)."""
+
+import numpy as np
+import pytest
+
+from climate_sim_tpu.io.netcdf import NetCDFFile, NetCDFWriter
+
+
+def write_sample(path, version, ny=5, nx=7, nrec=3):
+    w = NetCDFWriter(path, version=version)
+    w.def_dim("time", None)
+    w.def_dim("y", ny)
+    w.def_dim("x", nx)
+    w.def_var("u", np.float64, ("time", "y", "x"))
+    w.def_var("xc", np.float64, ("x",), attrs={"units": "m"})
+    w.put_gatt("description", "codec test")
+    w.put_gatt("answer", np.int32(42))
+    w.put_gatt("pi", 3.14159)
+    w.enddef()
+    w.put_var("xc", np.arange(nx, dtype=np.float64) * 0.5)
+    frames = []
+    for t in range(nrec):
+        f = np.arange(ny * nx, dtype=np.float64).reshape(ny, nx) + 100 * t
+        w.put_rec("u", t, f)
+        frames.append(f)
+    w.close()
+    return frames
+
+
+@pytest.mark.parametrize("version", [1, 2, 5])
+def test_roundtrip_own_reader(tmp_path, version):
+    path = str(tmp_path / f"v{version}.nc")
+    frames = write_sample(path, version)
+    with NetCDFFile(path) as ds:
+        assert ds.version == version
+        assert ds.dimensions == {"time": 3, "y": 5, "x": 7}
+        assert ds.getncattr("description") == "codec test"
+        assert int(ds.answer) == 42
+        assert float(ds.pi) == pytest.approx(3.14159)
+        u = ds.variables["u"]
+        assert u.shape == (3, 5, 7)
+        assert u.dims == ["time", "y", "x"]
+        for t, f in enumerate(frames):
+            np.testing.assert_array_equal(u[t, :, :], f)
+        np.testing.assert_array_equal(
+            ds.variables["xc"][:], np.arange(7) * 0.5
+        )
+        assert ds.variables["xc"].getncattr("units") == "m"
+
+
+@pytest.mark.parametrize("version", [1, 2])
+def test_scipy_reads_our_files(tmp_path, version):
+    """Independent implementation check: scipy's netcdf reader parses our
+    CDF-1/2 output (CDF-5 is beyond scipy; covered by our reader)."""
+    from scipy.io import netcdf_file
+
+    path = str(tmp_path / f"sv{version}.nc")
+    frames = write_sample(path, version)
+    with netcdf_file(path, "r", mmap=False) as ds:
+        assert ds.description == b"codec test"
+        u = ds.variables["u"]
+        assert u.shape == (3, 5, 7)
+        for t, f in enumerate(frames):
+            np.testing.assert_array_equal(np.asarray(u[t]), f)
+
+
+def test_we_read_scipy_files(tmp_path):
+    """Reverse direction: our reader parses scipy-written classic files."""
+    from scipy.io import netcdf_file
+
+    path = str(tmp_path / "scipy.nc")
+    with netcdf_file(path, "w") as ds:
+        ds.createDimension("time", None)
+        ds.createDimension("y", 4)
+        ds.createDimension("x", 3)
+        v = ds.createVariable("u", "f8", ("time", "y", "x"))
+        data = np.arange(24, dtype=np.float64).reshape(2, 4, 3)
+        v[:] = data
+        ds.history = "made by scipy"
+
+    with NetCDFFile(path) as ours:
+        assert ours.dimensions["y"] == 4 and ours.dimensions["x"] == 3
+        assert ours.dimensions["time"] == 2
+        np.testing.assert_array_equal(ours.variables["u"][0, :, :], data[0])
+        np.testing.assert_array_equal(ours.variables["u"][1, :, :], data[1])
+        assert ours.getncattr("history") == "made by scipy"
+
+
+def test_numrecs_patched_incrementally(tmp_path):
+    path = str(tmp_path / "inc.nc")
+    w = NetCDFWriter(path, version=5)
+    w.def_dim("time", None)
+    w.def_dim("x", 4)
+    w.def_var("u", np.float64, ("time", "x"))
+    w.enddef()
+    w.put_rec("u", 0, np.ones(4))
+    w.sync()
+    with NetCDFFile(path) as ds:
+        assert ds.dimensions["time"] == 1
+    w.put_rec("u", 1, 2 * np.ones(4))
+    w.sync()
+    with NetCDFFile(path) as ds:
+        assert ds.dimensions["time"] == 2
+        np.testing.assert_array_equal(ds.variables["u"][1], 2 * np.ones(4))
+    w.close()
+
+
+def test_multiple_record_vars_interleaved(tmp_path):
+    path = str(tmp_path / "multi.nc")
+    w = NetCDFWriter(path, version=2)
+    w.def_dim("time", None)
+    w.def_dim("x", 3)
+    w.def_var("a", np.float64, ("time", "x"))
+    w.def_var("b", np.float32, ("time", "x"))
+    w.enddef()
+    for t in range(2):
+        w.put_rec("a", t, np.full(3, float(t)))
+        w.put_rec("b", t, np.full(3, 10.0 + t, dtype=np.float32))
+    w.close()
+
+    from scipy.io import netcdf_file
+
+    with netcdf_file(path, "r", mmap=False) as ds:
+        np.testing.assert_array_equal(np.asarray(ds.variables["a"][1]), np.full(3, 1.0))
+        np.testing.assert_array_equal(
+            np.asarray(ds.variables["b"][0]), np.full(3, 10.0, dtype=np.float32)
+        )
+    with NetCDFFile(path) as ds:
+        np.testing.assert_array_equal(ds.variables["b"][1], np.full(3, 11.0, np.float32))
+
+
+def test_int_dtypes_and_char_attr(tmp_path):
+    path = str(tmp_path / "ints.nc")
+    w = NetCDFWriter(path, version=5)
+    w.def_dim("x", 4)
+    w.def_var("i32", np.int32, ("x",))
+    w.def_var("i64", np.int64, ("x",))  # CDF-5-only type
+    w.enddef()
+    w.put_var("i32", np.array([1, -2, 3, -4], np.int32))
+    w.put_var("i64", np.array([2**40, 1, -(2**41), 7], np.int64))
+    w.close()
+    with NetCDFFile(path) as ds:
+        np.testing.assert_array_equal(ds.variables["i32"][:], [1, -2, 3, -4])
+        np.testing.assert_array_equal(ds.variables["i64"][:], [2**40, 1, -(2**41), 7])
+
+
+def test_bad_magic_raises(tmp_path):
+    p = tmp_path / "x.nc"
+    p.write_bytes(b"HDF5xxxx")
+    with pytest.raises(ValueError, match="not a classic NetCDF"):
+        NetCDFFile(str(p))
+
+
+def test_record_index_out_of_range(tmp_path):
+    path = str(tmp_path / "r.nc")
+    write_sample(path, 5, nrec=2)
+    with NetCDFFile(path) as ds:
+        with pytest.raises(IndexError):
+            ds.variables["u"][5, :, :]

@@ -1,0 +1,131 @@
+"""Mesh + halo-exchange tests on the 8-device virtual CPU mesh
+(reference analogues: test_decomp_mpi.cpp, test_halo.cpp)."""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax import lax
+from jax.sharding import PartitionSpec
+
+from climate_sim_tpu.config import BCConfig, BCType, SimConfig
+from climate_sim_tpu.ops.step import build_single_device_advance, make_interior_step
+from climate_sim_tpu.parallel.halo import build_sharded_advance, exchange_and_pad
+from climate_sim_tpu.parallel.mesh import (
+    choose_mesh_shape,
+    dims_create,
+    divisible,
+    field_sharding,
+    make_mesh,
+)
+from oracle import gaussian_ic
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def test_dims_create_near_square():
+    """dims product == size, near-square, px >= py
+    (reference: test_decomp_mpi.cpp:6-35)."""
+    for n in range(1, 33):
+        px, py = dims_create(n)
+        assert px * py == n
+        assert px >= py
+
+
+def test_choose_mesh_prefers_divisible():
+    assert choose_mesh_shape(8, 1024, 1024) == (4, 2)
+    assert choose_mesh_shape(4, 64, 64) == (2, 2)
+    # indivisible near-square: picks another factorization that divides
+    px, py = choose_mesh_shape(6, 96, 96)
+    assert px * py == 6 and 96 % px == 0 and 96 % py == 0
+    # explicit request honored
+    assert choose_mesh_shape(8, 64, 64, req_x=8) == (8, 1)
+    with pytest.raises(ValueError):
+        choose_mesh_shape(8, 64, 64, req_x=3)
+
+
+def test_halo_exchange_rank_id_faces():
+    """Each shard holds its linear id; after exchange each ghost face equals
+    the neighbor's id (reference: test_halo.cpp:8-63)."""
+    mesh = make_mesh(4, 2)  # px=4, py=2
+    cfg = SimConfig(nx=16, ny=8)
+    cfg.bc = BCConfig(*(BCType.PERIODIC,) * 4)
+
+    def body(u_local):
+        xi = lax.axis_index("x")
+        yi = lax.axis_index("y")
+        rank = (yi * 4 + xi).astype(u_local.dtype)
+        u_local = jnp.zeros_like(u_local) + rank
+        return exchange_and_pad(u_local, cfg, px=4, py=2)
+
+    f = jax.jit(
+        jax.shard_map(
+            body, mesh=mesh,
+            in_specs=PartitionSpec("y", "x"),
+            out_specs=PartitionSpec("y", "x"),
+        )
+    )
+    u = jnp.zeros((8, 16), dtype=jnp.float64)
+    u = jax.device_put(u, field_sharding(mesh))
+    padded = np.asarray(f(u))  # global (8+2*2, 16+2*4) = stacked local tiles
+
+    # Check one interior shard: shard (yi=0, xi=1) occupies padded rows 0:6,
+    # cols 6:12 in the stacked layout (local tiles are (4+2, 4+2)).
+    tile = padded[0:6, 6:12]
+    assert np.all(tile[1:-1, 1:-1] == 1.0)        # own rank id
+    assert np.all(tile[1:-1, 0] == 0.0)           # left neighbor rank 0
+    assert np.all(tile[1:-1, -1] == 2.0)          # right neighbor rank 2
+    assert np.all(tile[-1, 1:-1] == 5.0)          # up neighbor rank 5
+    assert np.all(tile[0, 1:-1] == 5.0)           # periodic wrap down -> rank 5
+
+
+@pytest.mark.parametrize("bcs", ["dddd", "nnnn", "pppp", "dnpd", "pdnp"])
+@pytest.mark.parametrize("meshdims", [(4, 2), (2, 4), (8, 1), (1, 8), (2, 2)])
+def test_sharded_matches_single_device(bcs, meshdims):
+    """The explicitly-sharded step must reproduce the single-device result
+    bit-for-bit in f64 for every BC mix and mesh shape."""
+    BC = {"d": BCType.DIRICHLET, "n": BCType.NEUMANN, "p": BCType.PERIODIC}
+    px, py = meshdims
+    nx, ny = 32, 16
+    cfg = SimConfig(nx=nx, ny=ny, D=0.1, vx=0.5, vy=-0.3, dt=0.4)
+    cfg.precision = "f64"
+    cfg.kernel = "jnp"
+    cfg.bc = BCConfig(left=BC[bcs[0]], right=BC[bcs[1]],
+                      bottom=BC[bcs[2]], top=BC[bcs[3]])
+    dt = 0.4
+    steps = 12
+
+    u0 = jnp.asarray(gaussian_ic(nx, ny), dtype=jnp.float64)
+
+    single = build_single_device_advance(cfg, dt)
+    want = np.asarray(single(steps)(u0))
+
+    mesh = make_mesh(px, py)
+    assert divisible(mesh, nx, ny)
+    interior = make_interior_step(cfg, dt)
+    advance = build_sharded_advance(cfg, mesh, dt, interior)
+    u_sharded = jax.device_put(u0, field_sharding(mesh))
+    got = np.asarray(advance(steps)(u_sharded))
+
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-13)
+
+
+def test_sharded_compat_mode_matches():
+    cfg = SimConfig(nx=32, ny=32, D=0.1, vx=0.3, vy=0.3, dt=0.5)
+    cfg.precision = "f64"
+    cfg.kernel = "jnp"
+    cfg.bc = BCConfig(*(BCType.PERIODIC,) * 4)
+    cfg.strict_reference_compat = True
+    dt = 0.5
+
+    u0 = jnp.asarray(gaussian_ic(32, 32), dtype=jnp.float64)
+    want = np.asarray(build_single_device_advance(cfg, dt)(10)(u0))
+
+    mesh = make_mesh(4, 2)
+    advance = build_sharded_advance(cfg, mesh, dt, make_interior_step(cfg, dt))
+    got = np.asarray(advance(10)(jax.device_put(u0, field_sharding(mesh))))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-13)
