@@ -1,0 +1,98 @@
+"""Headline benchmark: grid-points/s/chip on the 4096^2 diffusion+advection
+fused step (BASELINE.json metric).
+
+Prints exactly ONE JSON line on stdout:
+  {"metric": ..., "value": N, "unit": "points/s", "vs_baseline": N}
+
+``vs_baseline``: the reference publishes no numbers (BASELINE.md), so the
+baseline is the per-chip HBM roofline for this memory-bound stencil:
+one f32 read + one f32 write per point per step (neighbors hit on-chip) =
+8 bytes/point over the chip's HBM bandwidth.  vs_baseline = value / roofline,
+i.e. the fraction of speed-of-light achieved (target >= 0.9).
+
+Timing notes (see .claude/skills/verify/SKILL.md): through the tunneled TPU,
+compilation is deferred to the first fetch, so we AOT-compile and synchronize
+with an explicit device_get before and after the timed section.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+# Per-chip HBM bandwidth (bytes/s) by device kind; conservative public specs.
+_HBM_BW = {
+    "TPU v5 lite": 819e9,   # v5e: 819 GB/s
+    "TPU v5e": 819e9,
+    "TPU v4": 1228e9,
+    "TPU v5p": 2765e9,
+    "TPU v6 lite": 1640e9,  # v6e
+}
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from climate_sim_tpu.config import BCConfig, BCType, SimConfig
+    from climate_sim_tpu.ops.init import gaussian_hotspot
+    from climate_sim_tpu.ops.step import build_single_device_advance, select_kernel
+
+    NX = NY = 4096
+    CHUNK = 100         # steps per dispatched program
+    REPS = 10           # timed chunks -> 1000 steps
+
+    cfg = SimConfig(nx=NX, ny=NY, D=0.05, vx=0.5, vy=-0.25, dt=0.1,
+                    steps=CHUNK, out_every=CHUNK)
+    cfg.bc = BCConfig(
+        left=BCType.DIRICHLET, right=BCType.NEUMANN,
+        bottom=BCType.PERIODIC, top=BCType.PERIODIC,
+    )
+
+    dev = jax.devices()[0]
+    n_chips = len(jax.devices())
+    print(f"[bench] device={dev.device_kind} n={n_chips} kernel={select_kernel(cfg)}",
+          file=sys.stderr)
+
+    advance = build_single_device_advance(cfg, cfg.dt)
+    u = jax.device_put(gaussian_hotspot(cfg, jnp.float32), dev)
+
+    fn = advance(CHUNK)
+    try:
+        fn = fn.lower(u).compile()
+    except Exception as e:
+        print(f"[bench] AOT compile failed ({e}); falling back to jit", file=sys.stderr)
+
+    # Warm up + force materialization (synchronizes any deferred compile).
+    u = fn(u)
+    _ = np.asarray(jax.device_get(u[:1, :1]))
+
+    t0 = time.perf_counter()
+    for _i in range(REPS):
+        u = fn(u)
+    u.block_until_ready()
+    _ = np.asarray(jax.device_get(u[:1, :1]))  # hard sync through the tunnel
+    t1 = time.perf_counter()
+
+    steps = REPS * CHUNK
+    pts_per_s = NX * NY * steps / (t1 - t0)
+    bw = _HBM_BW.get(dev.device_kind, 819e9)
+    roofline = bw / 8.0  # 8 bytes/point/step (f32 read+write)
+    result = {
+        "metric": "grid_points_per_s_per_chip_4096sq_diffadv",
+        "value": round(pts_per_s, 1),
+        "unit": "points/s",
+        "vs_baseline": round(pts_per_s / roofline, 4),
+    }
+    print(f"[bench] {steps} steps in {t1 - t0:.4f}s -> {pts_per_s/1e9:.2f} Gpoint/s "
+          f"({100*pts_per_s/roofline:.1f}% of {bw/1e9:.0f} GB/s HBM roofline)",
+          file=sys.stderr)
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
