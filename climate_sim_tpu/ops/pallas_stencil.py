@@ -1,0 +1,538 @@
+"""Pallas TPU kernels for the fused diffusion+advection stencil.
+
+The reference's hot loop (reference: src/main.cpp:101-109) is one fused
+forward-Euler update per step: ``u' = u + dt*D*lap(u) - dt*(v . grad_upwind u)``
+(diffusion.cpp:3-16 + advection.cpp:5-33).  That update moves 8 bytes/point/step
+(one f32 read + one f32 write; neighbors hit on-chip) — purely HBM-bandwidth
+bound on TPU when stepped one step at a time.
+
+The performance design is a **multi-step kernel**: advance ``k`` consecutive
+Euler steps entirely in VMEM, reading each point from HBM once per ``k``
+steps — up to ``k``x the single-step HBM roofline.  Each row-block loads
+``BY + 2k`` rows and per sub-step:
+
+1. re-applies physical-edge BCs in-kernel (Dirichlet fill / Neumann mirror /
+   reference-compat stale-zero) at the ghost line adjacent to the physical
+   boundary — the moral equivalent of ``apply_boundary`` (boundary.cpp:12-54)
+   running every step;
+2. updates the shrinking-validity interior with the fused stencil collapsed
+   to a 5-point weighted stencil (the update is linear with config-constant
+   coefficients): validity shrinks one row/col per sub-step from
+   non-physical buffer edges (the classic overlapped-halo trapezoid), so
+   after ``k`` sub-steps the central ``BY x nx`` region is exact.
+
+Periodic sides need true wrap data in the pads; the influence diamond
+|dy|+|dx| <= k is covered by k-wide pads with exact (diagonal-including)
+wrap.  Two input paths provide them:
+
+* **fused-DMA mode** (fast path; needs ``nx % 128 == 0``, ``k % 8 == 0``):
+  the kernel reads the raw ``(ny, nx)`` field straight from HBM with
+  wrap-aware segmented DMAs — 3 row segments (up/main/down, starts computed
+  mod ny) plus, for periodic x, 128-wide wrap strips into a 128-column pad
+  region on each side (TPU DMA slices must be 128-aligned in the minor
+  dimension, so the x pad is 128 wide even though only k columns are used).
+  No host/XLA-level assembly pass at all.
+
+* **assembled mode** (general path): an XLA-level ``assemble_padded`` builds
+  a ``(ny+2k, round_up(nx+2k,128))`` array (wrap or zero pads); the kernel
+  DMAs overlapping row windows from it.  Costs one extra HBM round trip per
+  pass; used for odd shapes/k and for the pre-padded single-step kernel.
+
+Row-block input windows overlap by ``2k`` rows, which BlockSpec index maps
+cannot express, so the input stays in HBM (``memory_space=ANY``) and each
+block DMAs its window into a double-buffered VMEM scratch (the next block's
+loads overlap this block's compute).  Output blocks are disjoint and use the
+normal pipelined BlockSpec.
+
+Numerics match :func:`climate_sim_tpu.ops.stencil.fused_step` up to f32
+re-association (the weighted-stencil form; tested to tight tolerances).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import BCConfig, BCType, SimConfig
+
+# VMEM budget for choosing block heights: one (R, W) input window.  Total
+# VMEM use is ~4.5x this (double-buffered input + ping-pong buffer + pipelined
+# output blocks) plus per-sub-step vector temporaries, against ~16 MB/core.
+_VMEM_BUDGET_BYTES = 2 * 1024 * 1024
+
+_XPAD = 128  # x pad width in fused-DMA mode (minor-dim DMA alignment unit)
+
+
+def _pick_block_rows(n_rows: int, row_bytes: int, halo: int) -> Optional[int]:
+    """Largest divisor BY of ``n_rows`` with (BY + 2*halo) * row_bytes within
+    budget, preferring BY in [64, 512] and multiples of 8 (f32 sublane).
+    None if nothing fits."""
+    divisors = [d for d in range(1, n_rows + 1) if n_rows % d == 0]
+    fits = [d for d in divisors if (d + 2 * halo) * row_bytes <= _VMEM_BUDGET_BYTES]
+    if not fits:
+        return None
+    for pool in (
+        [d for d in fits if 64 <= d <= 512 and d % 8 == 0],
+        [d for d in fits if d % 8 == 0],
+        fits,
+    ):
+        if pool:
+            return max(pool)
+    return None
+
+
+def _fixup_side(bc: BCType, compat: bool) -> Optional[str]:
+    """What the per-sub-step in-kernel BC fixup must do for a physical side.
+
+    None means "leave the pad alone": true-periodic pads carry wrap data that
+    evolves correctly for k sub-steps (trapezoid argument).
+    """
+    if bc == BCType.DIRICHLET:
+        return "dirichlet"
+    if bc == BCType.NEUMANN:
+        return "neumann"
+    # periodic
+    if compat:
+        # Reference periodic is a silent no-op: ghosts keep their initial
+        # fill(0.0) forever (boundary.cpp has no Periodic branch) — i.e.
+        # numerically Dirichlet(0) re-applied each step.
+        return "zero"
+    return None
+
+
+def _build_kernel_body(
+    *,
+    k: int,
+    khalo: int,
+    R: int,
+    W: int,
+    BY: int,
+    nx: int,
+    ny: int,
+    xoff: int,
+    n_blocks: int,
+    fused_dma: bool,
+    wrap_x: bool,
+    dt: float,
+    D: float,
+    vx: float,
+    vy: float,
+    dx: float,
+    dy: float,
+    bc_value: float,
+    fix_left: Optional[str],
+    fix_right: Optional[str],
+    fix_bottom: Optional[str],
+    fix_top: Optional[str],
+    prepadded: bool,
+    compute_dtype,
+):
+    """The kernel function (closure over all static parameters).
+
+    Buffer layout: interior columns live at [xoff, xoff+nx); ghost-line
+    fixup columns at xoff-1 and xoff+nx.  Scratch: ``a_scratch`` (2, R, W)
+    double-buffered input windows, ``sems`` (2, n_dma) DMA semaphores.
+    """
+    # The unsplit Euler update is LINEAR in u with config-constant
+    # coefficients, so fold diffusion + upwind advection into one 5-point
+    # weighted stencil: u' = wc*c + wxm*xm + wxp*xp + wym*ym + wyp*yp.
+    # (5 FMAs/point on the VPU vs ~17 ops for the naive form — the kernel is
+    # VPU-bound once the multi-step scheme has amortized HBM traffic.)
+    # Upwind signs (advection.cpp:16-27) are resolved at trace time.
+    ax = dt * D / (dx * dx)
+    ay = dt * D / (dy * dy)
+    cx = dt * vx / dx
+    cy = dt * vy / dy
+    wc = 1.0 - 2.0 * ax - 2.0 * ay - abs(cx) - abs(cy)
+    wxm = ax + (cx if vx >= 0.0 else 0.0)
+    wxp = ax + (-cx if vx < 0.0 else 0.0)
+    wym = ay + (cy if vy >= 0.0 else 0.0)
+    wyp = ay + (-cy if vy < 0.0 else 0.0)
+
+    def make_loads(hbm_ref, a_scratch, sems, block, slot):
+        """Async copies filling window ``block`` into scratch slot ``slot``."""
+        dst = a_scratch.at[slot]
+        if not fused_dma:
+            return [
+                pltpu.make_async_copy(
+                    hbm_ref.at[pl.ds(block * BY, R), :], dst, sems.at[slot, 0]
+                )
+            ]
+        # Wrap-aware segmented loads from the raw (ny, nx) field.  Buffer row
+        # r holds global row (block*BY - khalo + r) mod ny; three contiguous
+        # source segments: khalo rows above, BY main rows, khalo rows below.
+        # All starts are multiples of 8 (BY, khalo, ny all are) — tell Mosaic.
+        up0 = pl.multiple_of((block * BY - khalo + ny) % ny, 8)
+        dn0 = pl.multiple_of((block * BY + BY) % ny, 8)
+        main0 = pl.multiple_of(block * BY, 8)
+        segs = [(0, up0, khalo), (khalo, main0, BY), (khalo + BY, dn0, khalo)]
+        copies = []
+        i = 0
+        for dst_r, src_r, n in segs:
+            copies.append(
+                pltpu.make_async_copy(
+                    hbm_ref.at[pl.ds(src_r, n), :],
+                    dst.at[pl.ds(dst_r, n), pl.ds(xoff, nx)],
+                    sems.at[slot, i],
+                )
+            )
+            i += 1
+            if wrap_x:
+                # 128-wide wrap strips (only the innermost k columns are
+                # consumed; 128 keeps the minor-dim DMA slices aligned).
+                copies.append(
+                    pltpu.make_async_copy(
+                        hbm_ref.at[pl.ds(src_r, n), pl.ds(nx - _XPAD, _XPAD)],
+                        dst.at[pl.ds(dst_r, n), pl.ds(0, _XPAD)],
+                        sems.at[slot, i],
+                    )
+                )
+                copies.append(
+                    pltpu.make_async_copy(
+                        hbm_ref.at[pl.ds(src_r, n), pl.ds(0, _XPAD)],
+                        dst.at[pl.ds(dst_r, n), pl.ds(xoff + nx, _XPAD)],
+                        sems.at[slot, i + 1],
+                    )
+                )
+                i += 2
+        return copies
+
+    n_dma = 1 if not fused_dma else (9 if wrap_x else 3)
+
+    def apply_fixups(src, pid):
+        """Re-apply physical-edge BCs at the ghost lines, writing into the
+        ``src`` ref in place (the ``apply_boundary`` analogue, every step)."""
+        # x sides: full width is present in every block -> unconditional.
+        if fix_left is not None:
+            if fix_left == "dirichlet":
+                col = jnp.full((R,), bc_value, compute_dtype)
+            elif fix_left == "zero":
+                col = jnp.zeros((R,), compute_dtype)
+            else:  # neumann: mirror the first interior column
+                col = src[:, xoff]
+            src[:, xoff - 1] = col
+        if fix_right is not None:
+            if fix_right == "dirichlet":
+                col = jnp.full((R,), bc_value, compute_dtype)
+            elif fix_right == "zero":
+                col = jnp.zeros((R,), compute_dtype)
+            else:
+                col = src[:, xoff + nx - 1]
+            src[:, xoff + nx] = col
+        # y sides: only the first/last row-blocks touch a physical y edge.
+        if fix_bottom is not None:
+            if fix_bottom == "dirichlet":
+                row = jnp.full((W,), bc_value, compute_dtype)
+            elif fix_bottom == "zero":
+                row = jnp.zeros((W,), compute_dtype)
+            else:
+                row = src[khalo, :]
+            src[khalo - 1, :] = jnp.where(pid == 0, row, src[khalo - 1, :])
+        if fix_top is not None:
+            # Physical top edge sits at buffer row R-k for the LAST block.
+            if fix_top == "dirichlet":
+                row = jnp.full((W,), bc_value, compute_dtype)
+            elif fix_top == "zero":
+                row = jnp.zeros((W,), compute_dtype)
+            else:
+                row = src[R - khalo - 1, :]
+            src[R - khalo, :] = jnp.where(pid == n_blocks - 1, row, src[R - khalo, :])
+
+    def kernel(hbm_ref, out_ref, a_scratch, b_scratch, sems):
+        pid = pl.program_id(0)
+        slot = pid % 2
+
+        # Double-buffered input: block 0's loads start at program 0; each
+        # program prefetches the next block's window before computing.
+        @pl.when(pid == 0)
+        def _():
+            for c in make_loads(hbm_ref, a_scratch, sems, 0, 0):
+                c.start()
+
+        @pl.when(pid + 1 < n_blocks)
+        def _():
+            nxt = (pid + 1) % 2
+            for c in make_loads(hbm_ref, a_scratch, sems, pid + 1, nxt):
+                c.start()
+
+        for c in make_loads(hbm_ref, a_scratch, sems, pid, slot):
+            c.wait()
+
+        # k sub-steps, statically unrolled, ping-ponging between the DMA'd
+        # window (ref view) and a second scratch buffer: stencil reads src,
+        # writes dst on the shrinking-validity row range [1+t, R-1-t) (the
+        # trapezoid; physical-edge ghost lines are re-supplied by fixups,
+        # never computed).
+        # Per sub-step: compute the shrinking-validity trapezoid rows
+        # [1+t, R-1-t) over the FULL buffer width.  Full-width reads keep
+        # every load lane-aligned (the +-1 neighbor shifts lower to cheap
+        # lane rotates); trimming to the exact needed column range was
+        # measured slower because it makes every read misaligned.
+        view = a_scratch.at[slot]
+        bufs = [view, b_scratch]
+        for t in range(k):
+            src = bufs[t % 2]
+            dst = bufs[(t + 1) % 2]
+            if not prepadded:
+                apply_fixups(src, pid)
+            lo, hi = 1 + t, R - 1 - t
+            a = src[pl.ds(lo - 1, hi - lo + 2), :]
+            new = wc * a[1:-1, 1:-1]
+            if wxm != 0.0:
+                new += wxm * a[1:-1, :-2]
+            if wxp != 0.0:
+                new += wxp * a[1:-1, 2:]
+            if wym != 0.0:
+                new += wym * a[:-2, 1:-1]
+            if wyp != 0.0:
+                new += wyp * a[2:, 1:-1]
+            dst[pl.ds(lo, hi - lo), pl.ds(1, W - 2)] = new
+        final = bufs[k % 2]
+        out_ref[:, :] = final[khalo : khalo + BY, xoff : xoff + nx]
+
+    return kernel, n_dma
+
+
+@functools.lru_cache(maxsize=64)
+def _build_multistep_call(
+    ny: int,
+    nx: int,
+    k: int,
+    khalo: int,
+    dt: float,
+    D: float,
+    vx: float,
+    vy: float,
+    dx: float,
+    dy: float,
+    bc_value: float,
+    fix_left: Optional[str],
+    fix_right: Optional[str],
+    fix_bottom: Optional[str],
+    fix_top: Optional[str],
+    wrap_x: bool,
+    fused_dma: bool,
+    prepadded: bool,
+    dtype_name: str,
+    interpret: bool,
+):
+    """pallas_call advancing k steps -> (ny, nx).
+
+    fused_dma: input is the raw (ny, nx) field.  Otherwise the input is the
+    assembled ``(ny+2k, round_up(nx+2k,128))`` padded array (alignment
+    columns are garbage that sits exactly outside the validity trapezoid).
+    """
+    compute_dtype = jnp.dtype(dtype_name)
+    if khalo < k:
+        return None
+    if fused_dma:
+        xoff = _XPAD
+        W = nx + 2 * _XPAD
+    else:
+        xoff = khalo
+        W = -(-(nx + 2 * khalo) // 128) * 128
+    row_bytes = W * compute_dtype.itemsize
+    BY = _pick_block_rows(ny, row_bytes, khalo)
+    if BY is None:
+        return None
+    if fused_dma and (BY % 8 or khalo % 8 or nx % 128 or ny % 8):
+        return None
+    R = BY + 2 * khalo
+    n_blocks = ny // BY
+
+    kernel, n_dma = _build_kernel_body(
+        k=k, khalo=khalo, R=R, W=W, BY=BY, nx=nx, ny=ny, xoff=xoff,
+        n_blocks=n_blocks,
+        fused_dma=fused_dma, wrap_x=wrap_x,
+        dt=dt, D=D, vx=vx, vy=vy, dx=dx, dy=dy, bc_value=bc_value,
+        fix_left=fix_left, fix_right=fix_right,
+        fix_bottom=fix_bottom, fix_top=fix_top,
+        prepadded=prepadded, compute_dtype=compute_dtype,
+    )
+
+    in_rows = ny if fused_dma else ny + 2 * khalo
+    bytes_accessed = (in_rows + 2 * khalo * n_blocks) * W * compute_dtype.itemsize
+    bytes_accessed += ny * nx * compute_dtype.itemsize
+    flops = 9 * ny * nx * k  # 5-pt weighted stencil per sub-step
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (BY, nx), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((ny, nx), compute_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, R, W), compute_dtype),
+            pltpu.VMEM((R, W), compute_dtype),
+            pltpu.SemaphoreType.DMA((2, n_dma)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+        interpret=interpret,
+    )
+
+
+def assemble_padded(u: jnp.ndarray, bc: BCConfig, k: int, compat: bool) -> jnp.ndarray:
+    """Interior (ny, nx) -> (ny+2k, round_up(nx+2k, 128)) kernel input.
+
+    Periodic (non-compat) sides get true wrap data — assembled x-first so the
+    y-wrap rows carry wrapped x pads, making diagonal (corner) wrap exact.
+    Non-periodic sides get zeros; their values are irrelevant because the
+    kernel re-applies the BC at the adjacent ghost line every sub-step.
+    Extra right-hand alignment columns (for 128-aligned DMA rows) are zeros.
+    """
+    ny, nx = u.shape
+    W = -(-(nx + 2 * k) // 128) * 128
+    z_col = jnp.zeros((ny, k), u.dtype)
+    lp = u[:, -k:] if (bc.left == BCType.PERIODIC and not compat) else z_col
+    rp = u[:, :k] if (bc.right == BCType.PERIODIC and not compat) else z_col
+    parts = [lp, u, rp]
+    if W > nx + 2 * k:
+        parts.append(jnp.zeros((ny, W - nx - 2 * k), u.dtype))
+    m = jnp.concatenate(parts, axis=1)
+    z_row = jnp.zeros((k, W), u.dtype)
+    bp = m[-k:] if (bc.bottom == BCType.PERIODIC and not compat) else z_row
+    tp = m[:k] if (bc.top == BCType.PERIODIC and not compat) else z_row
+    return jnp.concatenate([bp, m, tp], axis=0)
+
+
+def multistep_kernel_step(
+    u: jnp.ndarray,
+    cfg: SimConfig,
+    dt: float,
+    k: int,
+    interpret: bool = False,
+) -> Optional[jnp.ndarray]:
+    """Advance the global interior field ``k`` steps with one kernel pass.
+
+    Exactly equivalent to ``k`` iterations of pad_with_ghosts + fused_step
+    (up to f32 re-association).  Returns None if no kernel layout fits
+    (caller falls back to jnp).
+    """
+    ny, nx = u.shape
+    compat = cfg.strict_reference_compat
+    wrap_x = (
+        not compat
+        and (cfg.bc.left == BCType.PERIODIC or cfg.bc.right == BCType.PERIODIC)
+    )
+    fixes = (
+        _fixup_side(cfg.bc.left, compat), _fixup_side(cfg.bc.right, compat),
+        _fixup_side(cfg.bc.bottom, compat), _fixup_side(cfg.bc.top, compat),
+    )
+    rest = (
+        float(dt), float(cfg.D), float(cfg.vx), float(cfg.vy),
+        float(cfg.dx), float(cfg.dy), 0.0, *fixes, wrap_x,
+    )
+    khalo8 = -(-k // 8) * 8  # fused-DMA halo: k rounded up to a sublane tile
+    call = _build_multistep_call(
+        ny, nx, k, khalo8, *rest, True, False,
+        jnp.dtype(u.dtype).name, interpret,
+    )
+    if call is not None:
+        return call(u)
+    call = _build_multistep_call(
+        ny, nx, k, k, *rest, False, False, jnp.dtype(u.dtype).name, interpret
+    )
+    if call is None:
+        return None
+    return call(assemble_padded(u, cfg.bc, k, compat))
+
+
+def prepadded_kernel_step(
+    up: jnp.ndarray,
+    cfg: SimConfig,
+    dt: float,
+    interpret: bool = False,
+) -> Optional[jnp.ndarray]:
+    """Single step on a ghost-padded (my+2, mx+2) tile -> (my, mx) interior.
+
+    The ghost ring must already hold valid values (BCs/halo applied); this is
+    the per-shard interior kernel for the shard_map path.
+    """
+    my, mx = up.shape[0] - 2, up.shape[1] - 2
+    call = _build_multistep_call(
+        my, mx, 1, 1, float(dt), float(cfg.D), float(cfg.vx), float(cfg.vy),
+        float(cfg.dx), float(cfg.dy), 0.0,
+        None, None, None, None, False,
+        False, True, jnp.dtype(up.dtype).name, interpret,
+    )
+    if call is None:
+        return None
+    W = -(-(mx + 2) // 128) * 128
+    if W > mx + 2:
+        up = jnp.pad(up, ((0, 0), (0, W - mx - 2)))
+    return call(up)
+
+
+def make_pallas_interior_step(
+    cfg: SimConfig, dt: float, interpret: bool = False
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Interior step for the sharded path: padded tile -> updated interior,
+    falling back to the jnp oracle when no block layout fits."""
+    from .stencil import fused_step
+
+    def step(up: jnp.ndarray) -> jnp.ndarray:
+        out = prepadded_kernel_step(up, cfg, dt, interpret)
+        if out is None:
+            return fused_step(up, cfg.D, cfg.vx, cfg.vy, dt, cfg.dx, cfg.dy)
+        return out
+
+    return step
+
+
+def pick_steps_per_pass(cfg: SimConfig, chunk: int) -> int:
+    """Choose k (steps fused per HBM pass) for a ``chunk``-step program.
+
+    Larger k amortizes HBM traffic but grows the halo (2k rows of redundant
+    load + compute per block); k=8 also enables the fused-DMA input path.
+    """
+    k = min(8, chunk, max(1, cfg.nx // 32), max(1, cfg.ny // 32))
+    return max(1, k)
+
+
+def build_multistep_advance(
+    cfg: SimConfig, dt: float, interpret: bool = False
+) -> Callable[[int], Callable]:
+    """``advance(chunk)`` -> jitted fn advancing the global field ``chunk``
+    steps via multi-step kernel passes (single-device / GSPMD path)."""
+    from .boundary import pad_with_ghosts
+    from .stencil import fused_step
+
+    compat = cfg.strict_reference_compat
+
+    def jnp_step(u):
+        return fused_step(
+            pad_with_ghosts(u, cfg.bc, 0.0, compat),
+            cfg.D, cfg.vx, cfg.vy, dt, cfg.dx, cfg.dy,
+        )
+
+    @functools.lru_cache(maxsize=None)
+    def advance(chunk: int):
+        k = pick_steps_per_pass(cfg, chunk)
+
+        def body(u):
+            n = 0
+            while n < chunk:
+                kk = min(k, chunk - n)
+                out = multistep_kernel_step(u, cfg, dt, kk, interpret)
+                if out is None:
+                    out = jnp_step(u)
+                    kk = 1
+                u = out
+                n += kk
+            return u
+
+        return jax.jit(body)
+
+    return advance

@@ -51,7 +51,19 @@ def make_interior_step(cfg: SimConfig, dt: float) -> Callable[[jnp.ndarray], jnp
 
 def build_single_device_advance(cfg: SimConfig, dt: float):
     """``advance(k)`` -> jitted fn advancing the global (ny, nx) field k steps
-    on one device (or under GSPMD auto-partitioning if the input is sharded)."""
+    on one device (or under GSPMD auto-partitioning if the input is sharded).
+
+    With the Pallas kernel selected, chunks run as multi-step kernel passes
+    (k steps per HBM round trip — see ops/pallas_stencil.py); otherwise each
+    step is pad_with_ghosts + fused jnp stencil inside a fori_loop.
+    """
+    if select_kernel(cfg) in ("pallas", "pallas_multistep"):
+        try:
+            from .pallas_stencil import build_multistep_advance
+
+            return build_multistep_advance(cfg, dt)
+        except ImportError:
+            pass
     interior = make_interior_step(cfg, dt)
     compat = cfg.strict_reference_compat
 

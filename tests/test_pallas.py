@@ -1,0 +1,116 @@
+"""Pallas kernel parity tests (interpret mode on CPU).
+
+The Pallas multi-step kernel must agree with the jnp oracle
+(pad_with_ghosts + fused_step per step) for every BC combination, both
+upwind branches, and both input paths (fused-DMA and assembled) — the
+TPU analogue of the reference's exact-stencil unit tests
+(reference: tests/simulation/unit/test_diffusion.cpp, test_advection.cpp).
+"""
+
+import itertools
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from climate_sim_tpu.config import BCConfig, BCType, SimConfig
+from climate_sim_tpu.ops.boundary import pad_with_ghosts
+from climate_sim_tpu.ops.init import gaussian_hotspot
+from climate_sim_tpu.ops.pallas_stencil import (
+    build_multistep_advance,
+    multistep_kernel_step,
+    pick_steps_per_pass,
+    prepadded_kernel_step,
+)
+from climate_sim_tpu.ops.step import reference_step
+
+D4 = (BCType.DIRICHLET,) * 4
+N4 = (BCType.NEUMANN,) * 4
+P4 = (BCType.PERIODIC,) * 4
+MIX1 = (BCType.DIRICHLET, BCType.NEUMANN, BCType.PERIODIC, BCType.PERIODIC)
+MIX2 = (BCType.PERIODIC, BCType.PERIODIC, BCType.DIRICHLET, BCType.NEUMANN)
+
+
+def make_cfg(nx, ny, bcs, *, D=0.05, vx=0.5, vy=-0.25, compat=False):
+    cfg = SimConfig(nx=nx, ny=ny, D=D, vx=vx, vy=vy, dt=0.1, steps=8, out_every=4)
+    cfg.bc = BCConfig(*bcs)
+    cfg.strict_reference_compat = compat
+    return cfg
+
+
+def oracle(u, cfg, steps):
+    for _ in range(steps):
+        u = reference_step(u, cfg, cfg.dt)
+    return u
+
+
+@pytest.mark.parametrize("shape", [(128, 64), (120, 96)])  # fused-DMA / assembled
+@pytest.mark.parametrize("bcs", [D4, N4, P4, MIX1, MIX2])
+@pytest.mark.parametrize("k", [1, 3, 8])
+def test_multistep_matches_oracle(shape, bcs, k):
+    nx, ny = shape
+    cfg = make_cfg(nx, ny, bcs)
+    u = gaussian_hotspot(cfg, jnp.float32)
+    ref = oracle(u, cfg, k)
+    out = multistep_kernel_step(u, cfg, cfg.dt, k, interpret=True)
+    assert out is not None
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize(
+    "vx,vy,D",
+    [(0.0, 0.0, 1.0), (1.0, 0.0, 0.0), (-1.0, 0.5, 0.0), (0.25, -0.75, 0.1)],
+)
+def test_multistep_upwind_branches(vx, vy, D):
+    """Each velocity sign exercises a different upwind weight layout."""
+    cfg = make_cfg(128, 64, MIX1, D=D, vx=vx, vy=vy)
+    u = gaussian_hotspot(cfg, jnp.float32)
+    ref = oracle(u, cfg, 4)
+    out = multistep_kernel_step(u, cfg, cfg.dt, 4, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_multistep_f64():
+    cfg = make_cfg(128, 64, P4)
+    u = gaussian_hotspot(cfg, jnp.float64)
+    ref = oracle(u, cfg, 8)
+    out = multistep_kernel_step(u, cfg, cfg.dt, 8, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-13)
+
+
+def test_multistep_reference_compat_periodic():
+    """compat=True: periodic ghosts stay zero (the reference's silent no-op,
+    boundary.cpp has no Periodic branch) — kernel must reproduce it."""
+    cfg = make_cfg(128, 64, P4, compat=True)
+    u = gaussian_hotspot(cfg, jnp.float32)
+    ref = oracle(u, cfg, 8)
+    out = multistep_kernel_step(u, cfg, cfg.dt, 8, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize("bcs", [D4, P4, MIX2])
+def test_prepadded_single_step(bcs):
+    cfg = make_cfg(96, 72, bcs)
+    u = gaussian_hotspot(cfg, jnp.float32)
+    up = pad_with_ghosts(u, cfg.bc, 0.0, False)
+    out = prepadded_kernel_step(up, cfg, cfg.dt, interpret=True)
+    ref = reference_step(u, cfg, cfg.dt)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_advance_chunk_with_remainder():
+    """chunk not divisible by k: trailing passes use a smaller k."""
+    cfg = make_cfg(128, 64, MIX1)
+    u = gaussian_hotspot(cfg, jnp.float32)
+    ref = oracle(u, cfg, 11)
+    advance = build_multistep_advance(cfg, cfg.dt, interpret=True)
+    out = advance(11)(u)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
+
+
+def test_pick_steps_per_pass_bounds():
+    cfg = make_cfg(4096, 4096, D4)
+    assert pick_steps_per_pass(cfg, 100) == 8
+    assert pick_steps_per_pass(cfg, 5) == 5
+    assert pick_steps_per_pass(make_cfg(128, 64, D4), 100) == 2  # ny//32 cap
+    assert pick_steps_per_pass(make_cfg(32, 32, D4), 100) == 1
