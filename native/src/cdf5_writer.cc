@@ -1,0 +1,361 @@
+// Native CDF-5 snapshot writer for climate_sim_tpu.
+//
+// TPU-native replacement for the data plane of the reference's PnetCDF layer
+// (reference: src/io.cpp:378-448 — ncmpi_create(NC_CLOBBER|NC_64BIT_DATA),
+// dims time/y/x, one NC_DOUBLE variable u(time,y,x), global text attrs,
+// collective record writes).  On TPU there is one controller process, so the
+// parallel-I/O concern becomes a *latency-hiding* concern: `ncw_append`
+// enqueues a frame copy and returns immediately; a background writer thread
+// does the big-endian conversion and file I/O, overlapping device compute
+// exactly where the reference overlapped MPI-IO with other ranks' compute.
+//
+// The on-disk bytes are identical to climate_sim_tpu.io.netcdf.NetCDFWriter
+// (version=5) for this schema — tested byte-for-byte in tests/test_native_io.py.
+//
+// C ABI (consumed via ctypes from climate_sim_tpu/io/native.py):
+//   ncw_create(path, ny, nx, nattrs, names[], values[]) -> handle (>=1), 0 on error
+//   ncw_append(handle, frame_ptr, irec)  -> 0 ok      (async; copies the frame)
+//   ncw_flush(handle)                    -> 0 ok      (drain queue)
+//   ncw_close(handle)                    -> 0 ok      (drain + close + free)
+//   ncw_queue_depth(handle)              -> frames currently queued, <0 error
+//   ncw_last_error()                     -> const char* message
+
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <deque>
+#include <map>
+#include <memory>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+std::mutex g_err_mu;
+std::string g_last_error;
+
+void set_error(const std::string& msg) {
+  std::lock_guard<std::mutex> lk(g_err_mu);
+  g_last_error = msg;
+}
+
+// ---- CDF-5 header encoding (big-endian) -----------------------------------
+
+void put_u32(std::string& out, uint32_t v) {
+  char b[4] = {char(v >> 24), char(v >> 16), char(v >> 8), char(v)};
+  out.append(b, 4);
+}
+
+void put_u64(std::string& out, uint64_t v) {
+  char b[8] = {char(v >> 56), char(v >> 48), char(v >> 40), char(v >> 32),
+               char(v >> 24), char(v >> 16), char(v >> 8),  char(v)};
+  out.append(b, 8);
+}
+
+size_t pad4(size_t n) { return (4 - (n % 4)) % 4; }
+
+// NON_NEG fields are 8 bytes in CDF-5.
+void put_nonneg(std::string& out, uint64_t v) { put_u64(out, v); }
+
+void put_name(std::string& out, const std::string& s) {
+  put_nonneg(out, s.size());
+  out.append(s);
+  out.append(pad4(s.size()), '\0');
+}
+
+constexpr uint32_t NC_DIMENSION = 0x0A;
+constexpr uint32_t NC_VARIABLE = 0x0B;
+constexpr uint32_t NC_ATTRIBUTE = 0x0C;
+constexpr uint32_t NC_CHAR = 2;
+constexpr uint32_t NC_DOUBLE = 6;
+
+// Header for: dims time(UNLIMITED)/y/x; global char attrs; var u(time,y,x)
+// NC_DOUBLE.  numrecs is patched in place on append (offset 4, 8 bytes).
+std::string encode_header(int64_t ny, int64_t nx, int64_t numrecs,
+                          const std::vector<std::pair<std::string, std::string>>& attrs,
+                          int64_t begin) {
+  std::string h;
+  h.append("CDF\x05", 4);
+  put_nonneg(h, uint64_t(numrecs));
+
+  put_u32(h, NC_DIMENSION);
+  put_nonneg(h, 3);
+  put_name(h, "time");
+  put_nonneg(h, 0);  // UNLIMITED
+  put_name(h, "y");
+  put_nonneg(h, uint64_t(ny));
+  put_name(h, "x");
+  put_nonneg(h, uint64_t(nx));
+
+  if (attrs.empty()) {
+    put_u32(h, 0);
+    put_nonneg(h, 0);
+  } else {
+    put_u32(h, NC_ATTRIBUTE);
+    put_nonneg(h, attrs.size());
+    for (const auto& kv : attrs) {
+      put_name(h, kv.first);
+      put_u32(h, NC_CHAR);
+      put_nonneg(h, kv.second.size());
+      h.append(kv.second);
+      h.append(pad4(kv.second.size()), '\0');
+    }
+  }
+
+  put_u32(h, NC_VARIABLE);
+  put_nonneg(h, 1);
+  put_name(h, "u");
+  put_nonneg(h, 3);
+  put_nonneg(h, 0);  // dimid time
+  put_nonneg(h, 1);  // dimid y
+  put_nonneg(h, 2);  // dimid x
+  put_u32(h, 0);     // no var attrs (ABSENT)
+  put_nonneg(h, 0);
+  put_u32(h, NC_DOUBLE);
+  put_nonneg(h, uint64_t(ny * nx * 8));  // vsize: single record var, unpadded
+  put_u64(h, uint64_t(begin));           // begin (8 bytes in CDF-2/5)
+  return h;
+}
+
+// ---- async writer ----------------------------------------------------------
+
+struct Frame {
+  int64_t irec;
+  std::vector<double> data;  // host byte order; swapped in the worker
+};
+
+class Writer {
+ public:
+  Writer(const std::string& path, int64_t ny, int64_t nx,
+         std::vector<std::pair<std::string, std::string>> attrs)
+      : ny_(ny), nx_(nx) {
+    // Two-pass: header size depends only on counts/strings.
+    std::string probe = encode_header(ny, nx, 0, attrs, 0);
+    size_t hlen = probe.size() + pad4(probe.size());
+    begin_ = int64_t(hlen);
+    std::string header = encode_header(ny, nx, 0, attrs, begin_);
+    header.append(pad4(header.size()), '\0');
+
+    f_ = std::fopen(path.c_str(), "w+b");
+    if (!f_) throw std::runtime_error("cannot open " + path);
+    if (std::fwrite(header.data(), 1, header.size(), f_) != header.size()) {
+      std::fclose(f_);
+      f_ = nullptr;
+      throw std::runtime_error("short header write to " + path);
+    }
+    worker_ = std::thread([this] { this->run(); });
+  }
+
+  ~Writer() {
+    try {
+      close();
+    } catch (...) {
+    }
+  }
+
+  void append(const double* frame, int64_t irec) {
+    auto fr = Frame{irec, std::vector<double>(frame, frame + ny_ * nx_)};
+    std::unique_lock<std::mutex> lk(mu_);
+    // Bounded queue: cap buffered frames so a slow disk cannot exhaust RAM.
+    not_full_.wait(lk, [this] { return queue_.size() < kMaxQueue || stop_; });
+    if (error_.size()) throw std::runtime_error(error_);
+    queue_.push_back(std::move(fr));
+    not_empty_.notify_one();
+  }
+
+  void flush() {
+    std::unique_lock<std::mutex> lk(mu_);
+    drained_.wait(lk, [this] { return (queue_.empty() && !busy_) || !error_.empty(); });
+    if (!error_.empty()) throw std::runtime_error(error_);
+    std::fflush(f_);
+  }
+
+  void close() {
+    {
+      std::unique_lock<std::mutex> lk(mu_);
+      if (stop_) return;
+      drained_.wait(lk, [this] { return (queue_.empty() && !busy_) || !error_.empty(); });
+      stop_ = true;
+      not_empty_.notify_all();
+      not_full_.notify_all();
+    }
+    if (worker_.joinable()) worker_.join();
+    if (f_) {
+      std::fclose(f_);
+      f_ = nullptr;
+    }
+    if (!error_.empty()) throw std::runtime_error(error_);
+  }
+
+  int64_t queue_depth() {
+    std::lock_guard<std::mutex> lk(mu_);
+    return int64_t(queue_.size()) + (busy_ ? 1 : 0);
+  }
+
+ private:
+  static constexpr size_t kMaxQueue = 4;
+
+  void run() {
+    std::vector<uint64_t> swapped;
+    for (;;) {
+      Frame fr;
+      {
+        std::unique_lock<std::mutex> lk(mu_);
+        not_empty_.wait(lk, [this] { return !queue_.empty() || stop_; });
+        if (queue_.empty()) return;  // stop_ and drained
+        fr = std::move(queue_.front());
+        queue_.pop_front();
+        busy_ = true;
+        not_full_.notify_one();
+      }
+      std::string err;
+      try {
+        write_frame(fr, swapped);
+      } catch (const std::exception& e) {
+        err = e.what();
+      }
+      {
+        std::lock_guard<std::mutex> lk(mu_);
+        busy_ = false;
+        if (!err.empty() && error_.empty()) error_ = err;
+        drained_.notify_all();
+      }
+    }
+  }
+
+  void write_frame(const Frame& fr, std::vector<uint64_t>& swapped) {
+    const int64_t n = ny_ * nx_;
+    swapped.resize(size_t(n));
+    const uint64_t* src = reinterpret_cast<const uint64_t*>(fr.data.data());
+    for (int64_t i = 0; i < n; ++i) swapped[size_t(i)] = __builtin_bswap64(src[i]);
+
+    const int64_t recsize = n * 8;
+    if (std::fseek(f_, long(begin_ + fr.irec * recsize), SEEK_SET) != 0)
+      throw std::runtime_error("seek failed");
+    if (std::fwrite(swapped.data(), 1, size_t(recsize), f_) != size_t(recsize))
+      throw std::runtime_error("short record write");
+    if (fr.irec + 1 > numrecs_) {
+      numrecs_ = fr.irec + 1;
+      // Patch the 8-byte numrecs field at offset 4 (CDF-5).
+      char b[8];
+      uint64_t v = uint64_t(numrecs_);
+      for (int i = 0; i < 8; ++i) b[i] = char(v >> (56 - 8 * i));
+      if (std::fseek(f_, 4, SEEK_SET) != 0) throw std::runtime_error("seek failed");
+      if (std::fwrite(b, 1, 8, f_) != 8) throw std::runtime_error("numrecs patch failed");
+      if (std::fseek(f_, 0, SEEK_END) != 0) throw std::runtime_error("seek failed");
+    }
+  }
+
+  int64_t ny_, nx_;
+  int64_t begin_ = 0;
+  int64_t numrecs_ = 0;
+  std::FILE* f_ = nullptr;
+
+  std::thread worker_;
+  std::mutex mu_;
+  std::condition_variable not_empty_, not_full_, drained_;
+  std::deque<Frame> queue_;
+  bool busy_ = false;
+  bool stop_ = false;
+  std::string error_;
+};
+
+std::mutex g_table_mu;
+std::map<int64_t, std::unique_ptr<Writer>> g_writers;
+int64_t g_next_handle = 1;
+
+}  // namespace
+
+extern "C" {
+
+int64_t ncw_create(const char* path, int64_t ny, int64_t nx, int64_t nattrs,
+                   const char** names, const char** values) {
+  try {
+    std::vector<std::pair<std::string, std::string>> attrs;
+    for (int64_t i = 0; i < nattrs; ++i) attrs.emplace_back(names[i], values[i]);
+    auto w = std::make_unique<Writer>(path, ny, nx, std::move(attrs));
+    std::lock_guard<std::mutex> lk(g_table_mu);
+    int64_t h = g_next_handle++;
+    g_writers[h] = std::move(w);
+    return h;
+  } catch (const std::exception& e) {
+    set_error(e.what());
+    return 0;
+  }
+}
+
+static Writer* lookup(int64_t h) {
+  std::lock_guard<std::mutex> lk(g_table_mu);
+  auto it = g_writers.find(h);
+  return it == g_writers.end() ? nullptr : it->second.get();
+}
+
+int64_t ncw_append(int64_t handle, const double* frame, int64_t irec) {
+  Writer* w = lookup(handle);
+  if (!w) {
+    set_error("bad handle");
+    return -1;
+  }
+  try {
+    w->append(frame, irec);
+    return 0;
+  } catch (const std::exception& e) {
+    set_error(e.what());
+    return -1;
+  }
+}
+
+int64_t ncw_flush(int64_t handle) {
+  Writer* w = lookup(handle);
+  if (!w) {
+    set_error("bad handle");
+    return -1;
+  }
+  try {
+    w->flush();
+    return 0;
+  } catch (const std::exception& e) {
+    set_error(e.what());
+    return -1;
+  }
+}
+
+int64_t ncw_queue_depth(int64_t handle) {
+  Writer* w = lookup(handle);
+  if (!w) {
+    set_error("bad handle");
+    return -1;
+  }
+  return w->queue_depth();
+}
+
+int64_t ncw_close(int64_t handle) {
+  std::unique_ptr<Writer> w;
+  {
+    std::lock_guard<std::mutex> lk(g_table_mu);
+    auto it = g_writers.find(handle);
+    if (it == g_writers.end()) {
+      set_error("bad handle");
+      return -1;
+    }
+    w = std::move(it->second);
+    g_writers.erase(it);
+  }
+  try {
+    w->close();
+    return 0;
+  } catch (const std::exception& e) {
+    set_error(e.what());
+    return -1;
+  }
+}
+
+const char* ncw_last_error() {
+  std::lock_guard<std::mutex> lk(g_err_mu);
+  return g_last_error.c_str();
+}
+
+}  // extern "C"

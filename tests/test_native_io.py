@@ -1,0 +1,121 @@
+"""Native (C++) CDF-5 async writer tests.
+
+The native writer must produce byte-identical files to the pure-Python
+codec for the snapshot schema (reference: src/io.cpp:378-448), through both
+the raw binding and the SnapshotWriter front-end.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from climate_sim_tpu.config import SimConfig
+from climate_sim_tpu.io.netcdf import NetCDFFile, NetCDFWriter
+from climate_sim_tpu.io.snapshots import SnapshotWriter, metadata_attrs
+
+native = pytest.importorskip("climate_sim_tpu.io.native")
+
+
+def python_reference_file(path, cfg, frames):
+    w = NetCDFWriter(path, version=5)
+    w.def_dim("time", None)
+    w.def_dim("y", cfg.ny)
+    w.def_dim("x", cfg.nx)
+    w.def_var("u", np.float64, ("time", "y", "x"))
+    for k, v in metadata_attrs(cfg).items():
+        w.put_gatt(k, v)
+    w.enddef()
+    for i, f in enumerate(frames):
+        w.put_rec("u", i, f)
+    w.close()
+
+
+def test_byte_identical_to_python_codec(tmp_path, rng):
+    cfg = SimConfig(nx=48, ny=24)
+    frames = [rng.normal(size=(24, 48)) for _ in range(4)]
+    npath = str(tmp_path / "native.nc")
+    ppath = str(tmp_path / "python.nc")
+    w = native.NativeSnapshotWriter(npath, cfg, metadata_attrs(cfg))
+    for i, f in enumerate(frames):
+        w.append(i, f)
+    w.close()
+    python_reference_file(ppath, cfg, frames)
+    assert open(npath, "rb").read() == open(ppath, "rb").read()
+
+
+def test_roundtrip_values_and_attrs(tmp_path, rng):
+    cfg = SimConfig(nx=32, ny=16, D=0.25, vx=-1.5, vy=0.75, dt=0.05, steps=7)
+    frames = [rng.normal(size=(16, 32)) for _ in range(2)]
+    path = str(tmp_path / "rt.nc")
+    with native.NativeSnapshotWriter(path, cfg, metadata_attrs(cfg)) as w:
+        for i, f in enumerate(frames):
+            w.append(i, f)
+        w.flush()
+    ds = NetCDFFile(path)
+    assert ds.dimensions == {"time": 2, "y": 16, "x": 32}
+    assert ds.getncattr("D") == "0.250000"
+    assert ds.getncattr("velocity") == "(-1.500000,0.750000)"
+    np.testing.assert_array_equal(ds.variables["u"][1, :, :], frames[1])
+
+
+def test_snapshot_writer_native_vs_python(tmp_path, rng):
+    """SnapshotWriter(use_native=...) must be behavior-identical both ways."""
+    cfg = SimConfig(nx=40, ny=20)
+    frames = [rng.normal(size=(20, 40)) for _ in range(3)]
+    paths = {}
+    for use_native in (True, False):
+        p = str(tmp_path / f"snap_{use_native}.nc")
+        w = SnapshotWriter(p, cfg, use_native=use_native)
+        if use_native:
+            assert w._native is not None, "native writer should be available"
+        for f in frames:
+            w.write(f)
+        w.close()
+        paths[use_native] = p
+    assert open(paths[True], "rb").read() == open(paths[False], "rb").read()
+
+
+def test_out_of_order_and_sparse_records(tmp_path, rng):
+    """Records written out of order: numrecs tracks the max; the gap reads
+    back zero-filled (classic-netCDF unwritten-record semantics)."""
+    cfg = SimConfig(nx=16, ny=8)
+    f0 = rng.normal(size=(8, 16))
+    f2 = rng.normal(size=(8, 16))
+    path = str(tmp_path / "sparse.nc")
+    with native.NativeSnapshotWriter(path, cfg, metadata_attrs(cfg)) as w:
+        w.append(2, f2)
+        w.append(0, f0)
+    ds = NetCDFFile(path)
+    assert ds.dimensions["time"] == 3
+    np.testing.assert_array_equal(ds.variables["u"][0, :, :], f0)
+    np.testing.assert_array_equal(ds.variables["u"][2, :, :], f2)
+
+
+def test_bad_path_raises():
+    cfg = SimConfig(nx=8, ny=8)
+    with pytest.raises(RuntimeError, match="ncw_create failed"):
+        native.NativeSnapshotWriter("/nonexistent-dir/x.nc", cfg, {})
+
+
+def test_shape_mismatch_raises(tmp_path):
+    cfg = SimConfig(nx=8, ny=8)
+    w = native.NativeSnapshotWriter(str(tmp_path / "s.nc"), cfg, {})
+    with pytest.raises(ValueError, match="frame shape"):
+        w.append(0, np.zeros((4, 4)))
+    w.close()
+
+
+def test_many_frames_async_drain(tmp_path, rng):
+    """More frames than the bounded queue: appends block-and-drain, close
+    leaves every record on disk."""
+    cfg = SimConfig(nx=128, ny=64)
+    frames = [rng.normal(size=(64, 128)) for _ in range(12)]
+    path = str(tmp_path / "deep.nc")
+    with native.NativeSnapshotWriter(path, cfg, metadata_attrs(cfg)) as w:
+        for i, f in enumerate(frames):
+            w.append(i, f)
+    ds = NetCDFFile(path)
+    assert ds.dimensions["time"] == 12
+    for i in (0, 5, 11):
+        np.testing.assert_array_equal(ds.variables["u"][i, :, :], frames[i])
