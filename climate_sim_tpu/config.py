@@ -138,6 +138,7 @@ class SimConfig:
     # explicit output.path when given.
     output_path: Optional[str] = None
     output_dir: str = "outputs"
+    output_enable: bool = True  # false: timing-only runs write no snapshots
     write_final: bool = False  # opt-in post-loop snapshot (decision log #5)
 
     ic: ICConfig = field(default_factory=ICConfig)
@@ -272,6 +273,8 @@ def load_yaml_dict(root: Dict[str, Any]) -> SimConfig:
                 cfg.output_dir = str(out["dir"])
             if "write_final" in out:
                 cfg.write_final = bool(out["write_final"])
+            if "enable" in out:
+                cfg.output_enable = bool(out["enable"])
     elif "output_prefix" in root:
         cfg.output_prefix = str(root["output_prefix"])
 
@@ -324,7 +327,10 @@ _STR_KEYS = (
     "kernel",
 )
 _BC_KEYS = ("bc.left", "bc.right", "bc.bottom", "bc.top", "bc")
-_BOOL_KEYS = ("strict_reference_compat", "write_final", "debug_nans", "mesh.enable")
+_BOOL_KEYS = (
+    "strict_reference_compat", "write_final", "debug_nans", "mesh.enable",
+    "output.enable",
+)
 
 
 def parse_cli_overrides(args: Sequence[str]) -> Dict[str, Any]:
@@ -387,6 +393,8 @@ def apply_overrides(cfg: SimConfig, overrides: Dict[str, Any]) -> None:
             cfg.output_path = val
         elif key == "output.dir":
             cfg.output_dir = val
+        elif key == "output.enable":
+            cfg.output_enable = val
         elif key.startswith("ic."):
             setattr(cfg.ic, key[3:], val)
         elif key == "mesh.x":

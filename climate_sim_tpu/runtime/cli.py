@@ -10,6 +10,7 @@ accepts ``--config=<yaml>`` / ``--config <yaml>`` plus any ``--key=value`` or
 
 from __future__ import annotations
 
+import os
 import sys
 from typing import List, Optional, Sequence
 
@@ -18,6 +19,14 @@ from .driver import run_simulation
 
 
 def main(argv: Optional[Sequence[str]] = None) -> int:
+    # Benchmark harness hook: force a JAX platform before backend init
+    # (JAX_PLATFORMS alone is overridden by images that force a TPU backend).
+    platform = os.environ.get("CLIMATE_SIM_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
     args: List[str] = list(sys.argv[1:] if argv is None else argv)
     if args and args[0] == "run":
         args = args[1:]

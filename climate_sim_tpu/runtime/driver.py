@@ -122,7 +122,7 @@ def run_simulation(cfg: SimConfig, devices=None, write_output: bool = True) -> R
 
     writer = None
     out_path = None
-    if write_output:
+    if write_output and cfg.output_enable:
         out_path = cfg.resolved_output_path()
         _log("Opening NetCDF file for output")
         writer = SnapshotWriter(out_path, cfg)
