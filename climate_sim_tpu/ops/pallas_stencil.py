@@ -130,9 +130,16 @@ def _build_kernel_body(
     fix_bottom: Optional[str],
     fix_top: Optional[str],
     prepadded: bool,
+    sharded: bool,
     compute_dtype,
 ):
     """The kernel function (closure over all static parameters).
+
+    ``sharded=True`` adds a leading (4,) int32 SMEM input of physical-edge
+    flags (left, right, bottom, top): inside shard_map every shard runs the
+    same program, so whether a side is a physical boundary (the
+    ``MPI_PROC_NULL`` analogue, boundary.cpp:17-20) is runtime data — fixups
+    then blend the BC ghost line with the neighbor-halo data by flag.
 
     Buffer layout: interior columns live at [xoff, xoff+nx); ghost-line
     fixup columns at xoff-1 and xoff+nx.  Scratch: ``a_scratch`` (2, R, W)
@@ -204,46 +211,51 @@ def _build_kernel_body(
 
     n_dma = 1 if not fused_dma else (9 if wrap_x else 3)
 
-    def apply_fixups(src, pid):
+    def _bc_line(kind, n, mirror):
+        if kind == "dirichlet":
+            return jnp.full((n,), bc_value, compute_dtype)
+        if kind == "zero":
+            return jnp.zeros((n,), compute_dtype)
+        return mirror  # neumann
+
+    def apply_fixups(src, pid, flags):
         """Re-apply physical-edge BCs at the ghost lines, writing into the
-        ``src`` ref in place (the ``apply_boundary`` analogue, every step)."""
+        ``src`` ref in place (the ``apply_boundary`` analogue, every step).
+        ``flags`` is None (single-device: every side with a fixup is
+        physical) or a (4,) int32 SMEM ref of physical-edge flags
+        [left, right, bottom, top] — interior shards keep neighbor halos."""
         # x sides: full width is present in every block -> unconditional.
         if fix_left is not None:
-            if fix_left == "dirichlet":
-                col = jnp.full((R,), bc_value, compute_dtype)
-            elif fix_left == "zero":
-                col = jnp.zeros((R,), compute_dtype)
-            else:  # neumann: mirror the first interior column
-                col = src[:, xoff]
+            col = _bc_line(fix_left, R, src[:, xoff])
+            if flags is not None:
+                col = jnp.where(flags[0] != 0, col, src[:, xoff - 1])
             src[:, xoff - 1] = col
         if fix_right is not None:
-            if fix_right == "dirichlet":
-                col = jnp.full((R,), bc_value, compute_dtype)
-            elif fix_right == "zero":
-                col = jnp.zeros((R,), compute_dtype)
-            else:
-                col = src[:, xoff + nx - 1]
+            col = _bc_line(fix_right, R, src[:, xoff + nx - 1])
+            if flags is not None:
+                col = jnp.where(flags[1] != 0, col, src[:, xoff + nx])
             src[:, xoff + nx] = col
         # y sides: only the first/last row-blocks touch a physical y edge.
         if fix_bottom is not None:
-            if fix_bottom == "dirichlet":
-                row = jnp.full((W,), bc_value, compute_dtype)
-            elif fix_bottom == "zero":
-                row = jnp.zeros((W,), compute_dtype)
-            else:
-                row = src[khalo, :]
-            src[khalo - 1, :] = jnp.where(pid == 0, row, src[khalo - 1, :])
+            row = _bc_line(fix_bottom, W, src[khalo, :])
+            cond = pid == 0
+            if flags is not None:
+                cond = jnp.logical_and(cond, flags[2] != 0)
+            src[khalo - 1, :] = jnp.where(cond, row, src[khalo - 1, :])
         if fix_top is not None:
-            # Physical top edge sits at buffer row R-k for the LAST block.
-            if fix_top == "dirichlet":
-                row = jnp.full((W,), bc_value, compute_dtype)
-            elif fix_top == "zero":
-                row = jnp.zeros((W,), compute_dtype)
-            else:
-                row = src[R - khalo - 1, :]
-            src[R - khalo, :] = jnp.where(pid == n_blocks - 1, row, src[R - khalo, :])
+            # Physical top edge sits at buffer row R-khalo for the LAST block.
+            row = _bc_line(fix_top, W, src[R - khalo - 1, :])
+            cond = pid == n_blocks - 1
+            if flags is not None:
+                cond = jnp.logical_and(cond, flags[3] != 0)
+            src[R - khalo, :] = jnp.where(cond, row, src[R - khalo, :])
 
-    def kernel(hbm_ref, out_ref, a_scratch, b_scratch, sems):
+    def kernel(*refs):
+        if sharded:
+            flags_ref, hbm_ref, out_ref, a_scratch, b_scratch, sems = refs
+        else:
+            hbm_ref, out_ref, a_scratch, b_scratch, sems = refs
+            flags_ref = None
         pid = pl.program_id(0)
         slot = pid % 2
 
@@ -279,7 +291,7 @@ def _build_kernel_body(
             src = bufs[t % 2]
             dst = bufs[(t + 1) % 2]
             if not prepadded:
-                apply_fixups(src, pid)
+                apply_fixups(src, pid, flags_ref)
             lo, hi = 1 + t, R - 1 - t
             a = src[pl.ds(lo - 1, hi - lo + 2), :]
             new = wc * a[1:-1, 1:-1]
@@ -318,6 +330,7 @@ def _build_multistep_call(
     wrap_x: bool,
     fused_dma: bool,
     prepadded: bool,
+    sharded: bool,
     dtype_name: str,
     interpret: bool,
 ):
@@ -352,7 +365,7 @@ def _build_multistep_call(
         dt=dt, D=D, vx=vx, vy=vy, dx=dx, dy=dy, bc_value=bc_value,
         fix_left=fix_left, fix_right=fix_right,
         fix_bottom=fix_bottom, fix_top=fix_top,
-        prepadded=prepadded, compute_dtype=compute_dtype,
+        prepadded=prepadded, sharded=sharded, compute_dtype=compute_dtype,
     )
 
     in_rows = ny if fused_dma else ny + 2 * khalo
@@ -360,10 +373,13 @@ def _build_multistep_call(
     bytes_accessed += ny * nx * compute_dtype.itemsize
     flops = 9 * ny * nx * k  # 5-pt weighted stencil per sub-step
 
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+    if sharded:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
     return pl.pallas_call(
         kernel,
         grid=(n_blocks,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (BY, nx), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
@@ -436,13 +452,14 @@ def multistep_kernel_step(
     )
     khalo8 = -(-k // 8) * 8  # fused-DMA halo: k rounded up to a sublane tile
     call = _build_multistep_call(
-        ny, nx, k, khalo8, *rest, True, False,
+        ny, nx, k, khalo8, *rest, True, False, False,
         jnp.dtype(u.dtype).name, interpret,
     )
     if call is not None:
         return call(u)
     call = _build_multistep_call(
-        ny, nx, k, k, *rest, False, False, jnp.dtype(u.dtype).name, interpret
+        ny, nx, k, k, *rest, False, False, False,
+        jnp.dtype(u.dtype).name, interpret,
     )
     if call is None:
         return None
@@ -465,7 +482,7 @@ def prepadded_kernel_step(
         my, mx, 1, 1, float(dt), float(cfg.D), float(cfg.vx), float(cfg.vy),
         float(cfg.dx), float(cfg.dy), 0.0,
         None, None, None, None, False,
-        False, True, jnp.dtype(up.dtype).name, interpret,
+        False, True, False, jnp.dtype(up.dtype).name, interpret,
     )
     if call is None:
         return None
@@ -473,6 +490,57 @@ def prepadded_kernel_step(
     if W > mx + 2:
         up = jnp.pad(up, ((0, 0), (0, W - mx - 2)))
     return call(up)
+
+
+def sharded_tile_multistep(
+    padded: jnp.ndarray,
+    edge_flags: jnp.ndarray,
+    cfg: SimConfig,
+    dt: float,
+    k: int,
+    mx: int,
+    interpret: bool = False,
+) -> Optional[jnp.ndarray]:
+    """Advance one shard's tile k steps inside shard_map.
+
+    ``padded``: (my+2k, mx+2k) tile with k-wide halos already exchanged
+    (wrap/neighbor faces; garbage beyond physical edges is fine — in-kernel
+    fixups re-supply BC ghosts every sub-step, gated on ``edge_flags``:
+    (4,) int32 = [left, right, bottom, top] physical-edge indicators derived
+    from ``lax.axis_index`` — the MPI_PROC_NULL analogue, boundary.cpp:17-20).
+    Returns the updated (my, mx) interior, or None if no layout fits.
+    """
+    my = padded.shape[0] - 2 * k
+    compat = cfg.strict_reference_compat
+    call = _build_multistep_call(
+        my, mx, k, k, float(dt), float(cfg.D), float(cfg.vx), float(cfg.vy),
+        float(cfg.dx), float(cfg.dy), 0.0,
+        _fixup_side(cfg.bc.left, compat), _fixup_side(cfg.bc.right, compat),
+        _fixup_side(cfg.bc.bottom, compat), _fixup_side(cfg.bc.top, compat),
+        False, False, False, True, jnp.dtype(padded.dtype).name, interpret,
+    )
+    if call is None:
+        return None
+    W = -(-(mx + 2 * k) // 128) * 128
+    if W > padded.shape[1]:
+        padded = jnp.pad(padded, ((0, 0), (0, W - padded.shape[1])))
+    return call(edge_flags.astype(jnp.int32), padded)
+
+
+def sharded_layout_available(
+    cfg: SimConfig, dt: float, k: int, mx: int, my: int, interpret: bool = False
+) -> bool:
+    """Static probe: can :func:`sharded_tile_multistep` run on (my, mx)
+    tiles with pass size k?  (Shapes are static, so this decides up front.)"""
+    compat = cfg.strict_reference_compat
+    call = _build_multistep_call(
+        my, mx, k, k, float(dt), float(cfg.D), float(cfg.vx), float(cfg.vy),
+        float(cfg.dx), float(cfg.dy), 0.0,
+        _fixup_side(cfg.bc.left, compat), _fixup_side(cfg.bc.right, compat),
+        _fixup_side(cfg.bc.bottom, compat), _fixup_side(cfg.bc.top, compat),
+        False, False, False, True, "float32", interpret,
+    )
+    return call is not None
 
 
 def make_pallas_interior_step(

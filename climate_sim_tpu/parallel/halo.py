@@ -97,6 +97,106 @@ def exchange_and_pad(
     return jnp.concatenate([ghost_bottom, mid, ghost_top], axis=0)
 
 
+def exchange_halos_k(
+    u: jnp.ndarray,
+    px: int,
+    py: int,
+    k: int,
+) -> jnp.ndarray:
+    """Inside shard_map: return the (my+2k, mx+2k) tile with k-wide halos
+    pulled from neighbors by cyclic ppermute (x faces first, then full-width
+    y slabs so corner ghosts carry diagonal-neighbor data — the width-k
+    generalization of the reference's full-row messages, halo.cpp:16-18).
+
+    No BC logic here: edge shards receive wrap data, which is exactly right
+    for periodic sides; non-periodic physical ghosts are re-supplied every
+    sub-step by the kernel's edge-flag-gated fixups.
+    """
+    right_face = u[:, -k:]
+    left_face = u[:, :k]
+    ghost_left = lax.ppermute(right_face, "x", _cyclic_perm(px, +1))
+    ghost_right = lax.ppermute(left_face, "x", _cyclic_perm(px, -1))
+    mid = jnp.concatenate([ghost_left, u, ghost_right], axis=1)
+
+    top_slab = mid[-k:, :]
+    bottom_slab = mid[:k, :]
+    ghost_bottom = lax.ppermute(top_slab, "y", _cyclic_perm(py, +1))
+    ghost_top = lax.ppermute(bottom_slab, "y", _cyclic_perm(py, -1))
+    return jnp.concatenate([ghost_bottom, mid, ghost_top], axis=0)
+
+
+def build_sharded_multistep_advance(
+    cfg: SimConfig,
+    mesh: Mesh,
+    dt: float,
+    interpret: bool = False,
+):
+    """Multi-chip fast path: ``advance(chunk)`` advancing the sharded field
+    ``chunk`` steps with ONE k-wide halo exchange per k steps, each shard
+    running the Pallas multi-step kernel on its tile (in-kernel BC fixups
+    gated by physical-edge flags).  Halo traffic per step matches the
+    per-step scheme, but in 1/k as many (k-times larger) ICI messages.
+
+    Returns None when the kernel has no layout for the shard shape (caller
+    falls back to :func:`build_sharded_advance`).
+    """
+    import dataclasses
+
+    from ..ops.pallas_stencil import (
+        pick_steps_per_pass,
+        sharded_layout_available,
+        sharded_tile_multistep,
+    )
+
+    px = mesh.shape["x"]
+    py = mesh.shape["y"]
+    if cfg.nx % px or cfg.ny % py:
+        return None
+    mx = cfg.nx // px
+    my = cfg.ny // py
+    spec = PartitionSpec("y", "x")
+
+    tile_cfg = dataclasses.replace(cfg, nx=mx, ny=my)
+    k = pick_steps_per_pass(tile_cfg, cfg.out_every or 8)
+    # Static layout probe for every pass size that can occur (k and the
+    # chunk remainders) — all shapes are static, so this decides up front.
+    if not all(
+        sharded_layout_available(cfg, dt, kk, mx, my, interpret)
+        for kk in range(1, k + 1)
+    ):
+        return None
+
+    def tile_pass(u_local: jnp.ndarray, kk: int) -> jnp.ndarray:
+        padded = exchange_halos_k(u_local, px, py, kk)
+        xi = lax.axis_index("x")
+        yi = lax.axis_index("y")
+        flags = jnp.stack(
+            [xi == 0, xi == px - 1, yi == 0, yi == py - 1]
+        ).astype(jnp.int32)
+        return sharded_tile_multistep(
+            padded, flags, cfg, dt, kk, mx, interpret=interpret
+        )
+
+    @functools.lru_cache(maxsize=None)
+    def advance(chunk: int):
+        def body(u_local):
+            n = 0
+            while n < chunk:
+                kk = min(k, chunk - n)
+                u_local = tile_pass(u_local, kk)
+                n += kk
+            return u_local
+
+        # check_vma=False: pallas_call outputs carry no varying-mesh-axes
+        # metadata; the in/out specs fully pin the sharding here.
+        sharded = jax.shard_map(
+            body, mesh=mesh, in_specs=spec, out_specs=spec, check_vma=False
+        )
+        return jax.jit(sharded)
+
+    return advance
+
+
 def build_sharded_advance(
     cfg: SimConfig,
     mesh: Mesh,

@@ -32,7 +32,7 @@ from ..ops.stability import clamp_dt
 from ..ops.step import build_single_device_advance, make_interior_step
 from ..io.snapshots import SnapshotWriter
 from ..parallel.mesh import choose_mesh_shape, divisible, field_sharding, make_mesh
-from ..parallel.halo import build_sharded_advance
+from ..parallel.halo import build_sharded_advance, build_sharded_multistep_advance
 
 _DTYPES = {"f32": jnp.float32, "f64": jnp.float64, "bf16": jnp.bfloat16}
 
@@ -89,8 +89,16 @@ def prepare(cfg: SimConfig, devices=None):
 
     if mesh is not None and divisible(mesh, cfg.nx, cfg.ny):
         u0 = jax.device_put(u0, field_sharding(mesh))
-        interior = make_interior_step(cfg, dt)
-        advance = build_sharded_advance(cfg, mesh, dt, interior)
+        advance = None
+        from ..ops.step import select_kernel
+
+        if select_kernel(cfg) in ("pallas", "pallas_multistep"):
+            # Multi-chip fast path: one k-wide halo exchange per k steps,
+            # Pallas multi-step kernel per shard.
+            advance = build_sharded_multistep_advance(cfg, mesh, dt)
+        if advance is None:
+            interior = make_interior_step(cfg, dt)
+            advance = build_sharded_advance(cfg, mesh, dt, interior)
     else:
         if mesh is not None:
             # Indivisible grid: let GSPMD partition the global program

@@ -1,0 +1,108 @@
+"""Sharded multi-step path: k-wide ppermute halo exchange + per-shard Pallas
+multi-step kernel (edge-flag-gated BC fixups), vs the single-device oracle.
+
+Runs on the virtual 8-device CPU mesh (conftest) with the kernel in
+interpret mode — the multi-chip analogue of the reference's 4-rank halo
+tests (reference: tests/simulation/unit/test_halo.cpp).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from climate_sim_tpu.config import BCConfig, BCType, SimConfig
+from climate_sim_tpu.ops.init import gaussian_hotspot
+from climate_sim_tpu.ops.step import reference_step
+from climate_sim_tpu.parallel.halo import (
+    build_sharded_multistep_advance,
+    exchange_halos_k,
+)
+from climate_sim_tpu.parallel.mesh import field_sharding, make_mesh
+
+D4 = (BCType.DIRICHLET,) * 4
+P4 = (BCType.PERIODIC,) * 4
+MIX = (BCType.DIRICHLET, BCType.NEUMANN, BCType.PERIODIC, BCType.PERIODIC)
+
+
+def make_cfg(nx, ny, bcs, out_every=8):
+    cfg = SimConfig(
+        nx=nx, ny=ny, D=0.05, vx=0.5, vy=-0.25, dt=0.1, steps=16, out_every=out_every
+    )
+    cfg.bc = BCConfig(*bcs)
+    return cfg
+
+
+def oracle(u, cfg, steps):
+    for _ in range(steps):
+        u = reference_step(u, cfg, cfg.dt)
+    return u
+
+
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 2), (1, 8)])
+@pytest.mark.parametrize("bcs", [D4, P4, MIX])
+def test_sharded_multistep_matches_oracle(mesh_shape, bcs):
+    px, py = mesh_shape
+    cfg = make_cfg(64 * px, 64 * py, bcs)
+    mesh = make_mesh(px, py, jax.devices()[: px * py])
+    u = gaussian_hotspot(cfg, jnp.float32)
+    ref = oracle(u, cfg, 16)
+    us = jax.device_put(u, field_sharding(mesh))
+    adv = build_sharded_multistep_advance(cfg, mesh, cfg.dt, interpret=True)
+    assert adv is not None
+    out = adv(16)(us)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
+
+
+def test_sharded_multistep_chunk_remainder():
+    cfg = make_cfg(256, 128, MIX)
+    mesh = make_mesh(4, 2)
+    u = gaussian_hotspot(cfg, jnp.float32)
+    ref = oracle(u, cfg, 11)
+    us = jax.device_put(u, field_sharding(mesh))
+    adv = build_sharded_multistep_advance(cfg, mesh, cfg.dt, interpret=True)
+    out = adv(11)(us)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
+
+
+def test_sharded_multistep_rejects_indivisible():
+    cfg = make_cfg(250, 130, D4)
+    mesh = make_mesh(4, 2)
+    assert build_sharded_multistep_advance(cfg, mesh, cfg.dt, interpret=True) is None
+
+
+def test_exchange_halos_k_faces():
+    """Each shard fills its tile with its linear rank; after a k-wide
+    exchange, halo slabs hold the cyclic neighbor's rank (test_halo.cpp:8-63
+    analogue, width k)."""
+    px, py, k, m = 4, 2, 3, 8
+    mesh = make_mesh(px, py)
+
+    def body(u):
+        xi = jax.lax.axis_index("x")
+        yi = jax.lax.axis_index("y")
+        rank = (yi * px + xi).astype(jnp.float32)
+        tile = jnp.full((m, m), rank)
+        return exchange_halos_k(tile, px, py, k)
+
+    from jax.sharding import PartitionSpec
+
+    out = jax.jit(
+        jax.shard_map(
+            lambda u: body(u),
+            mesh=mesh,
+            in_specs=PartitionSpec("y", "x"),
+            out_specs=PartitionSpec("y", "x"),
+            check_vma=False,
+        )
+    )(jnp.zeros((py * (m + 2 * k), px * (m + 2 * k)), jnp.float32))
+
+    host = np.asarray(out)
+    # shard (yi=0, xi=1) occupies rows 0:m+2k, cols (m+2k):2(m+2k).
+    t = host[0 : m + 2 * k, (m + 2 * k) : 2 * (m + 2 * k)]
+    rank = 1.0
+    assert np.all(t[k : m + k, k : m + k] == rank)          # interior: own rank
+    assert np.all(t[k : m + k, :k] == 0.0)                  # left neighbor
+    assert np.all(t[k : m + k, m + k :] == 2.0)             # right neighbor
+    assert np.all(t[:k, k : m + k] == rank + px)            # bottom wraps to y=1
+    assert np.all(t[m + k :, k : m + k] == rank + px)       # top neighbor (y=1)
