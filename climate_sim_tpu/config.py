@@ -154,6 +154,11 @@ class SimConfig:
     strict_reference_compat: bool = False
     diagnostics_every: int = 0  # 0 = off; else print min/max/mean/L2 cadence
     debug_nans: bool = False
+    profile_dir: str = ""  # non-empty: capture a jax.profiler trace there
+    # Multi-host: jax.distributed.initialize() before backend init.  "auto"
+    # passes no arguments (TPU pods self-discover); otherwise
+    # "coordinator:port,num_processes,process_id".
+    distributed: str = ""
 
     def validate(self) -> None:
         """Raise on invalid values (reference: io.cpp:58-69)."""
@@ -294,6 +299,10 @@ def load_yaml_dict(root: Dict[str, Any]) -> SimConfig:
         cfg.diagnostics_every = int(root["diagnostics_every"])
     if "debug_nans" in root:
         cfg.debug_nans = bool(root["debug_nans"])
+    if "profile_dir" in root:
+        cfg.profile_dir = str(root["profile_dir"])
+    if "distributed" in root:
+        cfg.distributed = str(root["distributed"])
 
     cfg.validate()
     return cfg
@@ -325,6 +334,8 @@ _STR_KEYS = (
     "ic.var",
     "precision",
     "kernel",
+    "profile_dir",
+    "distributed",
 )
 _BC_KEYS = ("bc.left", "bc.right", "bc.bottom", "bc.top", "bc")
 _BOOL_KEYS = (
@@ -378,7 +389,8 @@ def apply_overrides(cfg: SimConfig, overrides: Dict[str, Any]) -> None:
     simple = {
         "nx", "ny", "dx", "dy", "D", "vx", "vy", "dt", "steps", "out_every",
         "output_prefix", "precision", "kernel", "strict_reference_compat",
-        "write_final", "debug_nans", "diagnostics_every",
+        "write_final", "debug_nans", "diagnostics_every", "profile_dir",
+        "distributed",
     }
     for key, val in overrides.items():
         if key in simple:

@@ -36,6 +36,50 @@ from ..parallel.halo import build_sharded_advance, build_sharded_multistep_advan
 
 _DTYPES = {"f32": jnp.float32, "f64": jnp.float64, "bf16": jnp.bfloat16}
 
+_distributed_initialized = False
+
+
+def maybe_init_distributed(cfg: SimConfig) -> None:
+    """Multi-host setup (the MPI_Init analogue, main.cpp:24): must run
+    before any backend touch.  ``distributed="auto"`` lets TPU pods
+    self-discover; else "coordinator:port,num_processes,process_id"."""
+    global _distributed_initialized
+    if not cfg.distributed or _distributed_initialized:
+        return
+    if cfg.distributed == "auto":
+        jax.distributed.initialize()
+    else:
+        parts = cfg.distributed.split(",")
+        if len(parts) != 3:
+            raise ValueError(
+                "distributed must be 'auto' or 'coordinator:port,num_processes,process_id'"
+            )
+        jax.distributed.initialize(
+            coordinator_address=parts[0],
+            num_processes=int(parts[1]),
+            process_id=int(parts[2]),
+        )
+    _distributed_initialized = True
+
+
+def is_controller() -> bool:
+    """True on the logging/IO process (rank 0 of the multi-controller run)."""
+    return jax.process_index() == 0
+
+
+def fetch_global(u: jax.Array) -> np.ndarray:
+    """Materialize the full global field on this host.
+
+    Multi-host: every host holds only its addressable shards, so gather via
+    process_allgather (the PnetCDF-collective-write analogue: all hosts
+    participate, host 0 writes).  Single host: a plain device_get.
+    """
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(u, tiled=True))
+    return np.asarray(jax.device_get(u))
+
 
 @dataclasses.dataclass
 class RunResult:
@@ -51,6 +95,8 @@ class RunResult:
 
 
 def _log(msg: str) -> None:
+    if jax.process_count() > 1 and not is_controller():
+        return
     print(msg, flush=True)
 
 
@@ -67,6 +113,7 @@ def prepare(cfg: SimConfig, devices=None):
     Returns (u0, advance, mesh, dt).  ``advance(k)`` is a jitted function
     advancing the global field k steps.
     """
+    maybe_init_distributed(cfg)
     setup_precision(cfg)
     dtype = _DTYPES[cfg.precision]
 
@@ -125,7 +172,7 @@ def run_simulation(cfg: SimConfig, devices=None, write_output: bool = True) -> R
     if mesh is not None:
         _log(f"  mesh: x={mesh.shape['x']} y={mesh.shape['y']} ({len(mesh.devices.ravel())} devices)")
 
-    ic_host = np.asarray(jax.device_get(u), dtype=np.float64)
+    ic_host = fetch_global(u).astype(np.float64)
     _log(f"IC min/max: {ic_host.min():g} / {ic_host.max():g}")
 
     writer = None
@@ -133,7 +180,8 @@ def run_simulation(cfg: SimConfig, devices=None, write_output: bool = True) -> R
     if write_output and cfg.output_enable:
         out_path = cfg.resolved_output_path()
         _log("Opening NetCDF file for output")
-        writer = SnapshotWriter(out_path, cfg)
+        if is_controller():
+            writer = SnapshotWriter(out_path, cfg)
 
     # Warm-up: AOT-compile every distinct chunk program outside the timed
     # region (the reference pays no JIT cost; and through a remote-compile
@@ -156,21 +204,30 @@ def run_simulation(cfg: SimConfig, devices=None, write_output: bool = True) -> R
     def advance_compiled(k):
         return compiled.get(k) or advance(k)
 
+    profiling = bool(cfg.profile_dir)
+    if profiling:
+        _log(f"profiler trace -> {cfg.profile_dir}")
+        jax.profiler.start_trace(cfg.profile_dir)
+
+    multi_host = jax.process_count() > 1
     snapshots = 0
     n = 0
     t0 = time.perf_counter()
     while n < cfg.steps:
-        if n % cfg.out_every == 0 and writer is not None:
+        if n % cfg.out_every == 0 and (writer is not None or
+                                        (multi_host and out_path is not None)):
             u_snap = u
             k = min(cfg.out_every - (n % cfg.out_every), cfg.steps - n)
             u = advance_compiled(k)(u)  # dispatch next chunk before the host transfer
-            writer.write(np.asarray(jax.device_get(u_snap)))
+            frame = fetch_global(u_snap)  # collective on multi-host
+            if writer is not None:
+                writer.write(frame)
             snapshots += 1
         else:
             k = min(cfg.out_every - (n % cfg.out_every), cfg.steps - n)
             u = advance_compiled(k)(u)
         if cfg.diagnostics_every and (n // cfg.out_every) % max(1, cfg.diagnostics_every) == 0:
-            h = np.asarray(jax.device_get(u), dtype=np.float64)
+            h = fetch_global(u).astype(np.float64)
             _log(
                 f"diag: step={n + k} min={h.min():.6g} max={h.max():.6g}"
                 f" mean={h.mean():.6g} l2={np.sqrt((h * h).sum()):.6g}"
@@ -178,16 +235,25 @@ def run_simulation(cfg: SimConfig, devices=None, write_output: bool = True) -> R
         n += k
     u.block_until_ready()
     total = time.perf_counter() - t0
+    if profiling:
+        jax.profiler.stop_trace()
 
+    if cfg.write_final and (writer is not None or (multi_host and out_path is not None)):
+        frame = fetch_global(u)
+        if writer is not None:
+            writer.write(frame)
+        snapshots += 1
     if writer is not None:
-        if cfg.write_final:
-            writer.write(np.asarray(jax.device_get(u)))
-            snapshots += 1
         writer.close()
 
+    if multi_host:
+        # MPI_Reduce(MAX) analogue (main.cpp:127-128): max wall time over hosts.
+        from jax.experimental import multihost_utils
+
+        total = float(
+            np.max(multihost_utils.process_allgather(jnp.asarray([total])))
+        )
     avg_step = total / max(1, cfg.steps)
-    # Single-controller JAX: max-over-ranks == local (the MPI_Reduce(MAX)
-    # analogue is a no-op on one process; multi-host uses process 0's value).
     _log(f"timing: total_max={total:g} s, worst_avg_step={avg_step:g} s")
 
     return RunResult(
