@@ -62,8 +62,10 @@ from ..config import BCConfig, BCType, SimConfig
 
 # VMEM budget for choosing block heights: one (R, W) input window.  Total
 # VMEM use is ~4.5x this (double-buffered input + ping-pong buffer + pipelined
-# output blocks) plus per-sub-step vector temporaries, against ~16 MB/core.
-_VMEM_BUDGET_BYTES = 2 * 1024 * 1024
+# output blocks) plus per-sub-step vector temporaries; the pallas_call raises
+# vmem_limit_bytes accordingly.  Swept on v5e at 4096^2: 3 MB (BY=128) beats
+# 2 MB (BY=64, more halo redundancy) and 5 MB (BY=256, worse locality).
+_VMEM_BUDGET_BYTES = 3 * 1024 * 1024
 
 _XPAD = 128  # x pad width in fused-DMA mode (minor-dim DMA alignment unit)
 
@@ -391,6 +393,7 @@ def _build_multistep_call(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0

@@ -150,7 +150,10 @@ def prepare(cfg: SimConfig, devices=None):
         if mesh is not None:
             # Indivisible grid: let GSPMD partition the global program
             # (decision log #6); still sharded, just compiler-managed halos.
+            # Force the jnp path — a manual Pallas call cannot be
+            # auto-partitioned by GSPMD.
             u0 = jax.device_put(u0, field_sharding(mesh))
+            cfg = dataclasses.replace(cfg, kernel="jnp")
         else:
             u0 = jax.device_put(u0, devs[0])
         advance = build_single_device_advance(cfg, dt)
