@@ -176,9 +176,13 @@ def _build_kernel_body(
         # r holds global row (block*BY - khalo + r) mod ny; three contiguous
         # source segments: khalo rows above, BY main rows, khalo rows below.
         # All starts are multiples of 8 (BY, khalo, ny all are) — tell Mosaic.
-        up0 = pl.multiple_of((block * BY - khalo + ny) % ny, 8)
-        dn0 = pl.multiple_of((block * BY + BY) % ny, 8)
-        main0 = pl.multiple_of(block * BY, 8)
+        # Index math stays int32: under jax_enable_x64 a Python-int operand
+        # would emit an i64 convert, which Mosaic cannot lower.
+        base = block * jnp.int32(BY)
+        ny32 = jnp.int32(ny)
+        up0 = pl.multiple_of(jax.lax.rem(base - jnp.int32(khalo) + ny32, ny32), 8)
+        dn0 = pl.multiple_of(jax.lax.rem(base + jnp.int32(BY), ny32), 8)
+        main0 = pl.multiple_of(base, 8)
         segs = [(0, up0, khalo), (khalo, main0, BY), (khalo + BY, dn0, khalo)]
         copies = []
         i = 0
@@ -259,7 +263,7 @@ def _build_kernel_body(
             hbm_ref, out_ref, a_scratch, b_scratch, sems = refs
             flags_ref = None
         pid = pl.program_id(0)
-        slot = pid % 2
+        slot = jax.lax.rem(pid, jnp.int32(2))
 
         # Double-buffered input: block 0's loads start at program 0; each
         # program prefetches the next block's window before computing.
@@ -270,7 +274,7 @@ def _build_kernel_body(
 
         @pl.when(pid + 1 < n_blocks)
         def _():
-            nxt = (pid + 1) % 2
+            nxt = jax.lax.rem(pid + jnp.int32(1), jnp.int32(2))
             for c in make_loads(hbm_ref, a_scratch, sems, pid + 1, nxt):
                 c.start()
 
@@ -344,6 +348,12 @@ def _build_multistep_call(
     """
     compute_dtype = jnp.dtype(dtype_name)
     if khalo < k:
+        return None
+    # Mosaic supports f32 vector arithmetic; f64 is unlowerable on TPU and
+    # bf16 would need 16-sublane tiles.  Non-f32 dtypes take the jnp/XLA
+    # fallback when compiling for hardware (interpret mode keeps them for
+    # CPU parity tests).
+    if not interpret and compute_dtype != jnp.float32:
         return None
     if fused_dma:
         xoff = _XPAD
