@@ -352,8 +352,14 @@ def _build_multistep_call(
     # Mosaic supports f32 vector arithmetic; f64 is unlowerable on TPU and
     # bf16 would need 16-sublane tiles.  Non-f32 dtypes take the jnp/XLA
     # fallback when compiling for hardware (interpret mode keeps them for
-    # CPU parity tests).
-    if not interpret and compute_dtype != jnp.float32:
+    # CPU parity tests).  jax_enable_x64 also disqualifies hardware
+    # lowering: index normalization then emits i64 ref indices, which
+    # Mosaic rejects (processes enable x64 only for f64 parity runs, which
+    # use the jnp path anyway; the flag is read at build time — builds are
+    # cached, so don't toggle x64 mid-process).
+    if not interpret and (
+        compute_dtype != jnp.float32 or jax.config.read("jax_enable_x64")
+    ):
         return None
     if fused_dma:
         xoff = _XPAD
