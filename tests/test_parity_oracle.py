@@ -85,3 +85,18 @@ def test_true_periodic_differs_from_compat():
     assert not np.allclose(wrap, compat)
     # wrap conserves mass exactly for pure advection on a torus
     assert wrap.sum() == pytest.approx(u0.sum(), rel=1e-12)
+
+
+def test_long_horizon_parity_1000_steps():
+    """1000-step f64 parity vs the NumPy oracle (the BASELINE.md correctness
+    gate, scaled to a CPU-testable grid; the C++ reference binary is not
+    buildable in this image — the oracle stands in, SURVEY.md §4.4)."""
+    cfg = make_cfg(128, 96, 0.05, 0.5, -0.25, 0.1, "dnpp")
+    u0 = gaussian_ic(128, 96)
+    adv = build_single_device_advance(cfg, cfg.dt)
+    ours = np.asarray(jax.device_get(adv(1000)(jnp.asarray(u0, dtype=jnp.float64))))
+    ref = run_oracle(
+        u0, 1000, 0.05, 0.5, -0.25, 0.1,
+        bc=("dirichlet", "neumann", "periodic", "periodic"),
+    )
+    np.testing.assert_allclose(ours, ref, rtol=1e-10, atol=1e-12)
