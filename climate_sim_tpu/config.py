@@ -183,11 +183,6 @@ class SimConfig:
         return f"{self.output_dir}/snapshots.nc"
 
 
-def _get(d: Dict[str, Any], key: str, default: Any = None) -> Any:
-    v = d.get(key, default)
-    return v
-
-
 def _load_bc_node(cfg: SimConfig, node: Any) -> None:
     if isinstance(node, str):
         b = bc_from_string(node)
@@ -243,7 +238,13 @@ def load_yaml_file(path: str) -> SimConfig:
 def load_yaml_dict(root: Dict[str, Any]) -> SimConfig:
     cfg = SimConfig()
 
-    grid = root.get("grid", root)
+    def node(name):
+        # A present-but-empty block (e.g. "grid:" with all entries commented
+        # out) parses to None; treat it as absent like yaml-cpp's null nodes.
+        v = root.get(name)
+        return v if isinstance(v, dict) else root
+
+    grid = node("grid")
     for k in ("nx", "ny"):
         if k in grid:
             cfg.__setattr__(k, int(grid[k]))
@@ -251,12 +252,12 @@ def load_yaml_dict(root: Dict[str, Any]) -> SimConfig:
         if k in grid:
             cfg.__setattr__(k, float(grid[k]))
 
-    phys = root.get("physics", root)
+    phys = node("physics")
     for k in ("D", "vx", "vy"):
         if k in phys:
             cfg.__setattr__(k, float(phys[k]))
 
-    time = root.get("time", root)
+    time = node("time")
     if "dt" in time:
         cfg.dt = float(time["dt"])
     if "steps" in time:
@@ -304,7 +305,8 @@ def load_yaml_dict(root: Dict[str, Any]) -> SimConfig:
     if "distributed" in root:
         cfg.distributed = str(root["distributed"])
 
-    cfg.validate()
+    # No validate() here: merged_config validates after CLI overrides, so a
+    # CLI flag can override an invalid YAML value (io.cpp:363-376 precedence).
     return cfg
 
 

@@ -547,17 +547,24 @@ def sharded_tile_multistep(
 
 
 def sharded_layout_available(
-    cfg: SimConfig, dt: float, k: int, mx: int, my: int, interpret: bool = False
+    cfg: SimConfig,
+    dt: float,
+    k: int,
+    mx: int,
+    my: int,
+    interpret: bool = False,
+    dtype_name: str = "float32",
 ) -> bool:
     """Static probe: can :func:`sharded_tile_multistep` run on (my, mx)
-    tiles with pass size k?  (Shapes are static, so this decides up front.)"""
+    tiles of ``dtype_name`` with pass size k?  (Shapes and dtype are static,
+    so this decides up front.)"""
     compat = cfg.strict_reference_compat
     call = _build_multistep_call(
         my, mx, k, k, float(dt), float(cfg.D), float(cfg.vx), float(cfg.vy),
         float(cfg.dx), float(cfg.dy), 0.0,
         _fixup_side(cfg.bc.left, compat), _fixup_side(cfg.bc.right, compat),
         _fixup_side(cfg.bc.bottom, compat), _fixup_side(cfg.bc.top, compat),
-        False, False, False, True, "float32", interpret,
+        False, False, False, True, dtype_name, interpret,
     )
     return call is not None
 

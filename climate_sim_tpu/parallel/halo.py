@@ -33,6 +33,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 from ..config import BCType, SimConfig
+from ..ops.boundary import _ghost_line
 
 
 def _cyclic_perm(n: int, shift: int):
@@ -68,14 +69,9 @@ def exchange_and_pad(
     ghost_right = lax.ppermute(left_face, "x", _cyclic_perm(px, -1))
 
     def bc_face(side: BCType, mirror, wrapped):
-        if side == BCType.DIRICHLET:
-            return jnp.full_like(mirror, value)
-        if side == BCType.NEUMANN:
-            return mirror
-        if compat:
-            # Reference periodic = stale zeros (boundary.cpp has no branch).
-            return jnp.zeros_like(mirror)
-        return wrapped
+        # Single source of truth for the BC->ghost mapping (incl. the
+        # compat stale-zero periodic emulation): ops/boundary._ghost_line.
+        return _ghost_line(side, mirror, wrapped, value, compat)
 
     ghost_left = jnp.where(xi == 0, bc_face(bc.left, left_face, ghost_left), ghost_left)
     ghost_right = jnp.where(
@@ -130,6 +126,7 @@ def build_sharded_multistep_advance(
     mesh: Mesh,
     dt: float,
     interpret: bool = False,
+    dtype_name: str = "float32",
 ):
     """Multi-chip fast path: ``advance(chunk)`` advancing the sharded field
     ``chunk`` steps with ONE k-wide halo exchange per k steps, each shard
@@ -161,7 +158,7 @@ def build_sharded_multistep_advance(
     # Static layout probe for every pass size that can occur (k and the
     # chunk remainders) — all shapes are static, so this decides up front.
     if not all(
-        sharded_layout_available(cfg, dt, kk, mx, my, interpret)
+        sharded_layout_available(cfg, dt, kk, mx, my, interpret, dtype_name)
         for kk in range(1, k + 1)
     ):
         return None

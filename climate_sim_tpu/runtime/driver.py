@@ -101,8 +101,10 @@ def _log(msg: str) -> None:
 
 
 def setup_precision(cfg: SimConfig) -> None:
-    if cfg.precision == "f64":
-        jax.config.update("jax_enable_x64", True)
+    # Two-way toggle: a prior f64 run in this process must not leave x64 on
+    # (f32 Pallas hardware builds are disqualified under x64 and the build
+    # cache does not key on the flag).
+    jax.config.update("jax_enable_x64", cfg.precision == "f64")
     if cfg.debug_nans:
         jax.config.update("jax_debug_nans", True)
 
@@ -142,7 +144,9 @@ def prepare(cfg: SimConfig, devices=None):
         if select_kernel(cfg) in ("pallas", "pallas_multistep"):
             # Multi-chip fast path: one k-wide halo exchange per k steps,
             # Pallas multi-step kernel per shard.
-            advance = build_sharded_multistep_advance(cfg, mesh, dt)
+            advance = build_sharded_multistep_advance(
+                cfg, mesh, dt, dtype_name=jnp.dtype(dtype).name
+            )
         if advance is None:
             interior = make_interior_step(cfg, dt)
             advance = build_sharded_advance(cfg, mesh, dt, interior)
@@ -164,6 +168,10 @@ def prepare(cfg: SimConfig, devices=None):
 def run_simulation(cfg: SimConfig, devices=None, write_output: bool = True) -> RunResult:
     """Execute a full run (the reference main loop, main.cpp:93-133)."""
     u, advance, mesh, dt, clamped = prepare(cfg, devices)
+    # Record the dt actually used: the reference clamps cfg.dt in place
+    # before writing metadata (main.cpp:42-49), so the snapshot attrs must
+    # carry the clamped value.
+    cfg = dataclasses.replace(cfg, dt=dt)
 
     _log(
         "climate-sim-tpu\n"

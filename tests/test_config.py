@@ -151,3 +151,23 @@ def test_reference_dev_yaml_parses():
     assert cfg.bc.bottom == BCType.PERIODIC and cfg.bc.right == BCType.NEUMANN
     assert cfg.ic.path == "inputs/ic_global.nc"
     assert cfg.ic.A == 1.0 and cfg.ic.sigma_frac == 0.05
+
+
+def test_empty_yaml_blocks_tolerated(tmp_path):
+    """Present-but-empty blocks (null nodes) act like absent blocks, as in
+    yaml-cpp (code-review regression)."""
+    p = tmp_path / "empty.yaml"
+    p.write_text("grid:\nphysics:\ntime:\nbc: dirichlet\n")
+    cfg = load_yaml_file(str(p))
+    assert (cfg.nx, cfg.ny, cfg.D) == (256, 256, 0.0)  # defaults survive
+
+
+def test_cli_can_override_invalid_yaml_value(tmp_path):
+    """Validation runs only after the merge (io.cpp:363-376 precedence), so
+    the CLI can rescue an invalid YAML value (code-review regression)."""
+    p = tmp_path / "bad.yaml"
+    p.write_text("time: { steps: 0 }\n")
+    cfg = merged_config(str(p), ["--steps=10"])
+    assert cfg.steps == 10
+    with pytest.raises(ValueError):
+        merged_config(str(p), [])  # still invalid without the override

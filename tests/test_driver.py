@@ -182,3 +182,13 @@ def test_cli_config_file(tmp_path):
     with NetCDFFile(os.path.join(out, "snapshots.nc")) as ds:
         assert ds.dimensions["y"] == 12  # CLI override beat the YAML
         assert ds.dimensions["x"] == 20
+
+
+def test_clamped_dt_recorded_in_metadata(tmp_path):
+    """Snapshot attrs carry the dt actually used after the CFL clamp, like
+    the reference's in-place clamp before write_metadata (main.cpp:42-49)
+    (code-review regression)."""
+    res, nc = run(tmp_path, ["--D=1.0", "--dt=99.0", "--steps=2", "--out_every=1"])
+    assert res.clamped and res.dt < 99.0
+    ds = NetCDFFile(nc)
+    assert ds.getncattr("dt") == f"{res.dt:.6f}"
