@@ -112,6 +112,7 @@ def _build_kernel_body(
     k: int,
     khalo: int,
     R: int,
+    Rbuf: int,
     W: int,
     BY: int,
     nx: int,
@@ -167,9 +168,11 @@ def _build_kernel_body(
         """Async copies filling window ``block`` into scratch slot ``slot``."""
         dst = a_scratch.at[slot]
         if not fused_dma:
+            # Rbuf = R rounded up to the 8-row sublane tile (DMA slice
+            # alignment); the extra rows are input padding, never computed.
             return [
                 pltpu.make_async_copy(
-                    hbm_ref.at[pl.ds(block * BY, R), :], dst, sems.at[slot, 0]
+                    hbm_ref.at[pl.ds(block * BY, Rbuf), :], dst, sems.at[slot, 0]
                 )
             ]
         # Wrap-aware segmented loads from the raw (ny, nx) field.  Buffer row
@@ -232,12 +235,12 @@ def _build_kernel_body(
         [left, right, bottom, top] — interior shards keep neighbor halos."""
         # x sides: full width is present in every block -> unconditional.
         if fix_left is not None:
-            col = _bc_line(fix_left, R, src[:, xoff])
+            col = _bc_line(fix_left, Rbuf, src[:, xoff])
             if flags is not None:
                 col = jnp.where(flags[0] != 0, col, src[:, xoff - 1])
             src[:, xoff - 1] = col
         if fix_right is not None:
-            col = _bc_line(fix_right, R, src[:, xoff + nx - 1])
+            col = _bc_line(fix_right, Rbuf, src[:, xoff + nx - 1])
             if flags is not None:
                 col = jnp.where(flags[1] != 0, col, src[:, xoff + nx])
             src[:, xoff + nx] = col
@@ -374,10 +377,11 @@ def _build_multistep_call(
     if fused_dma and (BY % 8 or khalo % 8 or nx % 128 or ny % 8):
         return None
     R = BY + 2 * khalo
+    Rbuf = R if fused_dma else -(-R // 8) * 8
     n_blocks = ny // BY
 
     kernel, n_dma = _build_kernel_body(
-        k=k, khalo=khalo, R=R, W=W, BY=BY, nx=nx, ny=ny, xoff=xoff,
+        k=k, khalo=khalo, R=R, Rbuf=Rbuf, W=W, BY=BY, nx=nx, ny=ny, xoff=xoff,
         n_blocks=n_blocks,
         fused_dma=fused_dma, wrap_x=wrap_x,
         dt=dt, D=D, vx=vx, vy=vy, dx=dx, dy=dy, bc_value=bc_value,
@@ -386,7 +390,7 @@ def _build_multistep_call(
         prepadded=prepadded, sharded=sharded, compute_dtype=compute_dtype,
     )
 
-    in_rows = ny if fused_dma else ny + 2 * khalo
+    in_rows = ny if fused_dma else ny + 2 * khalo + (Rbuf - R)
     bytes_accessed = (in_rows + 2 * khalo * n_blocks) * W * compute_dtype.itemsize
     bytes_accessed += ny * nx * compute_dtype.itemsize
     flops = 9 * ny * nx * k  # 5-pt weighted stencil per sub-step
@@ -394,7 +398,7 @@ def _build_multistep_call(
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     if sharded:
         in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
-    return pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=in_specs,
@@ -403,8 +407,8 @@ def _build_multistep_call(
         ),
         out_shape=jax.ShapeDtypeStruct((ny, nx), compute_dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, R, W), compute_dtype),
-            pltpu.VMEM((R, W), compute_dtype),
+            pltpu.VMEM((2, Rbuf, W), compute_dtype),
+            pltpu.VMEM((Rbuf, W), compute_dtype),
             pltpu.SemaphoreType.DMA((2, n_dma)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -416,6 +420,21 @@ def _build_multistep_call(
         ),
         interpret=interpret,
     )
+    if fused_dma:
+        return call
+
+    def padded_call(*args):
+        # Pad the assembled/pre-padded input to the exact shape the kernel
+        # DMAs: need_cols for the 128-lane slices, need_rows for the 8-row
+        # window alignment.  Pad values are never computed or read.
+        x = args[-1]
+        pr = in_rows - x.shape[0]
+        pc = W - x.shape[1]
+        if pr or pc:
+            x = jnp.pad(x, ((0, pr), (0, pc)))
+        return call(*args[:-1], x)
+
+    return padded_call
 
 
 def assemble_padded(u: jnp.ndarray, bc: BCConfig, k: int, compat: bool) -> jnp.ndarray:
@@ -505,9 +524,6 @@ def prepadded_kernel_step(
     )
     if call is None:
         return None
-    W = -(-(mx + 2) // 128) * 128
-    if W > mx + 2:
-        up = jnp.pad(up, ((0, 0), (0, W - mx - 2)))
     return call(up)
 
 
@@ -540,9 +556,6 @@ def sharded_tile_multistep(
     )
     if call is None:
         return None
-    W = -(-(mx + 2 * k) // 128) * 128
-    if W > padded.shape[1]:
-        padded = jnp.pad(padded, ((0, 0), (0, W - padded.shape[1])))
     return call(edge_flags.astype(jnp.int32), padded)
 
 
