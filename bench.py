@@ -79,7 +79,12 @@ def main() -> int:
 
     steps = REPS * CHUNK
     pts_per_s = NX * NY * steps / (t1 - t0)
-    bw = _HBM_BW.get(dev.device_kind, 819e9)
+    bw = _HBM_BW.get(dev.device_kind)
+    if bw is None:
+        bw = 819e9
+        print(f"[bench] WARNING: unknown device kind {dev.device_kind!r}; "
+              f"vs_baseline uses the TPU v5e roofline ({bw/1e9:.0f} GB/s) "
+              "and may be wrong", file=sys.stderr)
     roofline = bw / 8.0  # 8 bytes/point/step (f32 read+write)
     result = {
         "metric": "grid_points_per_s_per_chip_4096sq_diffadv",

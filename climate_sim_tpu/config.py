@@ -155,6 +155,7 @@ class SimConfig:
     diagnostics_every: int = 0  # 0 = off; else print min/max/mean/L2 cadence
     debug_nans: bool = False
     profile_dir: str = ""  # non-empty: capture a jax.profiler trace there
+    max_devices: int = 0  # 0 = all visible devices; else use the first N
     # Multi-host: jax.distributed.initialize() before backend init.  "auto"
     # passes no arguments (TPU pods self-discover); otherwise
     # "coordinator:port,num_processes,process_id".
@@ -302,6 +303,8 @@ def load_yaml_dict(root: Dict[str, Any]) -> SimConfig:
         cfg.debug_nans = bool(root["debug_nans"])
     if "profile_dir" in root:
         cfg.profile_dir = str(root["profile_dir"])
+    if "max_devices" in root:
+        cfg.max_devices = int(root["max_devices"])
     if "distributed" in root:
         cfg.distributed = str(root["distributed"])
 
@@ -312,7 +315,10 @@ def load_yaml_dict(root: Dict[str, Any]) -> SimConfig:
 
 # Keys the CLI override parser understands, with their coercion functions.
 # Mirrors the reference's key set (io.cpp:219-307) plus TPU extensions.
-_INT_KEYS = ("nx", "ny", "steps", "out_every", "mesh.x", "mesh.y", "diagnostics_every")
+_INT_KEYS = (
+    "nx", "ny", "steps", "out_every", "mesh.x", "mesh.y", "diagnostics_every",
+    "max_devices",
+)
 _FLOAT_KEYS = (
     "dx",
     "dy",
@@ -392,7 +398,7 @@ def apply_overrides(cfg: SimConfig, overrides: Dict[str, Any]) -> None:
         "nx", "ny", "dx", "dy", "D", "vx", "vy", "dt", "steps", "out_every",
         "output_prefix", "precision", "kernel", "strict_reference_compat",
         "write_final", "debug_nans", "diagnostics_every", "profile_dir",
-        "distributed",
+        "distributed", "max_devices",
     }
     for key, val in overrides.items():
         if key in simple:

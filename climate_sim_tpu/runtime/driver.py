@@ -129,6 +129,8 @@ def prepare(cfg: SimConfig, devices=None):
         )
 
     devs = list(devices) if devices is not None else jax.devices()
+    if cfg.max_devices:
+        devs = devs[: cfg.max_devices]
     mesh = None
     if cfg.mesh.enable and len(devs) > 1:
         px, py = choose_mesh_shape(len(devs), cfg.nx, cfg.ny, cfg.mesh.x, cfg.mesh.y)

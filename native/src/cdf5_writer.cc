@@ -20,6 +20,8 @@
 //   ncw_queue_depth(handle)              -> frames currently queued, <0 error
 //   ncw_last_error()                     -> const char* message
 
+#define _FILE_OFFSET_BITS 64  // 64-bit fseeko/off_t on 32-bit platforms
+
 #include <condition_variable>
 #include <cstdint>
 #include <cstdio>
@@ -161,6 +163,7 @@ class Writer {
     std::unique_lock<std::mutex> lk(mu_);
     // Bounded queue: cap buffered frames so a slow disk cannot exhaust RAM.
     not_full_.wait(lk, [this] { return queue_.size() < kMaxQueue || stop_; });
+    if (stop_) throw std::runtime_error("append on closed writer");
     if (error_.size()) throw std::runtime_error(error_);
     queue_.push_back(std::move(fr));
     not_empty_.notify_one();
@@ -233,7 +236,9 @@ class Writer {
     for (int64_t i = 0; i < n; ++i) swapped[size_t(i)] = __builtin_bswap64(src[i]);
 
     const int64_t recsize = n * 8;
-    if (std::fseek(f_, long(begin_ + fr.irec * recsize), SEEK_SET) != 0)
+    // fseeko + off_t: record offsets exceed 2 GiB within ~16 frames at
+    // 4096^2 f64, overflowing a 32-bit long.
+    if (fseeko(f_, off_t(begin_ + fr.irec * recsize), SEEK_SET) != 0)
       throw std::runtime_error("seek failed");
     if (std::fwrite(swapped.data(), 1, size_t(recsize), f_) != size_t(recsize))
       throw std::runtime_error("short record write");
@@ -243,9 +248,9 @@ class Writer {
       char b[8];
       uint64_t v = uint64_t(numrecs_);
       for (int i = 0; i < 8; ++i) b[i] = char(v >> (56 - 8 * i));
-      if (std::fseek(f_, 4, SEEK_SET) != 0) throw std::runtime_error("seek failed");
+      if (fseeko(f_, 4, SEEK_SET) != 0) throw std::runtime_error("seek failed");
       if (std::fwrite(b, 1, 8, f_) != 8) throw std::runtime_error("numrecs patch failed");
-      if (std::fseek(f_, 0, SEEK_END) != 0) throw std::runtime_error("seek failed");
+      if (fseeko(f_, 0, SEEK_END) != 0) throw std::runtime_error("seek failed");
     }
   }
 
@@ -264,7 +269,9 @@ class Writer {
 };
 
 std::mutex g_table_mu;
-std::map<int64_t, std::unique_ptr<Writer>> g_writers;
+// shared_ptr: a handle looked up by one thread stays alive even if another
+// thread closes it concurrently (close drains; late appends then throw).
+std::map<int64_t, std::shared_ptr<Writer>> g_writers;
 int64_t g_next_handle = 1;
 
 }  // namespace
@@ -276,7 +283,7 @@ int64_t ncw_create(const char* path, int64_t ny, int64_t nx, int64_t nattrs,
   try {
     std::vector<std::pair<std::string, std::string>> attrs;
     for (int64_t i = 0; i < nattrs; ++i) attrs.emplace_back(names[i], values[i]);
-    auto w = std::make_unique<Writer>(path, ny, nx, std::move(attrs));
+    auto w = std::make_shared<Writer>(path, ny, nx, std::move(attrs));
     std::lock_guard<std::mutex> lk(g_table_mu);
     int64_t h = g_next_handle++;
     g_writers[h] = std::move(w);
@@ -287,14 +294,14 @@ int64_t ncw_create(const char* path, int64_t ny, int64_t nx, int64_t nattrs,
   }
 }
 
-static Writer* lookup(int64_t h) {
+static std::shared_ptr<Writer> lookup(int64_t h) {
   std::lock_guard<std::mutex> lk(g_table_mu);
   auto it = g_writers.find(h);
-  return it == g_writers.end() ? nullptr : it->second.get();
+  return it == g_writers.end() ? nullptr : it->second;
 }
 
 int64_t ncw_append(int64_t handle, const double* frame, int64_t irec) {
-  Writer* w = lookup(handle);
+  auto w = lookup(handle);
   if (!w) {
     set_error("bad handle");
     return -1;
@@ -309,7 +316,7 @@ int64_t ncw_append(int64_t handle, const double* frame, int64_t irec) {
 }
 
 int64_t ncw_flush(int64_t handle) {
-  Writer* w = lookup(handle);
+  auto w = lookup(handle);
   if (!w) {
     set_error("bad handle");
     return -1;
@@ -324,7 +331,7 @@ int64_t ncw_flush(int64_t handle) {
 }
 
 int64_t ncw_queue_depth(int64_t handle) {
-  Writer* w = lookup(handle);
+  auto w = lookup(handle);
   if (!w) {
     set_error("bad handle");
     return -1;
@@ -333,7 +340,7 @@ int64_t ncw_queue_depth(int64_t handle) {
 }
 
 int64_t ncw_close(int64_t handle) {
-  std::unique_ptr<Writer> w;
+  std::shared_ptr<Writer> w;
   {
     std::lock_guard<std::mutex> lk(g_table_mu);
     auto it = g_writers.find(handle);

@@ -51,6 +51,10 @@ def run_one(p: int, nx: int, ny: int, steps: int, platform: str,
         env["XLA_FLAGS"] = (
             env.get("XLA_FLAGS", "") + f" --xla_force_host_platform_device_count={p}"
         )
+    else:
+        # Real chips: cap the device count per measurement, else every row
+        # would silently use all attached chips.
+        args.append(f"--max_devices={p}")
     out = subprocess.run(
         args, cwd=REPO_ROOT, env=env, capture_output=True, text=True, timeout=1800
     )
@@ -90,8 +94,9 @@ def main() -> int:
     ap.add_argument("--weak-ranks", type=int, nargs="+", default=[1, 4, 16])
     ap.add_argument("--out-dir", default=os.path.join(REPO_ROOT, "bench", "results"))
     ap.add_argument("--skip-weak", action="store_true")
-    ap.add_argument("extra", nargs="*", help="extra --key=value CLI overrides")
-    args = ap.parse_args()
+    args, extra = ap.parse_known_args()
+    # Unrecognized --key=value tokens pass through to the simulation CLI.
+    args.extra = extra
 
     if args.platform == "tpu":
         import jax  # noqa: deferred so cpu mode never inits a backend here
