@@ -156,6 +156,9 @@ class SimConfig:
     debug_nans: bool = False
     profile_dir: str = ""  # non-empty: capture a jax.profiler trace there
     max_devices: int = 0  # 0 = all visible devices; else use the first N
+    # Sharded passes: split interior/edge-band kernels so halo ppermutes
+    # overlap interior compute (latency hiding for small tiles).
+    halo_overlap: bool = False
     # Multi-host: jax.distributed.initialize() before backend init.  "auto"
     # passes no arguments (TPU pods self-discover); otherwise
     # "coordinator:port,num_processes,process_id".
@@ -305,6 +308,8 @@ def load_yaml_dict(root: Dict[str, Any]) -> SimConfig:
         cfg.profile_dir = str(root["profile_dir"])
     if "max_devices" in root:
         cfg.max_devices = int(root["max_devices"])
+    if "halo_overlap" in root:
+        cfg.halo_overlap = bool(root["halo_overlap"])
     if "distributed" in root:
         cfg.distributed = str(root["distributed"])
 
@@ -348,7 +353,7 @@ _STR_KEYS = (
 _BC_KEYS = ("bc.left", "bc.right", "bc.bottom", "bc.top", "bc")
 _BOOL_KEYS = (
     "strict_reference_compat", "write_final", "debug_nans", "mesh.enable",
-    "output.enable",
+    "output.enable", "halo_overlap",
 )
 
 
@@ -398,7 +403,7 @@ def apply_overrides(cfg: SimConfig, overrides: Dict[str, Any]) -> None:
         "nx", "ny", "dx", "dy", "D", "vx", "vy", "dt", "steps", "out_every",
         "output_prefix", "precision", "kernel", "strict_reference_compat",
         "write_final", "debug_nans", "diagnostics_every", "profile_dir",
-        "distributed", "max_devices",
+        "distributed", "max_devices", "halo_overlap",
     }
     for key, val in overrides.items():
         if key in simple:

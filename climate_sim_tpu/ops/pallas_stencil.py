@@ -559,6 +559,48 @@ def sharded_tile_multistep(
     return call(edge_flags.astype(jnp.int32), padded)
 
 
+def tile_region_multistep(
+    padded,
+    edge_flags,
+    cfg: SimConfig,
+    dt: float,
+    k: int,
+    ny_r: int,
+    nx_r: int,
+    flagged: bool,
+    interpret: bool = False,
+    probe: bool = False,
+):
+    """Advance one REGION of a shard's tile k steps (the overlapped-halo
+    pass building block, see parallel/halo.py::build_sharded_overlap_advance).
+
+    ``padded``: (ny_r + 2k, >= nx_r + 2k) input whose pads hold tile/halo
+    data.  ``flagged=True`` applies the config BC fixups gated on
+    ``edge_flags`` (4,) int32; ``flagged=False`` applies no fixups at all —
+    the pure shrinking-trapezoid interior case.  ``probe=True`` just reports
+    layout availability (returns the call or None; shapes are static).
+    """
+    compat = cfg.strict_reference_compat
+    if flagged:
+        fixes = (
+            _fixup_side(cfg.bc.left, compat), _fixup_side(cfg.bc.right, compat),
+            _fixup_side(cfg.bc.bottom, compat), _fixup_side(cfg.bc.top, compat),
+        )
+    else:
+        fixes = (None, None, None, None)
+    dtype_name = "float32" if probe else jnp.dtype(padded.dtype).name
+    call = _build_multistep_call(
+        ny_r, nx_r, k, k, float(dt), float(cfg.D), float(cfg.vx), float(cfg.vy),
+        float(cfg.dx), float(cfg.dy), 0.0, *fixes,
+        False, False, False, flagged, dtype_name, interpret,
+    )
+    if probe or call is None:
+        return call
+    if flagged:
+        return call(edge_flags.astype(jnp.int32), padded)
+    return call(padded)
+
+
 def sharded_layout_available(
     cfg: SimConfig,
     dt: float,

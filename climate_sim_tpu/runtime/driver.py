@@ -145,10 +145,18 @@ def prepare(cfg: SimConfig, devices=None):
 
         if select_kernel(cfg) in ("pallas", "pallas_multistep"):
             # Multi-chip fast path: one k-wide halo exchange per k steps,
-            # Pallas multi-step kernel per shard.
-            advance = build_sharded_multistep_advance(
-                cfg, mesh, dt, dtype_name=jnp.dtype(dtype).name
-            )
+            # Pallas multi-step kernel per shard.  halo_overlap=true splits
+            # interior/edge-band kernels so the ppermutes overlap compute.
+            if cfg.halo_overlap:
+                from ..parallel.halo import build_sharded_overlap_advance
+
+                advance = build_sharded_overlap_advance(
+                    cfg, mesh, dt, dtype_name=jnp.dtype(dtype).name
+                )
+            if advance is None:
+                advance = build_sharded_multistep_advance(
+                    cfg, mesh, dt, dtype_name=jnp.dtype(dtype).name
+                )
         if advance is None:
             interior = make_interior_step(cfg, dt)
             advance = build_sharded_advance(cfg, mesh, dt, interior)

@@ -106,3 +106,27 @@ def test_exchange_halos_k_faces():
     assert np.all(t[k : m + k, m + k :] == 2.0)             # right neighbor
     assert np.all(t[:k, k : m + k] == rank + px)            # bottom wraps to y=1
     assert np.all(t[m + k :, k : m + k] == rank + px)       # top neighbor (y=1)
+
+
+@pytest.mark.parametrize("bcs", [D4, P4, MIX])
+def test_overlap_path_matches_oracle(bcs):
+    """Interior/edge-band split pass (halo_overlap) == oracle."""
+    from climate_sim_tpu.parallel.halo import build_sharded_overlap_advance
+
+    cfg = make_cfg(256, 128, bcs)
+    mesh = make_mesh(4, 2)
+    u = gaussian_hotspot(cfg, jnp.float32)
+    ref = oracle(u, cfg, 16)
+    us = jax.device_put(u, field_sharding(mesh))
+    adv = build_sharded_overlap_advance(cfg, mesh, cfg.dt, interpret=True)
+    assert adv is not None
+    out = adv(16)(us)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
+
+
+def test_overlap_path_rejects_tiny_tiles():
+    from climate_sim_tpu.parallel.halo import build_sharded_overlap_advance
+
+    cfg = make_cfg(32, 4, D4)  # 8x2 tiles: interior empty even at k=1
+    mesh = make_mesh(4, 2)
+    assert build_sharded_overlap_advance(cfg, mesh, cfg.dt, interpret=True) is None
