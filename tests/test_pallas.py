@@ -114,3 +114,17 @@ def test_pick_steps_per_pass_bounds():
     assert pick_steps_per_pass(cfg, 5) == 5
     assert pick_steps_per_pass(make_cfg(128, 64, D4), 100) == 2  # ny//32 cap
     assert pick_steps_per_pass(make_cfg(32, 32, D4), 100) == 1
+
+
+@pytest.mark.parametrize("shape", [(512, 64), (64, 512), (128, 8), (256, 96)])
+def test_multistep_odd_aspect_ratios(shape):
+    """Tall-narrow and wide-short grids exercise block pickers and both
+    input modes."""
+    nx, ny = shape
+    cfg = make_cfg(nx, ny, MIX1)
+    u = gaussian_hotspot(cfg, jnp.float32)
+    k = min(4, ny // 4, nx // 4)
+    ref = oracle(u, cfg, k)
+    out = multistep_kernel_step(u, cfg, cfg.dt, k, interpret=True)
+    assert out is not None
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
