@@ -18,7 +18,7 @@ import ctypes
 import os
 import subprocess
 import threading
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

@@ -536,7 +536,7 @@ def sharded_tile_multistep(
     mx: int,
     interpret: bool = False,
 ) -> Optional[jnp.ndarray]:
-    """Advance one shard's tile k steps inside shard_map.
+    """Advance one shard's full tile k steps inside shard_map.
 
     ``padded``: (my+2k, mx+2k) tile with k-wide halos already exchanged
     (wrap/neighbor faces; garbage beyond physical edges is fine — in-kernel
@@ -546,17 +546,9 @@ def sharded_tile_multistep(
     Returns the updated (my, mx) interior, or None if no layout fits.
     """
     my = padded.shape[0] - 2 * k
-    compat = cfg.strict_reference_compat
-    call = _build_multistep_call(
-        my, mx, k, k, float(dt), float(cfg.D), float(cfg.vx), float(cfg.vy),
-        float(cfg.dx), float(cfg.dy), 0.0,
-        _fixup_side(cfg.bc.left, compat), _fixup_side(cfg.bc.right, compat),
-        _fixup_side(cfg.bc.bottom, compat), _fixup_side(cfg.bc.top, compat),
-        False, False, False, True, jnp.dtype(padded.dtype).name, interpret,
+    return tile_region_multistep(
+        padded, edge_flags, cfg, dt, k, my, mx, True, interpret
     )
-    if call is None:
-        return None
-    return call(edge_flags.astype(jnp.int32), padded)
 
 
 def tile_region_multistep(
@@ -570,6 +562,7 @@ def tile_region_multistep(
     flagged: bool,
     interpret: bool = False,
     probe: bool = False,
+    probe_dtype: str = "float32",
 ):
     """Advance one REGION of a shard's tile k steps (the overlapped-halo
     pass building block, see parallel/halo.py::build_sharded_overlap_advance).
@@ -588,7 +581,7 @@ def tile_region_multistep(
         )
     else:
         fixes = (None, None, None, None)
-    dtype_name = "float32" if probe else jnp.dtype(padded.dtype).name
+    dtype_name = probe_dtype if probe else jnp.dtype(padded.dtype).name
     call = _build_multistep_call(
         ny_r, nx_r, k, k, float(dt), float(cfg.D), float(cfg.vx), float(cfg.vy),
         float(cfg.dx), float(cfg.dy), 0.0, *fixes,
@@ -611,17 +604,11 @@ def sharded_layout_available(
     dtype_name: str = "float32",
 ) -> bool:
     """Static probe: can :func:`sharded_tile_multistep` run on (my, mx)
-    tiles of ``dtype_name`` with pass size k?  (Shapes and dtype are static,
-    so this decides up front.)"""
-    compat = cfg.strict_reference_compat
-    call = _build_multistep_call(
-        my, mx, k, k, float(dt), float(cfg.D), float(cfg.vx), float(cfg.vy),
-        float(cfg.dx), float(cfg.dy), 0.0,
-        _fixup_side(cfg.bc.left, compat), _fixup_side(cfg.bc.right, compat),
-        _fixup_side(cfg.bc.bottom, compat), _fixup_side(cfg.bc.top, compat),
-        False, False, False, True, dtype_name, interpret,
-    )
-    return call is not None
+    tiles of ``dtype_name`` with pass size k?"""
+    return tile_region_multistep(
+        None, None, cfg, dt, k, my, mx, True, interpret,
+        probe=True, probe_dtype=dtype_name,
+    ) is not None
 
 
 def make_pallas_interior_step(

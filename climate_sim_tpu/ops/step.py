@@ -21,6 +21,9 @@ from .boundary import pad_with_ghosts
 from .stencil import fused_step
 
 
+PALLAS_KERNELS = ("pallas", "pallas_multistep")
+
+
 def select_kernel(cfg: SimConfig) -> str:
     """Resolve kernel='auto' to a concrete implementation."""
     if cfg.kernel != "auto":
@@ -35,7 +38,7 @@ def select_kernel(cfg: SimConfig) -> str:
 def make_interior_step(cfg: SimConfig, dt: float) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Return fn: ghost-padded tile (my+2, mx+2) -> updated interior (my, mx)."""
     kernel = select_kernel(cfg)
-    if kernel in ("pallas", "pallas_multistep"):
+    if kernel in PALLAS_KERNELS:
         try:
             from .pallas_stencil import make_pallas_interior_step
 
@@ -57,7 +60,7 @@ def build_single_device_advance(cfg: SimConfig, dt: float):
     (k steps per HBM round trip — see ops/pallas_stencil.py); otherwise each
     step is pad_with_ghosts + fused jnp stencil inside a fori_loop.
     """
-    if select_kernel(cfg) in ("pallas", "pallas_multistep"):
+    if select_kernel(cfg) in PALLAS_KERNELS:
         try:
             from .pallas_stencil import build_multistep_advance
 

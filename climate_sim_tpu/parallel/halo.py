@@ -24,13 +24,14 @@ Design:
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Callable
 
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec
+from jax.sharding import Mesh, PartitionSpec
 
 from ..config import BCType, SimConfig
 from ..ops.boundary import _ghost_line
@@ -93,6 +94,20 @@ def exchange_and_pad(
     return jnp.concatenate([ghost_bottom, mid, ghost_top], axis=0)
 
 
+def _exchange_parts(u: jnp.ndarray, px: int, py: int, k: int):
+    """The four cyclic-ppermute face exchanges, x slabs first then
+    full-width y slabs (so corner ghosts carry diagonal-neighbor data —
+    the width-k generalization of the reference's full-row messages,
+    halo.cpp:16-18).  Returns (mid, ghost_bottom, ghost_top) where ``mid``
+    is the x-ghosted tile (my, mx+2k)."""
+    ghost_left = lax.ppermute(u[:, -k:], "x", _cyclic_perm(px, +1))
+    ghost_right = lax.ppermute(u[:, :k], "x", _cyclic_perm(px, -1))
+    mid = jnp.concatenate([ghost_left, u, ghost_right], axis=1)
+    ghost_bottom = lax.ppermute(mid[-k:, :], "y", _cyclic_perm(py, +1))
+    ghost_top = lax.ppermute(mid[:k, :], "y", _cyclic_perm(py, -1))
+    return mid, ghost_bottom, ghost_top
+
+
 def exchange_halos_k(
     u: jnp.ndarray,
     px: int,
@@ -100,24 +115,13 @@ def exchange_halos_k(
     k: int,
 ) -> jnp.ndarray:
     """Inside shard_map: return the (my+2k, mx+2k) tile with k-wide halos
-    pulled from neighbors by cyclic ppermute (x faces first, then full-width
-    y slabs so corner ghosts carry diagonal-neighbor data — the width-k
-    generalization of the reference's full-row messages, halo.cpp:16-18).
+    pulled from neighbors by cyclic ppermute.
 
     No BC logic here: edge shards receive wrap data, which is exactly right
     for periodic sides; non-periodic physical ghosts are re-supplied every
     sub-step by the kernel's edge-flag-gated fixups.
     """
-    right_face = u[:, -k:]
-    left_face = u[:, :k]
-    ghost_left = lax.ppermute(right_face, "x", _cyclic_perm(px, +1))
-    ghost_right = lax.ppermute(left_face, "x", _cyclic_perm(px, -1))
-    mid = jnp.concatenate([ghost_left, u, ghost_right], axis=1)
-
-    top_slab = mid[-k:, :]
-    bottom_slab = mid[:k, :]
-    ghost_bottom = lax.ppermute(top_slab, "y", _cyclic_perm(py, +1))
-    ghost_top = lax.ppermute(bottom_slab, "y", _cyclic_perm(py, -1))
+    mid, ghost_bottom, ghost_top = _exchange_parts(u, px, py, k)
     return jnp.concatenate([ghost_bottom, mid, ghost_top], axis=0)
 
 
@@ -137,8 +141,6 @@ def build_sharded_multistep_advance(
     Returns None when the kernel has no layout for the shard shape (caller
     falls back to :func:`build_sharded_advance`).
     """
-    import dataclasses
-
     from ..ops.pallas_stencil import (
         pick_steps_per_pass,
         sharded_layout_available,
@@ -232,8 +234,6 @@ def build_sharded_overlap_advance(
     my = cfg.ny // py
     spec = PartitionSpec("y", "x")
 
-    import dataclasses
-
     tile_cfg = dataclasses.replace(cfg, nx=mx, ny=my)
     k = pick_steps_per_pass(tile_cfg, cfg.out_every or 8)
     # Interior must be non-empty and every region layout must exist, for k
@@ -261,13 +261,8 @@ def build_sharded_overlap_advance(
         t_ = (yi == py - 1).astype(jnp.int32)
         z = jnp.int32(0)
 
-        # (1) face exchanges — x slabs first, then full-width y slabs so the
-        # corner ghosts carry diagonal-neighbor data.
-        gl = lax.ppermute(u[:, -kk:], "x", _cyclic_perm(px, +1))
-        gr = lax.ppermute(u[:, :kk], "x", _cyclic_perm(px, -1))
-        mid = jnp.concatenate([gl, u, gr], axis=1)
-        gb = lax.ppermute(mid[-kk:, :], "y", _cyclic_perm(py, +1))
-        gt = lax.ppermute(mid[:kk, :], "y", _cyclic_perm(py, -1))
+        # (1) face exchanges.
+        mid, gb, gt = _exchange_parts(u, px, py, kk)
 
         # (2) interior: raw tile is its own k-halo padding — independent of
         # every ppermute above, so it runs concurrently with them.

@@ -20,7 +20,7 @@ from __future__ import annotations
 import dataclasses
 import sys
 import time
-from typing import Callable, List, Optional
+from typing import Optional
 
 import numpy as np
 import jax
@@ -29,7 +29,12 @@ import jax.numpy as jnp
 from ..config import SimConfig, bc_to_string
 from ..ops.init import apply_initial_condition
 from ..ops.stability import clamp_dt
-from ..ops.step import build_single_device_advance, make_interior_step
+from ..ops.step import (
+    PALLAS_KERNELS,
+    build_single_device_advance,
+    make_interior_step,
+    select_kernel,
+)
 from ..io.snapshots import SnapshotWriter
 from ..parallel.mesh import choose_mesh_shape, divisible, field_sharding, make_mesh
 from ..parallel.halo import build_sharded_advance, build_sharded_multistep_advance
@@ -141,9 +146,7 @@ def prepare(cfg: SimConfig, devices=None):
     if mesh is not None and divisible(mesh, cfg.nx, cfg.ny):
         u0 = jax.device_put(u0, field_sharding(mesh))
         advance = None
-        from ..ops.step import select_kernel
-
-        if select_kernel(cfg) in ("pallas", "pallas_multistep"):
+        if select_kernel(cfg) in PALLAS_KERNELS:
             # Multi-chip fast path: one k-wide halo exchange per k steps,
             # Pallas multi-step kernel per shard.  halo_overlap=true splits
             # interior/edge-band kernels so the ppermutes overlap compute.
