@@ -182,8 +182,14 @@ class SimConfig:
             raise ValueError(f"unknown kernel: {self.kernel}")
 
     def resolved_output_path(self) -> str:
+        """Snapshot file path.  The reference hardcodes outputs/snapshots.nc
+        and ignores output_prefix entirely (main.cpp:87); we keep that
+        default but honor an explicit path or a non-default prefix
+        (decision log #3)."""
         if self.output_path:
             return self.output_path
+        if self.output_prefix and self.output_prefix != "snap":
+            return f"{self.output_dir}/{self.output_prefix}.nc"
         return f"{self.output_dir}/snapshots.nc"
 
 

@@ -171,3 +171,14 @@ def test_cli_can_override_invalid_yaml_value(tmp_path):
     assert cfg.steps == 10
     with pytest.raises(ValueError):
         merged_config(str(p), [])  # still invalid without the override
+
+
+def test_output_prefix_honored_when_non_default():
+    """decision log #3: explicit prefix names the file; the reference's
+    hardcoded snapshots.nc stays the default."""
+    cfg = merged_config(None, ["--output.prefix=exp1", "--output.dir=/tmp/o"])
+    assert cfg.resolved_output_path() == "/tmp/o/exp1.nc"
+    cfg = merged_config(None, ["--output.dir=/tmp/o"])
+    assert cfg.resolved_output_path() == "/tmp/o/snapshots.nc"
+    cfg = merged_config(None, ["--output.path=/x/y.nc", "--output.prefix=exp1"])
+    assert cfg.resolved_output_path() == "/x/y.nc"
