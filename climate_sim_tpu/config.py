@@ -180,6 +180,8 @@ class SimConfig:
             raise ValueError(f"precision must be f32|f64|bf16, got {self.precision}")
         if self.kernel not in ("auto", "jnp", "pallas", "pallas_multistep"):
             raise ValueError(f"unknown kernel: {self.kernel}")
+        if self.max_devices < 0:
+            raise ValueError("max_devices must be >= 0 (0 = all devices)")
 
     def resolved_output_path(self) -> str:
         """Snapshot file path.  The reference hardcodes outputs/snapshots.nc

@@ -125,6 +125,30 @@ def exchange_halos_k(
     return jnp.concatenate([ghost_bottom, mid, ghost_top], axis=0)
 
 
+def _make_chunk_advance(tile_pass, k: int, mesh: Mesh, spec):
+    """lru-cached ``advance(chunk)`` running ceil(chunk/k) tile passes
+    inside one jitted shard_map program (remainder passes use a smaller k).
+    check_vma=False: pallas_call outputs carry no varying-mesh-axes
+    metadata; the in/out specs fully pin the sharding."""
+
+    @functools.lru_cache(maxsize=None)
+    def advance(chunk: int):
+        def body(u_local):
+            n = 0
+            while n < chunk:
+                kk = min(k, chunk - n)
+                u_local = tile_pass(u_local, kk)
+                n += kk
+            return u_local
+
+        sharded = jax.shard_map(
+            body, mesh=mesh, in_specs=spec, out_specs=spec, check_vma=False
+        )
+        return jax.jit(sharded)
+
+    return advance
+
+
 def build_sharded_multistep_advance(
     cfg: SimConfig,
     mesh: Mesh,
@@ -176,24 +200,7 @@ def build_sharded_multistep_advance(
             padded, flags, cfg, dt, kk, mx, interpret=interpret
         )
 
-    @functools.lru_cache(maxsize=None)
-    def advance(chunk: int):
-        def body(u_local):
-            n = 0
-            while n < chunk:
-                kk = min(k, chunk - n)
-                u_local = tile_pass(u_local, kk)
-                n += kk
-            return u_local
-
-        # check_vma=False: pallas_call outputs carry no varying-mesh-axes
-        # metadata; the in/out specs fully pin the sharding here.
-        sharded = jax.shard_map(
-            body, mesh=mesh, in_specs=spec, out_specs=spec, check_vma=False
-        )
-        return jax.jit(sharded)
-
-    return advance
+    return _make_chunk_advance(tile_pass, k, mesh, spec)
 
 
 def build_sharded_overlap_advance(
@@ -248,7 +255,8 @@ def build_sharded_overlap_advance(
         ]
         for (ny_r, nx_r, flg) in shapes:
             if tile_region_multistep(
-                None, None, cfg, dt, kk, ny_r, nx_r, flg, interpret, probe=True
+                None, None, cfg, dt, kk, ny_r, nx_r, flg, interpret,
+                probe=True, probe_dtype=dtype_name,
             ) is None:
                 return None
 
@@ -292,22 +300,7 @@ def build_sharded_overlap_advance(
         middle = jnp.concatenate([left, inner, right], axis=1)
         return jnp.concatenate([bot, middle, top], axis=0)
 
-    @functools.lru_cache(maxsize=None)
-    def advance(chunk: int):
-        def body(u_local):
-            n = 0
-            while n < chunk:
-                kk = min(k, chunk - n)
-                u_local = tile_pass(u_local, kk)
-                n += kk
-            return u_local
-
-        sharded = jax.shard_map(
-            body, mesh=mesh, in_specs=spec, out_specs=spec, check_vma=False
-        )
-        return jax.jit(sharded)
-
-    return advance
+    return _make_chunk_advance(tile_pass, k, mesh, spec)
 
 
 def build_sharded_advance(

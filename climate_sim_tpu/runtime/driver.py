@@ -281,7 +281,7 @@ def run_simulation(cfg: SimConfig, devices=None, write_output: bool = True) -> R
     _log(f"timing: total_max={total:g} s, worst_avg_step={avg_step:g} s")
     # Derived throughput (SURVEY.md §5 tracing plan): the per-chip rate the
     # benchmark methodology is defined in terms of.
-    n_dev = len(jax.devices()) if mesh is None else mesh.devices.size
+    n_dev = 1 if mesh is None else mesh.devices.size  # single-device path uses one chip
     pts = cfg.nx * cfg.ny * cfg.steps / max(total, 1e-12)
     _log(f"throughput: {pts / 1e6:.1f} Mpoint/s total, "
          f"{pts / 1e6 / max(1, n_dev):.1f} Mpoint/s/chip")

@@ -130,3 +130,17 @@ def test_overlap_path_rejects_tiny_tiles():
     cfg = make_cfg(32, 4, D4)  # 8x2 tiles: interior empty even at k=1
     mesh = make_mesh(4, 2)
     assert build_sharded_overlap_advance(cfg, mesh, cfg.dt, interpret=True) is None
+
+
+def test_overlap_path_rejects_non_f32_on_hardware():
+    """Probe dtype must match the run dtype: bf16 must fall back cleanly
+    instead of crashing at trace time (code-review regression).  interpret
+    mode accepts every dtype, so probe the hardware path explicitly."""
+    from climate_sim_tpu.parallel.halo import build_sharded_overlap_advance
+
+    cfg = make_cfg(256, 128, D4)
+    mesh = make_mesh(4, 2)
+    adv = build_sharded_overlap_advance(
+        cfg, mesh, cfg.dt, interpret=False, dtype_name="bfloat16"
+    )
+    assert adv is None
