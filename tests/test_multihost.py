@@ -1,0 +1,85 @@
+"""True multi-controller test: two coordinated CPU processes (4 virtual
+devices each -> one 8-device global mesh) run the driver end-to-end via
+``jax.distributed``, exercising process_allgather snapshot gathers,
+controller-gated logging/IO, and the MAX-over-hosts timing reduction —
+the closest single-machine analogue of a 2-host TPU pod run.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = """
+import os, sys
+proc_id = int(sys.argv[1])
+port = sys.argv[2]
+out = sys.argv[3]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, {repo!r})
+from climate_sim_tpu.config import merged_config
+from climate_sim_tpu.runtime.driver import run_simulation
+
+cfg = merged_config(None, [
+    "--nx=128", "--ny=64", "--steps=8", "--out_every=4",
+    "--kernel=jnp", "--output.dir=" + out,
+    "--distributed=127.0.0.1:" + port + ",2," + str(proc_id),
+])
+res = run_simulation(cfg)
+print("MH_OK", proc_id, jax.process_count(), len(jax.devices()), flush=True)
+""".format(repo=REPO)
+
+
+def free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.slow
+def test_two_process_run_matches_single(tmp_path):
+    port = str(free_port())
+    out = str(tmp_path / "mh")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", WORKER, str(i), port, out],
+            cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    for i, (p, o) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{o[-3000:]}"
+        assert f"MH_OK {i} 2 8" in o
+    # Controller gating: only process 0 logs the banner/timing.
+    assert "timing: total_max=" in outs[0]
+    assert "timing: total_max=" not in outs[1]
+
+    # Output parity with a plain single-process run of the same config.
+    from climate_sim_tpu.config import merged_config
+    from climate_sim_tpu.io.netcdf import NetCDFFile
+    from climate_sim_tpu.runtime.driver import run_simulation
+
+    ref_out = str(tmp_path / "single")
+    cfg = merged_config(None, [
+        "--nx=128", "--ny=64", "--steps=8", "--out_every=4",
+        "--kernel=jnp", f"--output.dir={ref_out}",
+    ])
+    run_simulation(cfg)
+
+    a = NetCDFFile(os.path.join(out, "snapshots.nc"))
+    b = NetCDFFile(os.path.join(ref_out, "snapshots.nc"))
+    assert a.dimensions == b.dimensions
+    for t in range(a.dimensions["time"]):
+        np.testing.assert_allclose(
+            a.variables["u"][t, :, :], b.variables["u"][t, :, :], atol=1e-6
+        )
