@@ -35,6 +35,15 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+@pytest.fixture(autouse=True)
+def _restore_x64():
+    """run_simulation toggles jax_enable_x64 per cfg.precision (two-way);
+    restore the suite's global f64 default after every test."""
+    yield
+    if not jax.config.read("jax_enable_x64"):
+        jax.config.update("jax_enable_x64", True)
+
+
 @pytest.fixture
 def tmp_outputs_dir(tmp_path):
     d = tmp_path / "outputs"
