@@ -128,3 +128,45 @@ def test_multistep_odd_aspect_ratios(shape):
     out = multistep_kernel_step(u, cfg, cfg.dt, k, interpret=True)
     assert out is not None
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_periodic_advection_conserves_mass():
+    """Donor-cell upwind on a fully periodic domain is conservative; 50
+    kernel steps must preserve total mass to f32 accumulation error
+    (integration_advection.cpp's 5% gate, much tighter here)."""
+    cfg = make_cfg(128, 64, P4, D=0.0, vx=0.8, vy=-0.6)
+    u = gaussian_hotspot(cfg, jnp.float32)
+    m0 = float(jnp.sum(u.astype(jnp.float64)))
+    adv = build_multistep_advance(cfg, cfg.dt, interpret=True)
+    out = adv(50)(u)
+    m1 = float(jnp.sum(out.astype(jnp.float64)))
+    assert abs(m1 - m0) / m0 < 1e-5
+
+
+def test_neumann_diffusion_conserves_mass():
+    """Zero-flux boundaries: diffusion redistributes but never loses mass."""
+    cfg = make_cfg(128, 64, N4, D=0.2, vx=0.0, vy=0.0)
+    u = gaussian_hotspot(cfg, jnp.float32)
+    m0 = float(jnp.sum(u.astype(jnp.float64)))
+    adv = build_multistep_advance(cfg, cfg.dt, interpret=True)
+    out = adv(50)(u)
+    m1 = float(jnp.sum(out.astype(jnp.float64)))
+    assert abs(m1 - m0) / m0 < 1e-5
+
+
+def test_diffusion_maximum_principle():
+    """Explicit diffusion within the CFL bound: max never increases, min
+    never decreases (integration_diffusion.cpp's peak-decay/positivity
+    gate, per-kernel-pass)."""
+    cfg = make_cfg(128, 64, MIX1, D=0.2, vx=0.0, vy=0.0)
+    u = gaussian_hotspot(cfg, jnp.float32)
+    adv = build_multistep_advance(cfg, cfg.dt, interpret=True)
+    prev_max, prev_min = 1.0 + 1e-6, -1e-6
+    for _ in range(5):
+        u = adv(8)(u)
+        cur_max = float(jnp.max(u))
+        cur_min = float(jnp.min(u))
+        assert cur_max <= prev_max + 1e-6
+        assert cur_min >= prev_min - 1e-6
+        prev_max, prev_min = cur_max, cur_min
+    assert cur_max < 0.9  # peak actually decayed
