@@ -170,3 +170,18 @@ def test_diffusion_maximum_principle():
         assert cur_min >= prev_min - 1e-6
         prev_max, prev_min = cur_max, cur_min
     assert cur_max < 0.9  # peak actually decayed
+
+
+@pytest.mark.parametrize("bcs", [D4, P4, MIX1])
+def test_multistep_x_blocked_grid(bcs):
+    """nx > the preferred x-block width: the 2D block grid with neighbor
+    ghost strips and (bx, by)-gated fixups must match the oracle."""
+    from climate_sim_tpu.ops import pallas_stencil as ps
+
+    assert ps._PREF_BX < 4096
+    cfg = make_cfg(4096, 64, bcs)  # nbx = 2 at the default _PREF_BX
+    u = gaussian_hotspot(cfg, jnp.float32)
+    ref = oracle(u, cfg, 8)
+    out = multistep_kernel_step(u, cfg, cfg.dt, 8, interpret=True)
+    assert out is not None
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
