@@ -399,12 +399,17 @@ def _build_multistep_call(
         xoff = _XPAD
         # 2D block grid: x-blocks of BX columns (largest 128-multiple
         # divisor of nx up to _PREF_BX), each with 128-wide ghost strips.
+        # Tiny x-blocks drown in DMA overhead (a 3968-wide grid's best
+        # 128-multiple divisor is 128 -> half speed measured), so fall back
+        # to full width when no divisor >= 512 exists.
         BX = max(
             (d for d in range(128, min(nx, _PREF_BX) + 1, 128) if nx % d == 0),
             default=None,
         )
         if BX is None:
             return None
+        if BX < 512 and nx > BX:
+            BX = nx
         W = BX + 2 * _XPAD
     else:
         BX = nx
