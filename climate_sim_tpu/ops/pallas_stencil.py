@@ -143,6 +143,7 @@ def _build_kernel_body(
     fix_top: Optional[str],
     prepadded: bool,
     sharded: bool,
+    slab_mode: bool,
     compute_dtype,
 ):
     """The kernel function (closure over all static parameters).
@@ -173,37 +174,111 @@ def _build_kernel_body(
     wym = ay + (cy if vy >= 0.0 else 0.0)
     wyp = ay + (-cy if vy < 0.0 else 0.0)
 
-    def make_loads(hbm_ref, a_scratch, sems, block, slot):
-        """Async copies filling window ``block`` into scratch slot ``slot``."""
+    def make_loads(refs, a_scratch, sems, block, slot):
+        """(condition, async_copy) pairs filling window ``block`` into
+        scratch slot ``slot``; condition None = unconditional, else the copy
+        starts (and is waited) only under that predicate."""
         dst = a_scratch.at[slot]
-        if not fused_dma:
+        if not (fused_dma or slab_mode):
             # Rbuf = R rounded up to the 8-row sublane tile (DMA slice
             # alignment); the extra rows are input padding, never computed.
-            return [
+            (hbm_ref,) = refs
+            return [(
+                None,
                 pltpu.make_async_copy(
                     hbm_ref.at[pl.ds(block * BY, Rbuf), :], dst, sems.at[slot, 0]
-                )
-            ]
-        # Wrap-aware segmented loads from the raw (ny, nxg) field.  With the
-        # 2D block grid (bx, by), buffer row r holds global row
-        # (by*BY - khalo + r) mod ny and interior cols [bx*BX, bx*BX+BX).
-        # Three contiguous row segments (khalo above / BY main / khalo
-        # below); x ghosts come as 128-wide strips from the neighboring
-        # column ranges mod nxg (only the innermost k columns are consumed;
-        # 128 keeps every minor-dim DMA slice aligned).  All starts are
-        # multiples of 8/128 (BY, khalo, ny, BX, nxg all are) — tell Mosaic.
+                ),
+            )]
         # Index math stays int32: under jax_enable_x64 a Python-int operand
         # would emit an i64 convert, which Mosaic cannot lower.
         block = jnp.asarray(block, jnp.int32)  # literal 0 is i64 under x64
         by = jax.lax.rem(block, jnp.int32(nby))
         bx = block // jnp.int32(nby)
         base = by * jnp.int32(BY)
+        cmain = pl.multiple_of(bx * jnp.int32(BX), 128)
+
+        if slab_mode:
+            # Sharded-tile fast path: the shard's (my, mx) tile plus compact
+            # exchanged halo slabs (xhalo (my, 256): left|right 128-wide pad
+            # blocks; yhalo (2*khalo, mx+256): bottom|top padded rows).  Row
+            # segments and x strips choose their source ref by block
+            # position; every size is static, clamped starts keep even the
+            # not-taken descriptors in bounds.
+            tile_ref, xhalo_ref, yhalo_ref = refs
+            upt = pl.multiple_of(jnp.maximum(base - jnp.int32(khalo), 0), 8)
+            dnt = pl.multiple_of(
+                jnp.minimum(base + jnp.int32(BY), jnp.int32(ny - khalo)), 8
+            )
+            clt = pl.multiple_of(jnp.maximum(cmain - jnp.int32(_XPAD), 0), 128)
+            crt = pl.multiple_of(
+                jnp.minimum(cmain + jnp.int32(BX), jnp.int32(nxg - _XPAD)), 128
+            )
+            first_y, last_y = by == 0, by == nby - 1
+            first_x, last_x = bx == 0, bx == nbx - 1
+            out = []
+            i = 0
+
+            def seg(dst_r, n, ycond, yrow0, trow0):
+                """One row segment: full-width from yhalo at the y edge,
+                else tile main + per-side strips (xhalo at x edges)."""
+                nonlocal i
+                if ycond is not None:
+                    out.append((ycond, pltpu.make_async_copy(
+                        yhalo_ref.at[pl.ds(yrow0, n), pl.ds(cmain, W)],
+                        dst.at[pl.ds(dst_r, n), :],
+                        sems.at[slot, i],
+                    )))
+                    i += 1
+                    tcond = jnp.logical_not(ycond)
+                else:
+                    tcond = None
+                out.append((tcond, pltpu.make_async_copy(
+                    tile_ref.at[pl.ds(trow0, n), pl.ds(cmain, BX)],
+                    dst.at[pl.ds(dst_r, n), pl.ds(xoff, BX)],
+                    sems.at[slot, i],
+                )))
+                i += 1
+                for side_cond, halo_c0, tile_c0, dst_c0 in (
+                    (first_x, 0, clt, 0),
+                    (last_x, _XPAD, crt, xoff + BX),
+                ):
+                    edge = side_cond if tcond is None else jnp.logical_and(tcond, side_cond)
+                    inner = (
+                        jnp.logical_not(side_cond)
+                        if tcond is None
+                        else jnp.logical_and(tcond, jnp.logical_not(side_cond))
+                    )
+                    out.append((edge, pltpu.make_async_copy(
+                        xhalo_ref.at[pl.ds(trow0, n), pl.ds(halo_c0, _XPAD)],
+                        dst.at[pl.ds(dst_r, n), pl.ds(dst_c0, _XPAD)],
+                        sems.at[slot, i],
+                    )))
+                    out.append((inner, pltpu.make_async_copy(
+                        tile_ref.at[pl.ds(trow0, n), pl.ds(tile_c0, _XPAD)],
+                        dst.at[pl.ds(dst_r, n), pl.ds(dst_c0, _XPAD)],
+                        sems.at[slot, i + 1],
+                    )))
+                    i += 2
+
+            seg(0, khalo, first_y, 0, upt)
+            seg(khalo, BY, None, None, pl.multiple_of(base, 8))
+            seg(khalo + BY, khalo, last_y, khalo, dnt)
+            return out
+
+        # Fused-DMA single-device mode: wrap-aware segmented loads from the
+        # raw (ny, nxg) field.  Buffer row r holds global row
+        # (by*BY - khalo + r) mod ny and interior cols [bx*BX, bx*BX+BX);
+        # three contiguous row segments (khalo above / BY main / khalo
+        # below); x ghosts come as 128-wide strips from the neighboring
+        # column ranges mod nxg (only the innermost k columns are consumed;
+        # 128 keeps every minor-dim DMA slice aligned).  All starts are
+        # multiples of 8/128 (BY, khalo, ny, BX, nxg all are) — tell Mosaic.
+        (hbm_ref,) = refs
         ny32 = jnp.int32(ny)
         nxg32 = jnp.int32(nxg)
         up0 = pl.multiple_of(jax.lax.rem(base - jnp.int32(khalo) + ny32, ny32), 8)
         dn0 = pl.multiple_of(jax.lax.rem(base + jnp.int32(BY), ny32), 8)
         main0 = pl.multiple_of(base, 8)
-        cmain = pl.multiple_of(bx * jnp.int32(BX), 128)
         cleft = pl.multiple_of(
             jax.lax.rem(cmain - jnp.int32(_XPAD) + nxg32, nxg32), 128
         )
@@ -213,33 +288,32 @@ def _build_kernel_body(
         copies = []
         i = 0
         for dst_r, src_r, n in segs:
-            copies.append(
-                pltpu.make_async_copy(
-                    hbm_ref.at[pl.ds(src_r, n), pl.ds(cmain, BX)],
-                    dst.at[pl.ds(dst_r, n), pl.ds(xoff, BX)],
-                    sems.at[slot, i],
-                )
-            )
+            copies.append((None, pltpu.make_async_copy(
+                hbm_ref.at[pl.ds(src_r, n), pl.ds(cmain, BX)],
+                dst.at[pl.ds(dst_r, n), pl.ds(xoff, BX)],
+                sems.at[slot, i],
+            )))
             i += 1
             if strips:
-                copies.append(
-                    pltpu.make_async_copy(
-                        hbm_ref.at[pl.ds(src_r, n), pl.ds(cleft, _XPAD)],
-                        dst.at[pl.ds(dst_r, n), pl.ds(0, _XPAD)],
-                        sems.at[slot, i],
-                    )
-                )
-                copies.append(
-                    pltpu.make_async_copy(
-                        hbm_ref.at[pl.ds(src_r, n), pl.ds(cright, _XPAD)],
-                        dst.at[pl.ds(dst_r, n), pl.ds(xoff + BX, _XPAD)],
-                        sems.at[slot, i + 1],
-                    )
-                )
+                copies.append((None, pltpu.make_async_copy(
+                    hbm_ref.at[pl.ds(src_r, n), pl.ds(cleft, _XPAD)],
+                    dst.at[pl.ds(dst_r, n), pl.ds(0, _XPAD)],
+                    sems.at[slot, i],
+                )))
+                copies.append((None, pltpu.make_async_copy(
+                    hbm_ref.at[pl.ds(src_r, n), pl.ds(cright, _XPAD)],
+                    dst.at[pl.ds(dst_r, n), pl.ds(xoff + BX, _XPAD)],
+                    sems.at[slot, i + 1],
+                )))
                 i += 2
         return copies
 
-    n_dma = 1 if not fused_dma else (9 if (nbx > 1 or wrap_x) else 3)
+    if slab_mode:
+        n_dma = 17
+    elif fused_dma:
+        n_dma = 9 if (nbx > 1 or wrap_x) else 3
+    else:
+        n_dma = 1
 
     def _bc_line(kind, n, mirror):
         if kind == "dirichlet":
@@ -288,12 +362,26 @@ def _build_kernel_body(
                 cond = jnp.logical_and(cond, flags[3] != 0)
             src[R - khalo, :] = jnp.where(cond, row, src[R - khalo, :])
 
+    def _run_loads(loads, action):
+        for cond, c in loads:
+            if cond is None:
+                getattr(c, action)()
+            else:
+                @pl.when(cond)
+                def _(c=c):
+                    getattr(c, action)()
+
     def kernel(*refs):
-        if sharded:
+        if slab_mode:
+            flags_ref, tile_ref, xh_ref, yh_ref, out_ref, a_scratch, b_scratch, sems = refs
+            in_refs = (tile_ref, xh_ref, yh_ref)
+        elif sharded:
             flags_ref, hbm_ref, out_ref, a_scratch, b_scratch, sems = refs
+            in_refs = (hbm_ref,)
         else:
             hbm_ref, out_ref, a_scratch, b_scratch, sems = refs
             flags_ref = None
+            in_refs = (hbm_ref,)
         pid = pl.program_id(0)
         slot = jax.lax.rem(pid, jnp.int32(2))
         by = jax.lax.rem(pid, jnp.int32(nby))
@@ -303,17 +391,14 @@ def _build_kernel_body(
         # program prefetches the next block's window before computing.
         @pl.when(pid == 0)
         def _():
-            for c in make_loads(hbm_ref, a_scratch, sems, 0, 0):
-                c.start()
+            _run_loads(make_loads(in_refs, a_scratch, sems, 0, 0), "start")
 
         @pl.when(pid + 1 < n_blocks)
         def _():
             nxt = jax.lax.rem(pid + jnp.int32(1), jnp.int32(2))
-            for c in make_loads(hbm_ref, a_scratch, sems, pid + 1, nxt):
-                c.start()
+            _run_loads(make_loads(in_refs, a_scratch, sems, pid + 1, nxt), "start")
 
-        for c in make_loads(hbm_ref, a_scratch, sems, pid, slot):
-            c.wait()
+        _run_loads(make_loads(in_refs, a_scratch, sems, pid, slot), "wait")
 
         # k sub-steps, statically unrolled, ping-ponging between the DMA'd
         # window (ref view) and a second scratch buffer: stencil reads src,
@@ -371,6 +456,7 @@ def _build_multistep_call(
     fused_dma: bool,
     prepadded: bool,
     sharded: bool,
+    slab_mode: bool,
     dtype_name: str,
     interpret: bool,
 ):
@@ -395,7 +481,7 @@ def _build_multistep_call(
         compute_dtype != jnp.float32 or jax.config.read("jax_enable_x64")
     ):
         return None
-    if fused_dma:
+    if fused_dma or slab_mode:
         xoff = _XPAD
         # 2D block grid: x-blocks of BX columns (largest 128-multiple
         # divisor of nx up to _PREF_BX), each with 128-wide ghost strips.
@@ -419,10 +505,10 @@ def _build_multistep_call(
     BY = _pick_block_rows(ny, row_bytes, khalo)
     if BY is None:
         return None
-    if fused_dma and (BY % 8 or khalo % 8 or nx % 128 or ny % 8):
+    if (fused_dma or slab_mode) and (BY % 8 or khalo % 8 or nx % 128 or ny % 8):
         return None
     R = BY + 2 * khalo
-    Rbuf = R if fused_dma else -(-R // 8) * 8
+    Rbuf = R if (fused_dma or slab_mode) else -(-R // 8) * 8
     nbx = nx // BX
     nby = ny // BY
     n_blocks = nbx * nby
@@ -434,15 +520,17 @@ def _build_multistep_call(
         dt=dt, D=D, vx=vx, vy=vy, dx=dx, dy=dy, bc_value=bc_value,
         fix_left=fix_left, fix_right=fix_right,
         fix_bottom=fix_bottom, fix_top=fix_top,
-        prepadded=prepadded, sharded=sharded, compute_dtype=compute_dtype,
+        prepadded=prepadded, sharded=sharded, slab_mode=slab_mode,
+        compute_dtype=compute_dtype,
     )
 
-    in_rows = ny if fused_dma else ny + 2 * khalo + (Rbuf - R)
+    in_rows = ny if (fused_dma or slab_mode) else ny + 2 * khalo + (Rbuf - R)
     bytes_accessed = n_blocks * Rbuf * W * compute_dtype.itemsize
     bytes_accessed += ny * nx * compute_dtype.itemsize
     flops = 9 * ny * nx * k  # 5-pt weighted stencil per sub-step
 
-    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+    n_any = 3 if slab_mode else 1
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * n_any
     if sharded:
         in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
     call = pl.pallas_call(
@@ -467,7 +555,7 @@ def _build_multistep_call(
         ),
         interpret=interpret,
     )
-    if fused_dma:
+    if fused_dma or slab_mode:
         return call
 
     def padded_call(*args):
@@ -537,13 +625,13 @@ def multistep_kernel_step(
     )
     khalo8 = -(-k // 8) * 8  # fused-DMA halo: k rounded up to a sublane tile
     call = _build_multistep_call(
-        ny, nx, k, khalo8, *rest, True, False, False,
+        ny, nx, k, khalo8, *rest, True, False, False, False,
         jnp.dtype(u.dtype).name, interpret,
     )
     if call is not None:
         return call(u)
     call = _build_multistep_call(
-        ny, nx, k, k, *rest, False, False, False,
+        ny, nx, k, k, *rest, False, False, False, False,
         jnp.dtype(u.dtype).name, interpret,
     )
     if call is None:
@@ -567,7 +655,7 @@ def prepadded_kernel_step(
         my, mx, 1, 1, float(dt), float(cfg.D), float(cfg.vx), float(cfg.vy),
         float(cfg.dx), float(cfg.dy), 0.0,
         None, None, None, None, False,
-        False, True, False, jnp.dtype(up.dtype).name, interpret,
+        False, True, False, False, jnp.dtype(up.dtype).name, interpret,
     )
     if call is None:
         return None
@@ -632,13 +720,50 @@ def tile_region_multistep(
     call = _build_multistep_call(
         ny_r, nx_r, k, k, float(dt), float(cfg.D), float(cfg.vx), float(cfg.vy),
         float(cfg.dx), float(cfg.dy), 0.0, *fixes,
-        False, False, False, flagged, dtype_name, interpret,
+        False, False, False, flagged, False, dtype_name, interpret,
     )
     if probe or call is None:
         return call
     if flagged:
         return call(edge_flags.astype(jnp.int32), padded)
     return call(padded)
+
+
+def sharded_tile_slab_multistep(
+    tile,
+    xhalo,
+    yhalo,
+    edge_flags,
+    cfg: SimConfig,
+    dt: float,
+    k: int,
+    interpret: bool = False,
+    probe: bool = False,
+    probe_shape=None,
+    probe_dtype: str = "float32",
+):
+    """Sharded-tile FAST path: advance one shard's (my, mx) tile k steps
+    straight from the tile + compact halo slabs (no padded-tile
+    materialization; see parallel/halo.py::exchange_halos_slabs for the slab
+    layout).  ``probe=True`` (with ``probe_shape=(my, mx)``) reports layout
+    availability.  Returns the updated interior, or None if no layout.
+    """
+    my, mx = probe_shape if probe else tile.shape
+    compat = cfg.strict_reference_compat
+    # khalo is k rounded up to a sublane tile: remainder passes (k < 8)
+    # exchange 8-wide slabs and simply use fewer sub-steps.
+    khalo8 = -(-k // 8) * 8
+    call = _build_multistep_call(
+        my, mx, k, khalo8, float(dt), float(cfg.D), float(cfg.vx), float(cfg.vy),
+        float(cfg.dx), float(cfg.dy), 0.0,
+        _fixup_side(cfg.bc.left, compat), _fixup_side(cfg.bc.right, compat),
+        _fixup_side(cfg.bc.bottom, compat), _fixup_side(cfg.bc.top, compat),
+        False, False, False, True, True,
+        probe_dtype if probe else jnp.dtype(tile.dtype).name, interpret,
+    )
+    if probe or call is None:
+        return call
+    return call(edge_flags.astype(jnp.int32), tile, xhalo, yhalo)
 
 
 def sharded_layout_available(

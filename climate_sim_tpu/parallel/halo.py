@@ -149,6 +149,37 @@ def _make_chunk_advance(tile_pass, k: int, mesh: Mesh, spec):
     return advance
 
 
+def exchange_halos_slabs(u: jnp.ndarray, px: int, py: int, k: int):
+    """Inside shard_map: exchange k-wide halos as COMPACT slabs for the
+    slab-input fused kernel (no O(my*mx) padded-tile materialization).
+
+    Returns ``(xhalo, yhalo)``:
+
+    * ``xhalo`` (my, 256): the left ghost columns right-aligned in cols
+      [128-k, 128) and the right ghost columns left-aligned in
+      [128, 128+k) — matching the kernel's 128-wide x-pad blocks.
+    * ``yhalo`` (2k, mx+256): bottom pad rows then top pad rows, at the
+      kernel's padded width (x ghosts included, so corners carry
+      diagonal-neighbor data: x faces are exchanged first, then the
+      already-x-padded row slabs are exchanged in y).
+    """
+    my, mx = u.shape
+    z = jnp.zeros((my, 128 - k), u.dtype)
+    gl = lax.ppermute(u[:, -k:], "x", _cyclic_perm(px, +1))
+    gr = lax.ppermute(u[:, :k], "x", _cyclic_perm(px, -1))
+    xhalo = jnp.concatenate([z, gl, gr, z], axis=1)
+
+    def padded_rows(rows, gl_rows, gr_rows):
+        zrow = jnp.zeros((k, 128 - k), u.dtype)
+        return jnp.concatenate([zrow, gl_rows, rows, gr_rows, zrow], axis=1)
+
+    top = padded_rows(u[-k:, :], gl[-k:, :], gr[-k:, :])
+    bottom = padded_rows(u[:k, :], gl[:k, :], gr[:k, :])
+    gb = lax.ppermute(top, "y", _cyclic_perm(py, +1))
+    gt = lax.ppermute(bottom, "y", _cyclic_perm(py, -1))
+    return xhalo, jnp.concatenate([gb, gt], axis=0)
+
+
 def build_sharded_multistep_advance(
     cfg: SimConfig,
     mesh: Mesh,
@@ -169,6 +200,7 @@ def build_sharded_multistep_advance(
         pick_steps_per_pass,
         sharded_layout_available,
         sharded_tile_multistep,
+        sharded_tile_slab_multistep,
     )
 
     px = mesh.shape["x"]
@@ -181,24 +213,48 @@ def build_sharded_multistep_advance(
 
     tile_cfg = dataclasses.replace(cfg, nx=mx, ny=my)
     k = pick_steps_per_pass(tile_cfg, cfg.out_every or 8)
-    # Static layout probe for every pass size that can occur (k and the
+    # Static layout probes for every pass size that can occur (k and the
     # chunk remainders) — all shapes are static, so this decides up front.
-    if not all(
+    # Prefer the slab-input fast path (tile + compact halo slabs, no padded
+    # -tile materialization); fall back to the assembled-tile kernel.
+    passes = range(1, k + 1)
+    use_slabs = all(
+        sharded_tile_slab_multistep(
+            None, None, None, None, cfg, dt, kk, interpret,
+            probe=True, probe_shape=(my, mx), probe_dtype=dtype_name,
+        ) is not None
+        for kk in passes
+    )
+    if not use_slabs and not all(
         sharded_layout_available(cfg, dt, kk, mx, my, interpret, dtype_name)
-        for kk in range(1, k + 1)
+        for kk in passes
     ):
         return None
 
-    def tile_pass(u_local: jnp.ndarray, kk: int) -> jnp.ndarray:
-        padded = exchange_halos_k(u_local, px, py, kk)
+    def edge_flags():
         xi = lax.axis_index("x")
         yi = lax.axis_index("y")
-        flags = jnp.stack(
+        return jnp.stack(
             [xi == 0, xi == px - 1, yi == 0, yi == py - 1]
         ).astype(jnp.int32)
-        return sharded_tile_multistep(
-            padded, flags, cfg, dt, kk, mx, interpret=interpret
-        )
+
+    if use_slabs:
+        def tile_pass(u_local: jnp.ndarray, kk: int) -> jnp.ndarray:
+            # Slabs are always 8 wide (sublane-aligned khalo); a remainder
+            # pass just runs fewer sub-steps on the same slab shape.
+            khalo8 = -(-kk // 8) * 8
+            xhalo, yhalo = exchange_halos_slabs(u_local, px, py, khalo8)
+            return sharded_tile_slab_multistep(
+                u_local, xhalo, yhalo, edge_flags(), cfg, dt, kk,
+                interpret=interpret,
+            )
+    else:
+        def tile_pass(u_local: jnp.ndarray, kk: int) -> jnp.ndarray:
+            padded = exchange_halos_k(u_local, px, py, kk)
+            return sharded_tile_multistep(
+                padded, flags := edge_flags(), cfg, dt, kk, mx,
+                interpret=interpret,
+            )
 
     return _make_chunk_advance(tile_pass, k, mesh, spec)
 

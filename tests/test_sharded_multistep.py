@@ -144,3 +144,27 @@ def test_overlap_path_rejects_non_f32_on_hardware():
         cfg, mesh, cfg.dt, interpret=False, dtype_name="bfloat16"
     )
     assert adv is None
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 2), (1, 4), (4, 1)])
+@pytest.mark.parametrize("bcs", [D4, P4, MIX])
+def test_slab_path_matches_oracle(mesh_shape, bcs):
+    """Slab-input fast path (tile + compact halo slabs, no padded-tile
+    materialization): tiles are 128-multiples wide so the slab kernel
+    engages; includes a non-multiple-of-8 chunk remainder."""
+    from climate_sim_tpu.ops.pallas_stencil import sharded_tile_slab_multistep
+
+    px, py = mesh_shape
+    cfg = make_cfg(128 * px, 128 * py, bcs, out_every=8)
+    mx, my = 128, 128
+    assert sharded_tile_slab_multistep(
+        None, None, None, None, cfg, cfg.dt, 8, True,
+        probe=True, probe_shape=(my, mx),
+    ) is not None
+    mesh = make_mesh(px, py, jax.devices()[: px * py])
+    u = gaussian_hotspot(cfg, jnp.float32)
+    ref = oracle(u, cfg, 19)
+    us = jax.device_put(u, field_sharding(mesh))
+    adv = build_sharded_multistep_advance(cfg, mesh, cfg.dt, interpret=True)
+    out = adv(19)(us)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
