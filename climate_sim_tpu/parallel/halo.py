@@ -169,15 +169,15 @@ def exchange_halos_slabs(u: jnp.ndarray, px: int, py: int, k: int):
     gr = lax.ppermute(u[:, :k], "x", _cyclic_perm(px, -1))
     xhalo = jnp.concatenate([z, gl, gr, z], axis=1)
 
-    def padded_rows(rows, gl_rows, gr_rows):
-        zrow = jnp.zeros((k, 128 - k), u.dtype)
-        return jnp.concatenate([zrow, gl_rows, rows, gr_rows, zrow], axis=1)
-
-    top = padded_rows(u[-k:, :], gl[-k:, :], gr[-k:, :])
-    bottom = padded_rows(u[:k, :], gl[:k, :], gr[:k, :])
+    # y slabs travel COMPACT (k, mx+2k) — the 128-k zero alignment columns
+    # are concatenated locally after the exchange, not shipped over ICI.
+    top = jnp.concatenate([gl[-k:, :], u[-k:, :], gr[-k:, :]], axis=1)
+    bottom = jnp.concatenate([gl[:k, :], u[:k, :], gr[:k, :]], axis=1)
     gb = lax.ppermute(top, "y", _cyclic_perm(py, +1))
     gt = lax.ppermute(bottom, "y", _cyclic_perm(py, -1))
-    return xhalo, jnp.concatenate([gb, gt], axis=0)
+    zrow = jnp.zeros((2 * k, 128 - k), u.dtype)
+    yhalo = jnp.concatenate([gb, gt], axis=0)
+    return xhalo, jnp.concatenate([zrow, yhalo, zrow], axis=1)
 
 
 def build_sharded_multistep_advance(
@@ -252,7 +252,7 @@ def build_sharded_multistep_advance(
         def tile_pass(u_local: jnp.ndarray, kk: int) -> jnp.ndarray:
             padded = exchange_halos_k(u_local, px, py, kk)
             return sharded_tile_multistep(
-                padded, flags := edge_flags(), cfg, dt, kk, mx,
+                padded, edge_flags(), cfg, dt, kk, mx,
                 interpret=interpret,
             )
 

@@ -168,3 +168,21 @@ def test_slab_path_matches_oracle(mesh_shape, bcs):
     adv = build_sharded_multistep_advance(cfg, mesh, cfg.dt, interpret=True)
     out = adv(19)(us)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
+
+
+@pytest.mark.parametrize("tile", [(128, 1024), (4096, 128)])
+def test_slab_path_multi_block_tiles(tile):
+    """Slab kernel with MULTI-block tiles (nby>1 for tall, nbx>1 for wide):
+    exercises the tile-sourced row segments, inner x strips, and clamped
+    not-taken DMA starts that single-block tiles never reach
+    (code-review coverage finding)."""
+    mx, my = tile
+    cfg = make_cfg(mx, my, MIX, out_every=8)
+    mesh = make_mesh(1, 1, jax.devices()[:1])
+    u = gaussian_hotspot(cfg, jnp.float32)
+    ref = oracle(u, cfg, 8)
+    us = jax.device_put(u, field_sharding(mesh))
+    adv = build_sharded_multistep_advance(cfg, mesh, cfg.dt, interpret=True)
+    assert adv is not None
+    out = adv(8)(us)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
