@@ -186,3 +186,37 @@ def test_slab_path_multi_block_tiles(tile):
     assert adv is not None
     out = adv(8)(us)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_exchange_halos_slabs_layout():
+    """Slab layout contract: xhalo carries left ghosts right-aligned in
+    [128-k,128) and right ghosts at [128,128+k); yhalo rows are
+    bottom-then-top pads at kernel width with diagonal corners."""
+    px, py, k, m = 2, 2, 4, 8
+    mesh = make_mesh(px, py)
+
+    def body(_):
+        from climate_sim_tpu.parallel.halo import exchange_halos_slabs
+
+        xi = jax.lax.axis_index("x")
+        yi = jax.lax.axis_index("y")
+        rank = (yi * px + xi).astype(jnp.float32)
+        tile = jnp.full((m, m), rank)
+        xh, _yh = exchange_halos_slabs(tile, px, py, k)
+        return xh
+
+    from jax.sharding import PartitionSpec
+
+    out = jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=PartitionSpec("y", "x"), out_specs=PartitionSpec("y", "x"),
+        check_vma=False,
+    ))(jnp.zeros((py * m, px * 256), jnp.float32))
+    host = np.asarray(out)
+    # shard (yi=0, xi=0): left ghosts wrap to xi=1 (rank 1), right ghosts
+    # from xi=1 (rank 1); zeros elsewhere.
+    t = host[:m, :256]
+    assert np.all(t[:, 128 - k : 128] == 1.0)   # left ghost block
+    assert np.all(t[:, 128 : 128 + k] == 1.0)   # right ghost block
+    assert np.all(t[:, : 128 - k] == 0.0)
+    assert np.all(t[:, 128 + k :] == 0.0)
