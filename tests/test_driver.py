@@ -148,7 +148,7 @@ def test_dt_clamped_to_cfl(tmp_path, capsys):
     assert "clamping" in err
 
 
-def test_cli_error_exit_on_bad_ic(tmp_path, capsys):
+def test_cli_error_exit_on_bad_ic(tmp_path):
     """Bad IC path: nonzero exit and no snapshot file
     (reference: integration_boundary_error.cpp:22-46)."""
     out = str(tmp_path / "outputs")
@@ -190,5 +190,5 @@ def test_clamped_dt_recorded_in_metadata(tmp_path):
     (code-review regression)."""
     res, nc = run(tmp_path, ["--D=1.0", "--dt=99.0", "--steps=2", "--out_every=1"])
     assert res.clamped and res.dt < 99.0
-    ds = NetCDFFile(nc)
-    assert ds.getncattr("dt") == f"{res.dt:.6f}"
+    with NetCDFFile(nc) as ds:
+        assert ds.getncattr("dt") == f"{res.dt:.6f}"

@@ -41,7 +41,8 @@ def test_byte_identical_to_python_codec(tmp_path, rng):
         w.append(i, f)
     w.close()
     python_reference_file(ppath, cfg, frames)
-    assert open(npath, "rb").read() == open(ppath, "rb").read()
+    with open(npath, "rb") as fa, open(ppath, "rb") as fb:
+        assert fa.read() == fb.read()
 
 
 def test_roundtrip_values_and_attrs(tmp_path, rng):
@@ -52,11 +53,11 @@ def test_roundtrip_values_and_attrs(tmp_path, rng):
         for i, f in enumerate(frames):
             w.append(i, f)
         w.flush()
-    ds = NetCDFFile(path)
-    assert ds.dimensions == {"time": 2, "y": 16, "x": 32}
-    assert ds.getncattr("D") == "0.250000"
-    assert ds.getncattr("velocity") == "(-1.500000,0.750000)"
-    np.testing.assert_array_equal(ds.variables["u"][1, :, :], frames[1])
+    with NetCDFFile(path) as ds:
+        assert ds.dimensions == {"time": 2, "y": 16, "x": 32}
+        assert ds.getncattr("D") == "0.250000"
+        assert ds.getncattr("velocity") == "(-1.500000,0.750000)"
+        np.testing.assert_array_equal(ds.variables["u"][1, :, :], frames[1])
 
 
 def test_snapshot_writer_native_vs_python(tmp_path, rng):
@@ -73,7 +74,8 @@ def test_snapshot_writer_native_vs_python(tmp_path, rng):
             w.write(f)
         w.close()
         paths[use_native] = p
-    assert open(paths[True], "rb").read() == open(paths[False], "rb").read()
+    with open(paths[True], "rb") as fa, open(paths[False], "rb") as fb:
+        assert fa.read() == fb.read()
 
 
 def test_out_of_order_and_sparse_records(tmp_path, rng):
@@ -86,10 +88,10 @@ def test_out_of_order_and_sparse_records(tmp_path, rng):
     with native.NativeSnapshotWriter(path, cfg, metadata_attrs(cfg)) as w:
         w.append(2, f2)
         w.append(0, f0)
-    ds = NetCDFFile(path)
-    assert ds.dimensions["time"] == 3
-    np.testing.assert_array_equal(ds.variables["u"][0, :, :], f0)
-    np.testing.assert_array_equal(ds.variables["u"][2, :, :], f2)
+    with NetCDFFile(path) as ds:
+        assert ds.dimensions["time"] == 3
+        np.testing.assert_array_equal(ds.variables["u"][0, :, :], f0)
+        np.testing.assert_array_equal(ds.variables["u"][2, :, :], f2)
 
 
 def test_bad_path_raises():
@@ -115,7 +117,7 @@ def test_many_frames_async_drain(tmp_path, rng):
     with native.NativeSnapshotWriter(path, cfg, metadata_attrs(cfg)) as w:
         for i, f in enumerate(frames):
             w.append(i, f)
-    ds = NetCDFFile(path)
-    assert ds.dimensions["time"] == 12
-    for i in (0, 5, 11):
-        np.testing.assert_array_equal(ds.variables["u"][i, :, :], frames[i])
+    with NetCDFFile(path) as ds:
+        assert ds.dimensions["time"] == 12
+        for i in (0, 5, 11):
+            np.testing.assert_array_equal(ds.variables["u"][i, :, :], frames[i])

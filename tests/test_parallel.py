@@ -1,7 +1,6 @@
 """Mesh + halo-exchange tests on the 8-device virtual CPU mesh
 (reference analogues: test_decomp_mpi.cpp, test_halo.cpp)."""
 
-import functools
 
 import numpy as np
 import jax
@@ -28,12 +27,17 @@ pytestmark = pytest.mark.skipif(
 
 
 def test_dims_create_near_square():
-    """dims product == size, near-square, px >= py
+    """dims product == size, near-square (py is the largest factor <=
+    sqrt(n), the MPI_Dims_create contract), px >= py
     (reference: test_decomp_mpi.cpp:6-35)."""
+    import math
+
     for n in range(1, 33):
         px, py = dims_create(n)
         assert px * py == n
         assert px >= py
+        best_py = max(d for d in range(1, int(math.isqrt(n)) + 1) if n % d == 0)
+        assert py == best_py, (n, px, py)
 
 
 def test_choose_mesh_prefers_divisible():

@@ -48,11 +48,11 @@ def test_generate_ic_roundtrip(tmp_path):
 
     from climate_sim_tpu.io.netcdf import NetCDFFile
 
-    ds = NetCDFFile(out)
-    assert ds.dimensions == {"y": 32, "x": 48}
-    np.testing.assert_allclose(ds.variables["u"][:], U)
-    np.testing.assert_allclose(ds.variables["x"][:], np.arange(48) + 0.5)
-    assert ds.variables["u"].getncattr("long_name") == "Gaussian hotspot"
+    with NetCDFFile(out) as ds:
+        assert ds.dimensions == {"y": 32, "x": 48}
+        np.testing.assert_allclose(ds.variables["u"][:], U)
+        np.testing.assert_allclose(ds.variables["x"][:], np.arange(48) + 0.5)
+        assert ds.variables["u"].getncattr("long_name") == "Gaussian hotspot"
 
 
 def test_generate_ic_matches_builtin_preset(tmp_path):

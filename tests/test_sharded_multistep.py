@@ -74,8 +74,9 @@ def test_sharded_multistep_rejects_indivisible():
 def test_exchange_halos_k_faces():
     """Each shard fills its tile with its linear rank; after a k-wide
     exchange, halo slabs hold the cyclic neighbor's rank (test_halo.cpp:8-63
-    analogue, width k)."""
-    px, py, k, m = 4, 2, 3, 8
+    analogue, width k).  py >= 3 so the up and wrap-down neighbors differ
+    (a y-direction swap cannot pass)."""
+    px, py, k, m = 2, 4, 3, 8
     mesh = make_mesh(px, py)
 
     def body(u):
@@ -98,14 +99,14 @@ def test_exchange_halos_k_faces():
     )(jnp.zeros((py * (m + 2 * k), px * (m + 2 * k)), jnp.float32))
 
     host = np.asarray(out)
-    # shard (yi=0, xi=1) occupies rows 0:m+2k, cols (m+2k):2(m+2k).
-    t = host[0 : m + 2 * k, (m + 2 * k) : 2 * (m + 2 * k)]
-    rank = 1.0
+    # shard (yi=1, xi=1) occupies rows (m+2k):2(m+2k), cols (m+2k):2(m+2k).
+    t = host[(m + 2 * k) : 2 * (m + 2 * k), (m + 2 * k) : 2 * (m + 2 * k)]
+    rank = 1.0 * px + 1.0  # (yi=1, xi=1) -> 3
     assert np.all(t[k : m + k, k : m + k] == rank)          # interior: own rank
-    assert np.all(t[k : m + k, :k] == 0.0)                  # left neighbor
-    assert np.all(t[k : m + k, m + k :] == 2.0)             # right neighbor
-    assert np.all(t[:k, k : m + k] == rank + px)            # bottom wraps to y=1
-    assert np.all(t[m + k :, k : m + k] == rank + px)       # top neighbor (y=1)
+    assert np.all(t[k : m + k, :k] == rank - 1)             # left neighbor (xi=0)
+    assert np.all(t[k : m + k, m + k :] == rank - 1)        # right wraps (px=2)
+    assert np.all(t[:k, k : m + k] == rank - px)            # bottom neighbor (yi=0)
+    assert np.all(t[m + k :, k : m + k] == rank + px)       # top neighbor (yi=2)
 
 
 @pytest.mark.parametrize("bcs", [D4, P4, MIX])
@@ -157,10 +158,11 @@ def test_slab_path_matches_oracle(mesh_shape, bcs):
     px, py = mesh_shape
     cfg = make_cfg(128 * px, 128 * py, bcs, out_every=8)
     mx, my = 128, 128
-    assert sharded_tile_slab_multistep(
-        None, None, None, None, cfg, cfg.dt, 8, True,
-        probe=True, probe_shape=(my, mx),
-    ) is not None
+    for kk in range(1, 9):  # the advance requires probes for EVERY pass size
+        assert sharded_tile_slab_multistep(
+            None, None, None, None, cfg, cfg.dt, kk, True,
+            probe=True, probe_shape=(my, mx),
+        ) is not None, kk
     mesh = make_mesh(px, py, jax.devices()[: px * py])
     u = gaussian_hotspot(cfg, jnp.float32)
     ref = oracle(u, cfg, 19)
@@ -192,7 +194,7 @@ def test_exchange_halos_slabs_layout():
     """Slab layout contract: xhalo carries left ghosts right-aligned in
     [128-k,128) and right ghosts at [128,128+k); yhalo rows are
     bottom-then-top pads at kernel width with diagonal corners."""
-    px, py, k, m = 2, 2, 4, 8
+    px, py, k, m = 4, 2, 4, 8
     mesh = make_mesh(px, py)
 
     def body(_):
@@ -202,21 +204,34 @@ def test_exchange_halos_slabs_layout():
         yi = jax.lax.axis_index("y")
         rank = (yi * px + xi).astype(jnp.float32)
         tile = jnp.full((m, m), rank)
-        xh, _yh = exchange_halos_slabs(tile, px, py, k)
-        return xh
+        xh, yh = exchange_halos_slabs(tile, px, py, k)
+        # stack xhalo (m, 256) over yhalo (2k, m+256) cropped to 256 cols
+        return jnp.concatenate([xh, yh[:, :256]], axis=0)
 
     from jax.sharding import PartitionSpec
 
+    rows = m + 2 * k
     out = jax.jit(jax.shard_map(
         body, mesh=mesh,
         in_specs=PartitionSpec("y", "x"), out_specs=PartitionSpec("y", "x"),
         check_vma=False,
-    ))(jnp.zeros((py * m, px * 256), jnp.float32))
+    ))(jnp.zeros((py * rows, px * 256), jnp.float32))
     host = np.asarray(out)
-    # shard (yi=0, xi=0): left ghosts wrap to xi=1 (rank 1), right ghosts
-    # from xi=1 (rank 1); zeros elsewhere.
-    t = host[:m, :256]
-    assert np.all(t[:, 128 - k : 128] == 1.0)   # left ghost block
-    assert np.all(t[:, 128 : 128 + k] == 1.0)   # right ghost block
-    assert np.all(t[:, : 128 - k] == 0.0)
-    assert np.all(t[:, 128 + k :] == 0.0)
+    # shard (yi=0, xi=1): left neighbor rank 0, right neighbor rank 2 —
+    # distinct, so a swapped xhalo layout cannot pass.
+    t = host[:rows, 256:512]
+    assert np.all(t[:m, 128 - k : 128] == 0.0)   # left ghost block (xi=0)
+    assert np.all(t[:m, 128 : 128 + k] == 2.0)   # right ghost block (xi=2)
+    assert np.all(t[:m, : 128 - k] == 0.0)       # alignment zeros
+    assert np.all(t[:m, 128 + k :] == 0.0)
+    # yhalo (cropped to its first 256 cols): layout is
+    # [zeros(128-k) | gl (k cols) | tile cols ...]; bottom pad rows wrap to
+    # (yi=1, xi=1) = rank 5 whose LEFT-ghost cols are the diagonal
+    # (yi=1, xi=0) = rank 4.
+    yh = t[m : m + 2 * k, :]
+    assert np.all(yh[:, : 128 - k] == 0.0)                   # alignment zeros
+    assert np.all(yh[:k, 128 - k : 128] == 4.0)              # bottom pad, diagonal gl
+    assert np.all(yh[:k, 128 : 128 + m] == 5.0)              # bottom pad, tile cols
+    assert np.all(yh[:k, 128 + m : 128 + m + k] == 6.0)      # bottom pad, diagonal gr
+    assert np.all(yh[k:, 128 - k : 128] == 4.0)              # top pad (same y nbr, py=2)
+    assert np.all(yh[k:, 128 : 128 + m] == 5.0)

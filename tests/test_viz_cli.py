@@ -25,8 +25,11 @@ def test_parser_wiring(monkeypatch):
     parser = build_parser()
     args = parser.parse_args(["show", "--dir", "d", "--step", "3", "--overlay-minmax"])
     assert args.dir == "d" and args.step == 3 and args.overlay_minmax
-    # func defaults bound at parser construction; rebuild to pick up patch
     assert args.cmd == "show"
+    # func defaults are bound at parser construction; the parser above was
+    # built AFTER patching, so dispatching proves show -> cmd_show wiring.
+    args.func(args)
+    assert called == {"show": args}
 
 
 def test_show_requires_dir():
