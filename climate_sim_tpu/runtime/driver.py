@@ -125,7 +125,8 @@ def prepare(cfg: SimConfig, devices=None):
     dtype = _DTYPES[cfg.precision]
 
     dt, limit, clamped = clamp_dt(cfg.dt, cfg.dx, cfg.dy, cfg.vx, cfg.vy, cfg.D)
-    if clamped:
+    if clamped and is_controller():
+        # rank-0 warning, like the reference (main.cpp:44-47)
         print(
             f"[warn] dt={cfg.dt:g} exceeds stability limit {limit:g}"
             f" -> clamping to dt={dt:g}",
