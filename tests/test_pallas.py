@@ -185,3 +185,40 @@ def test_multistep_x_blocked_grid(bcs):
     out = multistep_kernel_step(u, cfg, cfg.dt, 8, interpret=True)
     assert out is not None
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.slow
+def test_seeded_fuzz_matches_oracle():
+    """Seeded random sweep over grids (incl. non-128-multiples), anisotropic
+    spacings, BC mixes, compat, and pass sizes — a standing corner-case net
+    (a 40-trial ad-hoc fuzz found zero failures; this keeps 6 fast trials)."""
+    import random
+
+    rng = random.Random(20260817)
+    bcs_pool = [BCType.DIRICHLET, BCType.NEUMANN, BCType.PERIODIC]
+    for _trial in range(6):
+        nx = rng.choice([40, 96, 128, 136, 200])
+        ny = rng.choice([24, 64, 96, 130])
+        D = rng.choice([0.0, 0.1, 0.24])
+        vx = rng.choice([0.0, -0.7, 1.0])
+        vy = rng.choice([0.5, -0.5, 0.9])
+        dx = rng.choice([0.5, 1.0, 2.0])
+        dy = rng.choice([0.5, 1.0, 2.0])
+        advt = abs(vx) / dx + abs(vy) / dy
+        dift = 2 * D * (1 / dx**2 + 1 / dy**2)
+        lim = min(1 / advt if advt else 9e9, 1 / dift if dift else 9e9)
+        dt = 0.9 * lim if lim < 9e9 else 0.1
+        k = rng.choice([2, 5, 8])
+        cfg = SimConfig(nx=nx, ny=ny, dx=dx, dy=dy, D=D, vx=vx, vy=vy,
+                        dt=dt, steps=8, out_every=8)
+        cfg.bc = BCConfig(*[rng.choice(bcs_pool) for _ in range(4)])
+        cfg.strict_reference_compat = rng.random() < 0.25
+        u = gaussian_hotspot(cfg, jnp.float32)
+        ref = oracle(u, cfg, k)
+        out = multistep_kernel_step(u, cfg, cfg.dt, k, interpret=True)
+        if out is None:
+            continue
+        scale = max(1.0, float(jnp.abs(ref).max()))
+        err = float(jnp.abs(out - ref).max()) / scale
+        assert err < 3e-5, (nx, ny, dx, dy, D, vx, vy, dt, k,
+                            cfg.strict_reference_compat, err)
