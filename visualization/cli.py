@@ -1,172 +1,204 @@
-"""climate-vis CLI (reference API: visualization/cli.py:94-167).
+"""``climate-vis`` command-line tool.
 
-Subcommands: ``show`` (one snapshot), ``compare`` (two dirs side-by-side),
-``animate`` (mp4/gif).  Step-selection grammar for --steps: "a-b", "a-",
-"-b", or "i,j,k".
+Flag surface matches the reference CLI (``visualization/cli.py:94-167``) so
+existing invocations keep working: ``show`` renders one snapshot,
+``compare`` puts two runs side by side, ``animate`` exports an mp4/gif.
+The parser itself is generated from a declarative command table rather than
+hand-wired per subcommand.
 """
 
 from __future__ import annotations
 
 import argparse
-from typing import Optional, Sequence
+import re
+from typing import Dict, List, Optional, Sequence
 
 from .io import list_available_steps, load_global, load_metadata
 from .plots import animate_from_outputs, compare_fields, imshow_field
 
+_RANGE_RE = re.compile(r"(\d*)-(\d*)\Z")
+
 
 def _parse_steps_arg(steps_arg: Optional[str], avail: Sequence[int]) -> Sequence[int]:
-    """Range/list grammar (reference: cli.py:7-16)."""
+    """Step-selection grammar: ``a-b`` / ``a-`` / ``-b`` ranges (clamped to
+    what exists) or an explicit ``i,j,k`` list.  ``None`` selects everything.
+
+    Reference grammar: visualization/cli.py:7-16.
+    """
     if steps_arg is None:
         return avail
-    s = steps_arg.strip()
-    if "-" in s:
-        lo_s, hi_s = s.split("-", 1)
-        lo = int(lo_s) if lo_s else (avail[0] if avail else 0)
-        hi = int(hi_s) if hi_s else (avail[-1] if avail else lo)
-        return [k for k in avail if lo <= k <= hi]
-    return [int(tok) for tok in s.split(",") if tok.strip()]
+    matched = _RANGE_RE.match(steps_arg.strip())
+    if matched:
+        lo_text, hi_text = matched.groups()
+        lo = int(lo_text) if lo_text else (avail[0] if avail else 0)
+        hi = int(hi_text) if hi_text else (avail[-1] if avail else lo)
+        return [s for s in avail if lo <= s <= hi]
+    return [int(tok) for tok in steps_arg.split(",") if tok.strip()]
 
 
-def cmd_show(args: argparse.Namespace) -> None:
-    steps = list_available_steps(args.dir)
-    if not steps:
-        raise SystemExit(f"No snapshots found in {args.dir}/snapshots")
-    step = args.step if args.step is not None else steps[-1]
-    U = load_global(args.dir, step, var=args.var)
-    meta = load_metadata(args.dir) if args.show_meta else None
-    imshow_field(
-        U,
-        title=args.title or f"{args.dir} :: step {step}",
-        cmap=args.cmap,
-        vmin=args.vmin,
-        vmax=args.vmax,
-        show=args.show,
-        save=args.save,
-        overlay_minmax=args.overlay_minmax,
-        metadata=meta,
-    )
-
-
-def cmd_compare(args: argparse.Namespace) -> None:
-    A = load_global(args.dir_a, args.step, var=args.var_a)
-    B = load_global(args.dir_b, args.step, var=args.var_b)
-    compare_fields(
-        A,
-        B,
-        titles=(args.title_a or "A", args.title_b or "B"),
-        cmap=args.cmap,
-        vmin=args.vmin,
-        vmax=args.vmax,
-        show_diff=not args.no_diff,
-        diff_cmap=args.diff_cmap,
-        diff_vlim=args.diff_vlim,
-        show=args.show,
-        save=args.save,
-        overlay_minmax=args.overlay_minmax,
-        metadata_a=load_metadata(args.dir_a) if args.show_meta else None,
-        metadata_b=load_metadata(args.dir_b) if args.show_meta else None,
-    )
-
-
-def cmd_animate(args: argparse.Namespace) -> None:
-    avail = list_available_steps(args.dir)
+def _require_steps(outputs_dir: str) -> List[int]:
+    """All available snapshot steps, or a clean exit if the run is empty."""
+    avail = list(list_available_steps(outputs_dir))
     if not avail:
-        raise SystemExit(f"No snapshots found in {args.dir}/snapshots")
-    if args.steps:
-        sel = _parse_steps_arg(args.steps, avail)
-    else:
-        sel = avail
-        if args.start is not None or args.end is not None or args.stride is not None:
-            lo = args.start if args.start is not None else avail[0]
-            hi = args.end if args.end is not None else avail[-1]
-            stride = args.stride if args.stride is not None else 1
-            sel = [k for k in avail if lo <= k <= hi][::stride]
-    meta = load_metadata(args.dir) if args.show_meta else None
-    animate_from_outputs(
-        args.dir,
-        var=args.var,
-        steps=sel,
-        interval_ms=args.interval,
-        fps=args.fps,
-        repeat=not args.no_repeat,
-        cmap=args.cmap,
-        vmin=args.vmin,
-        vmax=args.vmax,
-        save=args.save,
-        writer=args.writer,
-        title_prefix=args.title_prefix,
-        overlay_minmax=args.overlay_minmax,
-        metadata=meta,
+        raise SystemExit(f"No snapshots found under {outputs_dir}")
+    return avail
+
+
+def _meta_for(ns: argparse.Namespace, outputs_dir: str):
+    return load_metadata(outputs_dir) if ns.show_meta else None
+
+
+def _style_of(ns: argparse.Namespace) -> Dict[str, object]:
+    """The shared rendering kwargs every subcommand forwards."""
+    return {
+        "cmap": ns.cmap,
+        "vmin": ns.vmin,
+        "vmax": ns.vmax,
+        "show": ns.show,
+        "save": ns.save,
+        "overlay_minmax": ns.overlay_minmax,
+    }
+
+
+def cmd_show(ns: argparse.Namespace) -> None:
+    avail = _require_steps(ns.dir)
+    step = avail[-1] if ns.step is None else ns.step
+    imshow_field(
+        load_global(ns.dir, step, var=ns.var),
+        title=ns.title or f"{ns.dir} :: step {step}",
+        metadata=_meta_for(ns, ns.dir),
+        **_style_of(ns),
     )
 
 
-def _add_common_style_args(p: argparse.ArgumentParser) -> None:
-    p.add_argument("--cmap", default="viridis")
-    p.add_argument("--vmin", type=float)
-    p.add_argument("--vmax", type=float)
-    p.add_argument("--show", action="store_true")
-    p.add_argument("--overlay-minmax", action="store_true")
+def cmd_compare(ns: argparse.Namespace) -> None:
+    fields = [
+        load_global(d, ns.step, var=v) for d, v in ((ns.dir_a, ns.var_a), (ns.dir_b, ns.var_b))
+    ]
+    compare_fields(
+        *fields,
+        titles=(ns.title_a or "A", ns.title_b or "B"),
+        show_diff=not ns.no_diff,
+        diff_cmap=ns.diff_cmap,
+        diff_vlim=ns.diff_vlim,
+        metadata_a=_meta_for(ns, ns.dir_a),
+        metadata_b=_meta_for(ns, ns.dir_b),
+        **_style_of(ns),
+    )
+
+
+def _select_frames(ns: argparse.Namespace, avail: Sequence[int]) -> Sequence[int]:
+    """Resolve the animate selection: explicit grammar wins, then the
+    start/end/stride window, then everything."""
+    if ns.steps:
+        return _parse_steps_arg(ns.steps, avail)
+    if ns.start is None and ns.end is None and ns.stride is None:
+        return avail
+    lo = avail[0] if ns.start is None else ns.start
+    hi = avail[-1] if ns.end is None else ns.end
+    window = [s for s in avail if lo <= s <= hi]
+    return window[:: ns.stride or 1]
+
+
+def cmd_animate(ns: argparse.Namespace) -> None:
+    avail = _require_steps(ns.dir)
+    animate_from_outputs(
+        ns.dir,
+        var=ns.var,
+        steps=_select_frames(ns, avail),
+        interval_ms=ns.interval,
+        fps=ns.fps,
+        repeat=not ns.no_repeat,
+        writer=ns.writer,
+        title_prefix=ns.title_prefix,
+        metadata=_meta_for(ns, ns.dir),
+        **_style_of(ns),
+    )
+
+
+# Declarative command table: subcommand -> (help, handler name, extra args).
+# Shared style flags are appended to every subcommand.  Each arg row is
+# (flag, add_argument kwargs).
+_STYLE_ARGS = [
+    ("--cmap", {"default": "viridis"}),
+    ("--vmin", {"type": float}),
+    ("--vmax", {"type": float}),
+    ("--show", {"action": "store_true"}),
+    ("--overlay-minmax", {"action": "store_true"}),
+]
+
+_COMMANDS = {
+    "show": {
+        "help": "Render a single snapshot",
+        "handler": "cmd_show",
+        "args": [
+            ("--dir", {"required": True}),
+            ("--var", {"default": "u"}),
+            ("--step", {"type": int}),
+            ("--title", {}),
+            ("--save", {}),
+            ("--show-meta", {"action": "store_true", "help": "Overlay metadata on image"}),
+        ],
+    },
+    "compare": {
+        "help": "Side-by-side comparison",
+        "handler": "cmd_compare",
+        "args": [
+            ("--dir-a", {"required": True}),
+            ("--dir-b", {"required": True}),
+            ("--var-a", {"default": "u"}),
+            ("--var-b", {"default": "u"}),
+            ("--step", {"type": int, "required": True}),
+            ("--title-a", {}),
+            ("--title-b", {}),
+            ("--no-diff", {"action": "store_true"}),
+            ("--diff-cmap", {"default": "coolwarm"}),
+            ("--diff-vlim", {"type": float}),
+            ("--save", {}),
+            ("--show-meta", {"action": "store_true", "help": "Overlay metadata on images"}),
+        ],
+    },
+    "animate": {
+        "help": "Create animation",
+        "handler": "cmd_animate",
+        "args": [
+            ("--dir", {"required": True}),
+            ("--var", {"default": "u"}),
+            ("--steps", {}),
+            ("--start", {"type": int}),
+            ("--end", {"type": int}),
+            ("--stride", {"type": int}),
+            ("--interval", {"type": int, "default": 150}),
+            ("--fps", {"type": int, "default": 12}),
+            ("--no-repeat", {"action": "store_true"}),
+            ("--save", {"required": True}),
+            ("--writer", {"choices": ["ffmpeg", "pillow"]}),
+            ("--title-prefix", {"default": "timestep"}),
+            ("--show-meta", {"action": "store_true", "help": "Overlay metadata on animation"}),
+        ],
+    },
+}
 
 
 def build_parser() -> argparse.ArgumentParser:
-    parser = argparse.ArgumentParser(
+    root = argparse.ArgumentParser(
         prog="climate-vis",
         description="Quick CLI for visualizing climate_sim outputs.",
     )
-    sub = parser.add_subparsers(dest="cmd", required=True)
-
-    ps = sub.add_parser("show", help="Render a single snapshot")
-    ps.add_argument("--dir", required=True)
-    ps.add_argument("--var", default="u")
-    ps.add_argument("--step", type=int)
-    ps.add_argument("--title")
-    _add_common_style_args(ps)
-    ps.add_argument("--save")
-    ps.add_argument("--show-meta", action="store_true", help="Overlay metadata on image")
-    ps.set_defaults(func=cmd_show)
-
-    pc = sub.add_parser("compare", help="Side-by-side comparison")
-    pc.add_argument("--dir-a", required=True)
-    pc.add_argument("--dir-b", required=True)
-    pc.add_argument("--var-a", default="u")
-    pc.add_argument("--var-b", default="u")
-    pc.add_argument("--step", type=int, required=True)
-    pc.add_argument("--title-a")
-    pc.add_argument("--title-b")
-    _add_common_style_args(pc)
-    pc.add_argument("--no-diff", action="store_true")
-    pc.add_argument("--diff-cmap", default="coolwarm")
-    pc.add_argument("--diff-vlim", type=float)
-    pc.add_argument("--save")
-    pc.add_argument("--show-meta", action="store_true", help="Overlay metadata on images")
-    pc.set_defaults(func=cmd_compare)
-
-    pa = sub.add_parser("animate", help="Create animation")
-    pa.add_argument("--dir", required=True)
-    pa.add_argument("--var", default="u")
-    sel = pa.add_mutually_exclusive_group()
-    sel.add_argument("--steps")
-    rng = pa.add_argument_group("range selection")
-    rng.add_argument("--start", type=int)
-    rng.add_argument("--end", type=int)
-    rng.add_argument("--stride", type=int)
-    pa.add_argument("--interval", type=int, default=150)
-    pa.add_argument("--fps", type=int, default=12)
-    pa.add_argument("--no-repeat", action="store_true")
-    _add_common_style_args(pa)
-    pa.add_argument("--save", required=True)
-    pa.add_argument("--writer", choices=["ffmpeg", "pillow"])
-    pa.add_argument("--title-prefix", default="timestep")
-    pa.add_argument("--show-meta", action="store_true", help="Overlay metadata on animation")
-    pa.set_defaults(func=cmd_animate)
-
-    return parser
+    subs = root.add_subparsers(dest="cmd", required=True)
+    for name, spec in _COMMANDS.items():
+        sp = subs.add_parser(name, help=spec["help"])
+        for flag, kwargs in spec["args"] + _STYLE_ARGS:
+            sp.add_argument(flag, **kwargs)
+        # Handler is resolved through module globals at build time so tests
+        # (and embedders) can swap it before constructing the parser.
+        sp.set_defaults(func=globals()[spec["handler"]])
+    return root
 
 
 def main(argv: Optional[Sequence[str]] = None) -> None:
-    parser = build_parser()
-    args = parser.parse_args(argv)
-    args.func(args)
+    ns = build_parser().parse_args(argv)
+    ns.func(ns)
 
 
 if __name__ == "__main__":

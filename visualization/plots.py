@@ -1,100 +1,190 @@
-"""Plotting helpers (reference API: visualization/plots.py:84-249).
+"""Figure builders for climate_sim_tpu snapshot outputs.
 
-Same public surface and rendering conventions as the reference:
-``origin="lower"``, equal aspect, viridis default; optional min/max overlay
-and metadata overlay (description/grid/dt/D/velocity subtitle + per-edge BC
-labels parsed from the ``boundary_conditions`` attribute); side-by-side
-comparison with an optional symmetric-coolwarm B-A diff panel; lazy-loading
-FuncAnimation saved via ffmpeg (.mp4) or pillow (.gif).
+Behavioral parity targets (reference ``visualization/plots.py:84-249``): a
+single-snapshot renderer, a side-by-side comparison with an optional
+difference panel, and an animation exporter.  The implementation is a small
+declarative panel engine: every figure is described as a sequence of
+:class:`_Panel` specs (data + colormap + overlay "stamps"), and one
+``_compose`` routine materializes the whole figure.  Overlay stamps are
+composable callables so the same extrema / run-info / edge-label annotations
+work identically across all three entry points.
+
+Public signatures are kept compatible with the reference so downstream
+notebooks keep working; everything behind them is independent.
 """
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence, Tuple
+import re
+from dataclasses import dataclass, field as dc_field
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
-import numpy as np
 import matplotlib.pyplot as plt
-from matplotlib.animation import FFMpegWriter, FuncAnimation, PillowWriter
+import numpy as np
+from matplotlib.animation import FuncAnimation
 
 from .io import list_available_steps, load_global
 
+# Rendering conventions: index (0,0) at the lower-left (y up), square pixels.
+_PANEL_INCHES = 5.0
+_SAVE_DPI = 144
 
-def _render(ax, U, cmap, vmin, vmax):
-    """imshow with the fixed orientation conventions (y up, equal aspect)."""
-    img = ax.imshow(U, origin="lower", cmap=cmap, vmin=vmin, vmax=vmax)
-    ax.set_aspect("equal")
-    ax.set_xlabel("x")
-    ax.set_ylabel("y")
-    return img
+# Where each boundary-condition label sits, as (x-frac, y-frac, rotation,
+# horizontal anchor, vertical anchor) in axes coordinates.
+_EDGE_SLOTS: Dict[str, Tuple[float, float, float, str, str]] = {
+    "left": (-0.10, 0.5, 90.0, "right", "center"),
+    "right": (1.10, 0.5, -90.0, "left", "center"),
+    "bottom": (0.5, -0.10, 0.0, "center", "top"),
+    "top": (0.5, 1.08, 0.0, "center", "bottom"),
+}
+
+# Metadata keys that form the one-line run summary, with display labels.
+_RUN_INFO_KEYS = (("grid", "grid"), ("dt", "dt"), ("D", "D"), ("velocity", "v"))
+
+Stamp = Callable[[plt.Axes, np.ndarray], List[plt.Artist]]
 
 
-def _overlay_minmax(ax, U) -> None:
-    lo = float(np.nanmin(U))
-    hi = float(np.nanmax(U))
-    ax.text(
-        0.99,
-        0.99,
-        f"min={lo:.2f}\nmax={hi:.2f}",
-        transform=ax.transAxes,
+def _stamp_extrema(ax: plt.Axes, data: np.ndarray) -> List[plt.Artist]:
+    """Pin the field's min/max in the top-right corner."""
+    label = "min={:.2f}\nmax={:.2f}".format(
+        float(np.nanmin(data)), float(np.nanmax(data))
+    )
+    artist = ax.annotate(
+        label,
+        xy=(1.0, 1.0),
+        xycoords="axes fraction",
+        xytext=(-3, -3),
+        textcoords="offset points",
         ha="right",
         va="top",
         fontsize=8,
         color="white",
-        bbox=dict(facecolor="black", alpha=0.5, edgecolor="none"),
+        bbox={"facecolor": "black", "alpha": 0.5, "edgecolor": "none"},
     )
+    return [artist]
 
 
-def _parse_bc_attr(bc_text: str) -> Dict[str, str]:
-    """'left=a right=b ...' -> {'left': 'a', ...}; tolerant of junk."""
-    out: Dict[str, str] = {}
-    try:
-        for token in bc_text.split():
-            key, _, val = token.partition("=")
-            if val:
-                out[key] = val
-    except Exception:
-        return {}
-    return out
+def _decode_edges(spec: str) -> Dict[str, str]:
+    """Parse ``"left=dirichlet right=neumann"`` into a side->label map.
+
+    Tokens that are not ``word=value`` pairs are ignored rather than raised,
+    matching the tolerant contract of the reference overlay.
+    """
+    return {side: label for side, label in re.findall(r"(\w+)=(\S+)", spec or "")}
 
 
-def _overlay_metadata(ax, metadata: Dict[str, str]) -> None:
-    if not metadata:
-        return
+def _make_metadata_stamp(metadata: Dict[str, str]) -> Stamp:
+    """Build a stamp that writes the run summary and per-edge BC labels."""
+    summary_bits = [
+        f"{label}={metadata[key]}" for key, label in _RUN_INFO_KEYS if metadata.get(key)
+    ]
+    headline = metadata.get("description", "")
+    summary = " | ".join(summary_bits)
+    edges = _decode_edges(metadata.get("boundary_conditions", ""))
 
-    parts = []
-    for key, label in (("grid", "grid"), ("dt", "dt"), ("D", "D"), ("velocity", "v")):
-        val = metadata.get(key, "")
-        if val:
-            parts.append(f"{label}={val}")
-    desc = metadata.get("description", "")
-    subtitle = " | ".join(parts)
-    if desc or subtitle:
-        ax.text(
-            0.5,
-            0.96,
-            f"{desc}\n{subtitle}",
-            transform=ax.transAxes,
-            ha="center",
-            va="top",
-            fontsize=9,
-            color="gray",
-        )
-
-    bcs = _parse_bc_attr(metadata.get("boundary_conditions", ""))
-    style = dict(fontsize=9, color="black")
-    placements = {
-        "left": dict(x=-0.12, y=0.5, rotation=90, ha="right", va="center"),
-        "right": dict(x=1.12, y=0.5, rotation=-90, ha="left", va="center"),
-        "bottom": dict(x=0.5, y=-0.12, rotation=0, ha="center", va="top"),
-        "top": dict(x=0.5, y=1.10, rotation=0, ha="center", va="bottom"),
-    }
-    for side, pl in placements.items():
-        if side in bcs:
-            ax.text(
-                pl["x"], pl["y"], bcs[side],
-                transform=ax.transAxes, rotation=pl["rotation"],
-                ha=pl["ha"], va=pl["va"], **style,
+    def stamp(ax: plt.Axes, _data: np.ndarray) -> List[plt.Artist]:
+        artists: List[plt.Artist] = []
+        if headline or summary:
+            artists.append(
+                ax.annotate(
+                    f"{headline}\n{summary}",
+                    xy=(0.5, 1.0),
+                    xycoords="axes fraction",
+                    xytext=(0, -6),
+                    textcoords="offset points",
+                    ha="center",
+                    va="top",
+                    fontsize=9,
+                    color="gray",
+                )
             )
+        for side, label in edges.items():
+            slot = _EDGE_SLOTS.get(side)
+            if slot is None:
+                continue
+            xf, yf, rot, ha, va = slot
+            artists.append(
+                ax.text(
+                    xf,
+                    yf,
+                    label,
+                    transform=ax.transAxes,
+                    rotation=rot,
+                    ha=ha,
+                    va=va,
+                    fontsize=9,
+                    color="black",
+                )
+            )
+        return artists
+
+    return stamp
+
+
+def _gather_stamps(
+    overlay_minmax: bool, metadata: Optional[Dict[str, str]]
+) -> Tuple[Stamp, ...]:
+    stamps: List[Stamp] = []
+    if overlay_minmax:
+        stamps.append(_stamp_extrema)
+    if metadata:
+        stamps.append(_make_metadata_stamp(metadata))
+    return tuple(stamps)
+
+
+@dataclass
+class _Panel:
+    """One image panel in a composed figure."""
+
+    data: np.ndarray
+    title: Optional[str] = None
+    cmap: str = "viridis"
+    clim: Tuple[Optional[float], Optional[float]] = (None, None)
+    stamps: Tuple[Stamp, ...] = dc_field(default_factory=tuple)
+
+
+def _draw_panel(ax: plt.Axes, panel: _Panel) -> plt.Artist:
+    """Render one panel onto an existing axes; returns the image artist."""
+    lo, hi = panel.clim
+    image = ax.imshow(panel.data, origin="lower", cmap=panel.cmap, vmin=lo, vmax=hi)
+    ax.set_aspect("equal")
+    ax.set_xlabel("x")
+    ax.set_ylabel("y")
+    if panel.title is not None:
+        ax.set_title(panel.title)
+    for stamp in panel.stamps:
+        stamp(ax, panel.data)
+    return image
+
+
+def _compose(panels: Sequence[_Panel]):
+    """Materialize a row of panels as a figure; returns (fig, axes-list)."""
+    n = len(panels)
+    fig, axes = plt.subplots(
+        1, n, figsize=(_PANEL_INCHES * n, _PANEL_INCHES), squeeze=False
+    )
+    row = list(axes[0])
+    for ax, panel in zip(row, panels):
+        _draw_panel(ax, panel)
+    return fig, row
+
+
+def _finish(fig, show: bool, save: Optional[str]) -> None:
+    if save:
+        fig.savefig(save, dpi=_SAVE_DPI, bbox_inches="tight")
+    if show:
+        plt.show()
+
+
+def _shared_range(
+    arrays: Sequence[np.ndarray], lo: Optional[float], hi: Optional[float]
+) -> Tuple[float, float]:
+    """Fill in missing color limits from the joint data envelope."""
+    if lo is None:
+        lo = float(min(np.nanmin(a) for a in arrays))
+    if hi is None:
+        hi = float(max(np.nanmax(a) for a in arrays))
+    return lo, hi
 
 
 def imshow_field(
@@ -109,24 +199,23 @@ def imshow_field(
     overlay_minmax: bool = False,
     metadata: Optional[Dict[str, str]] = None,
 ):
-    """Render one snapshot; returns (fig, ax)."""
+    """Render one snapshot field; returns ``(fig, ax)``.
+
+    Reference behavior target: visualization/plots.py:84-117.
+    """
+    panel = _Panel(
+        data=np.asarray(U),
+        title=title,
+        cmap=cmap,
+        clim=(vmin, vmax),
+        stamps=_gather_stamps(overlay_minmax, metadata),
+    )
     if ax is None:
-        fig, ax = plt.subplots(figsize=(6, 6))
+        fig, (ax,) = _compose([panel])
     else:
         fig = ax.figure
-
-    _render(ax, U, cmap, vmin, vmax)
-    if title:
-        ax.set_title(title)
-    if overlay_minmax:
-        _overlay_minmax(ax, U)
-    if metadata:
-        _overlay_metadata(ax, metadata)
-
-    if save:
-        fig.savefig(save, dpi=150, bbox_inches="tight")
-    if show:
-        plt.show()
+        _draw_panel(ax, panel)
+    _finish(fig, show, save)
     return fig, ax
 
 
@@ -146,38 +235,30 @@ def compare_fields(
     metadata_a: Optional[Dict[str, str]] = None,
     metadata_b: Optional[Dict[str, str]] = None,
 ):
-    """Side-by-side panels on a shared color scale, optional B-A diff panel
-    with symmetric limits; returns (fig, axes)."""
+    """Two fields on one shared color scale, plus an optional ``B - A``
+    panel with symmetric limits; returns ``(fig, axes)``.
+
+    Reference behavior target: visualization/plots.py:120-177.
+    """
+    A = np.asarray(A)
+    B = np.asarray(B)
     assert A.shape == B.shape, "Fields must have the same shape"
 
-    if vmin is None:
-        vmin = float(np.nanmin([A.min(), B.min()]))
-    if vmax is None:
-        vmax = float(np.nanmax([A.max(), B.max()]))
-
-    ncols = 3 if show_diff else 2
-    fig, axes = plt.subplots(1, ncols, figsize=(6 * ncols, 6))
-
-    for ax, U, title, meta in zip(axes[:2], (A, B), titles, (metadata_a, metadata_b)):
-        _render(ax, U, cmap, vmin, vmax)
-        ax.set_title(title)
-        if overlay_minmax:
-            _overlay_minmax(ax, U)
-        if meta:
-            _overlay_metadata(ax, meta)
-
+    lo, hi = _shared_range((A, B), vmin, vmax)
+    panels = [
+        _Panel(A, titles[0], cmap, (lo, hi), _gather_stamps(overlay_minmax, metadata_a)),
+        _Panel(B, titles[1], cmap, (lo, hi), _gather_stamps(overlay_minmax, metadata_b)),
+    ]
     if show_diff:
-        D = B - A
+        delta = B - A
         if diff_vlim is None:
-            peak = float(np.nanmax(np.abs(D)))
-            diff_vlim = peak if peak > 0 else 1e-16
-        _render(axes[2], D, diff_cmap, -diff_vlim, diff_vlim)
-        axes[2].set_title("B - A")
+            # Keep the limits strictly positive even for an identical pair so
+            # the symmetric colormap stays centered and well-defined.
+            diff_vlim = max(float(np.nanmax(np.abs(delta))), np.finfo(np.float64).tiny)
+        panels.append(_Panel(delta, "B - A", diff_cmap, (-diff_vlim, diff_vlim)))
 
-    if save:
-        fig.savefig(save, dpi=150, bbox_inches="tight")
-    if show:
-        plt.show()
+    fig, axes = _compose(panels)
+    _finish(fig, show, save)
     return fig, axes
 
 
@@ -198,52 +279,62 @@ def animate_from_outputs(
     overlay_minmax: bool = False,
     metadata: Optional[Dict[str, str]] = None,
 ):
-    """Animate snapshots (lazily loaded per frame); color limits default to
-    the first/last frame envelope; returns (anim, fig, ax)."""
+    """Animate snapshots, loading each frame lazily; returns
+    ``(anim, fig, ax)``.
+
+    Color limits default to the envelope of the first and last frames so the
+    scale is stable without reading every record up front.  Reference
+    behavior target: visualization/plots.py:180-249.
+    """
     if steps is None:
         steps = list_available_steps(base_outputs_dir)
+    steps = list(steps)
     if not steps:
         raise RuntimeError(f"No steps found in {base_outputs_dir}")
 
-    first = load_global(base_outputs_dir, steps[0], var=var)
-    last = load_global(base_outputs_dir, steps[-1], var=var)
-    if vmin is None:
-        vmin = float(min(first.min(), last.min()))
-    if vmax is None:
-        vmax = float(max(first.max(), last.max()))
+    def frame(step: int) -> np.ndarray:
+        return load_global(base_outputs_dir, step, var=var)
 
-    fig, ax = plt.subplots(figsize=(6, 6))
-    img = _render(ax, first, cmap, vmin, vmax)
-    title = ax.set_title(f"{title_prefix}: {steps[0]}")
-    if overlay_minmax:
-        _overlay_minmax(ax, first)
-    if metadata:
-        _overlay_metadata(ax, metadata)
+    first = frame(steps[0])
+    last = frame(steps[-1])
+    lo, hi = _shared_range((first, last), vmin, vmax)
 
-    def _update(i: int):
-        step = steps[i]
-        U = load_global(base_outputs_dir, step, var=var)
-        img.set_data(U)
-        title.set_text(f"{title_prefix}: {step}")
-        for t in list(ax.texts):
-            t.remove()
-        if overlay_minmax:
-            _overlay_minmax(ax, U)
-        if metadata:
-            _overlay_metadata(ax, metadata)
-        return [img]
+    stamps = _gather_stamps(overlay_minmax, metadata)
+    panel = _Panel(first, f"{title_prefix}: {steps[0]}", cmap, (lo, hi))
+    fig, (ax,) = _compose([panel])
+    image = ax.images[0]
+    # Stamp artists are tracked so each frame can replace exactly its own
+    # overlays without disturbing any other text on the axes.
+    live: List[plt.Artist] = []
+
+    def restamp(data: np.ndarray) -> None:
+        while live:
+            live.pop().remove()
+        for stamp in stamps:
+            live.extend(stamp(ax, data))
+
+    restamp(first)
+
+    def advance(i: int):
+        data = frame(steps[i])
+        image.set_data(data)
+        ax.set_title(f"{title_prefix}: {steps[i]}")
+        restamp(data)
+        return [image]
 
     anim = FuncAnimation(
-        fig, _update, frames=len(steps), interval=interval_ms, blit=False, repeat=repeat
+        fig,
+        advance,
+        frames=len(steps),
+        interval=interval_ms,
+        blit=False,
+        repeat=repeat,
     )
 
     if save:
         if writer is None:
             writer = "ffmpeg" if save.lower().endswith(".mp4") else "pillow"
-        if writer == "ffmpeg":
-            anim.save(save, writer=FFMpegWriter(fps=fps, bitrate=-1))
-        else:
-            anim.save(save, writer=PillowWriter(fps=fps))
+        anim.save(save, writer=writer, fps=fps)
     if show:
         plt.show()
     return anim, fig, ax
