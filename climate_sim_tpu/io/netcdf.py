@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import os
 import struct
-from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -156,11 +156,18 @@ class NetCDFWriter:
         w.close()
     """
 
-    def __init__(self, path: str, version: int = 5):
+    def __init__(self, path: str, version: int = 5, create: bool = True):
+        """``create=False`` attaches to a file another process created with
+        the SAME schema: ``enddef`` computes the identical layout but opens
+        the existing file read-write instead of writing a header.  This is
+        the per-process half of parallel hyperslab writes (see
+        :meth:`put_rec_region`); only the creating process owns the header
+        (including the numrecs field)."""
         if version not in (1, 2, 5):
             raise ValueError("version must be 1, 2, or 5")
         self.path = path
         self.version = version
+        self.create = create
         self._dims: List[Tuple[str, Optional[int]]] = []
         self._dimids: Dict[str, int] = {}
         self._gatts: Dict[str, Any] = {}
@@ -265,8 +272,28 @@ class NetCDFWriter:
         header = self._encode_header(begins)
         header += b"\x00" * _pad4(len(header))
 
-        self._f = open(self.path, "w+b")
-        self._f.write(header)
+        if self.create:
+            self._f = open(self.path, "w+b")
+            self._f.write(header)
+            # Attaching writers on other processes read this header back as
+            # soon as their open-barrier releases: make it visible now.
+            self._f.flush()
+        else:
+            # Attach mode: the creator already wrote this header.  Verify the
+            # on-disk layout matches ours byte-for-byte (numrecs excluded —
+            # it advances as records are appended) so region offsets below
+            # are guaranteed to land where the creator's reader expects them.
+            self._f = open(self.path, "r+b")
+            ondisk = self._f.read(len(header))
+            w = 8 if self.version == 5 else 4
+            if (len(ondisk) != len(header)
+                    or ondisk[:4] != header[:4]
+                    or ondisk[4 + w:] != header[4 + w:]):
+                self._f.close()
+                self._f = None
+                raise ValueError(
+                    f"{self.path}: existing header does not match this schema"
+                )
         self._defined = True
 
     def _encode_header(self, begins: Dict[str, int]) -> bytes:
@@ -363,6 +390,72 @@ class NetCDFWriter:
         if pad > 0:
             self._f.write(b"\x00" * pad)
         if irec + 1 > self._numrecs:
+            self._numrecs = irec + 1
+            self._patch_numrecs()
+
+    def put_rec_region(self, name: str, irec: int, corner: Sequence[int], block) -> None:
+        """Write a rectangular sub-block of one record at global indices
+        ``corner`` (one start index per non-record dimension).
+
+        This is the per-rank hyperslab write of the reference's collective
+        ``ncmpi_put_vara_double_all`` at ``start={step, y_off, x_off}``
+        (io.cpp:402-424): record offsets in a classic file are deterministic
+        (``begin + irec*recsize`` plus the row-major element offset), so any
+        number of processes can write disjoint regions of the same record
+        concurrently with plain pwrites — no gather, no coordination beyond
+        the header barrier at open.
+
+        Only the creating writer maintains the header's numrecs field;
+        attached writers (``create=False``) never touch the header.
+        """
+        if not self._defined:
+            raise RuntimeError("put_rec_region before enddef")
+        v = self._vars[name]
+        if not v["isrec"]:
+            raise ValueError(f"{name} is not a record variable")
+        dt = _TYPE_TO_DTYPE[v["nc_type"]]
+        full = self._var_shape(v)[1:]  # per-record shape
+        block = np.ascontiguousarray(block, dtype=dt)
+        corner = tuple(int(c) for c in corner)
+        if len(corner) != len(full) or block.ndim != len(full):
+            raise ValueError(
+                f"corner/block rank {len(corner)}/{block.ndim} != {len(full)}"
+            )
+        for c, b, n in zip(corner, block.shape, full):
+            if c < 0 or c + b > n:
+                raise ValueError(f"region {corner}+{block.shape} exceeds {full}")
+
+        rec_base = self._begins[name] + irec * self._recsize
+        itemsize = dt.itemsize
+        # Row-major strides (in elements) of the full per-record slab.
+        strides = [1] * len(full)
+        for k in range(len(full) - 2, -1, -1):
+            strides[k] = strides[k + 1] * full[k + 1]
+
+        start_el = sum(c * s for c, s in zip(corner, strides))
+
+        # Fast path: the block spans full extents in every dim but the first
+        # (e.g. a 1-D y decomposition writing full-width row bands), so it is
+        # one contiguous span in the slab -> a single seek+write.
+        if all(c == 0 and b == n for c, b, n in
+               zip(corner[1:], block.shape[1:], full[1:])):
+            self._f.seek(rec_base + start_el * itemsize)
+            self._f.write(block.tobytes())
+            self._maybe_grow_numrecs(irec)
+            return
+
+        # General path: one write per contiguous row segment.
+        lead_shape = block.shape[:-1]
+        flat = block.reshape(-1, block.shape[-1])
+        for i, idx in enumerate(np.ndindex(*lead_shape) if lead_shape else [()]):
+            el = sum((corner[k] + idx[k]) * strides[k] for k in range(len(idx)))
+            el += corner[-1] * strides[-1]
+            self._f.seek(rec_base + el * itemsize)
+            self._f.write(flat[i].tobytes())
+        self._maybe_grow_numrecs(irec)
+
+    def _maybe_grow_numrecs(self, irec: int) -> None:
+        if self.create and irec + 1 > self._numrecs:
             self._numrecs = irec + 1
             self._patch_numrecs()
 

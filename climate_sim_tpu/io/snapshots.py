@@ -46,6 +46,76 @@ def metadata_attrs(cfg: SimConfig) -> dict:
     }
 
 
+def _define_schema(w: NetCDFWriter, cfg: SimConfig) -> None:
+    """The frozen ``u(time, y, x)`` schema + global attrs (io.cpp:378-448)."""
+    w.def_dim("time", None)
+    w.def_dim("y", cfg.ny)
+    w.def_dim("x", cfg.nx)
+    w.def_var("u", np.float64, ("time", "y", "x"))
+    for k, v in metadata_attrs(cfg).items():
+        w.put_gatt(k, v)
+    w.enddef()
+
+
+class ShardedSnapshotWriter:
+    """Per-process parallel snapshot writes: every process writes ONLY the
+    rows of its locally-addressable shards, at deterministic record offsets.
+
+    This is the TPU-native analogue of the reference's collective per-rank
+    hyperslab writes (``ncmpi_put_vara_double_all`` at
+    ``start={step, y_off, x_off}``, io.cpp:402-424): all processes open the
+    same file on a shared filesystem; the creating process (the controller)
+    writes the header and maintains numrecs; everyone else attaches with
+    ``create=False`` (which byte-verifies the header) and pwrites disjoint
+    regions.  No process ever materializes the (ny, nx) global array, so
+    host memory stays O(shard) and writes proceed in parallel.
+
+    Caller contract: construct with ``create=True`` on exactly one process,
+    barrier, then ``create=False`` elsewhere (the driver does this).
+    """
+
+    def __init__(self, path: str, cfg: SimConfig, create: bool):
+        self.path = path
+        self.cfg = cfg
+        if create:
+            d = os.path.dirname(path)
+            if d:
+                os.makedirs(d, exist_ok=True)
+        self._w = NetCDFWriter(path, version=5, create=create)
+        _define_schema(self._w, cfg)
+        self._next_index = 0
+
+    @property
+    def time_index(self) -> int:
+        return self._next_index
+
+    def write_shards(self, u, step_index: Optional[int] = None) -> int:
+        """Append this process's shards of one snapshot; returns the record
+        index.  ``u`` is a (possibly multi-host) sharded ``jax.Array`` of the
+        global interior field."""
+        idx = self._next_index if step_index is None else step_index
+        for shard in u.addressable_shards:
+            if shard.replica_id:  # replicated copy: rows already covered
+                continue
+            ys, xs = shard.index
+            block = np.asarray(shard.data, dtype=np.float64)
+            self._w.put_rec_region("u", idx, (ys.start or 0, xs.start or 0), block)
+        self._next_index = max(self._next_index, idx + 1)
+        return idx
+
+    def sync(self) -> None:
+        self._w.sync()
+
+    def close(self) -> None:
+        self._w.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 class SnapshotWriter:
     """Writes ``u(time, y, x)`` snapshots; one instance per run.
 
@@ -71,13 +141,7 @@ class SnapshotWriter:
 
         if self._native is None:
             self._w = NetCDFWriter(path, version=5)
-            self._w.def_dim("time", None)
-            self._w.def_dim("y", cfg.ny)
-            self._w.def_dim("x", cfg.nx)
-            self._w.def_var("u", np.float64, ("time", "y", "x"))
-            for k, v in metadata_attrs(cfg).items():
-                self._w.put_gatt(k, v)
-            self._w.enddef()
+            _define_schema(self._w, cfg)
         else:
             self._w = None
         self._next_index = 0

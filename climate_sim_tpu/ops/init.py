@@ -19,8 +19,6 @@ from a classic-NetCDF file; a 3D ``(time, y, x)`` variable restarts from its
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import numpy as np
 import jax.numpy as jnp
 
@@ -51,27 +49,19 @@ def constant_zero(cfg: SimConfig, dtype=jnp.float32) -> jnp.ndarray:
 
 
 def from_file(cfg: SimConfig, dtype=jnp.float32) -> jnp.ndarray:
-    """Read the IC from a NetCDF file (completes the reference's stub)."""
-    from ..io.netcdf import NetCDFFile
+    """Read the IC from a NetCDF file (completes the reference's stub).
+
+    Accepts both format families: classic CDF-1/2/5 (this framework's own
+    snapshots) and NETCDF4/HDF5 — the format the reference ecosystem's IC
+    producer writes (reference scripts/generate_ic.py:23).  A 3D
+    ``(time, y, x)`` variable restarts from its last record.
+    """
+    from ..io.datasets import load_field
 
     path = cfg.ic.path
     if not path:
         raise ValueError("ic.mode='file' requires ic.path")
-    var = cfg.ic.var or "u"
-    with NetCDFFile(path) as ds:
-        if var not in ds.variables:
-            raise KeyError(f"Variable '{var}' not found in {path}")
-        v = ds.variables[var]
-        if v.ndim == 2:
-            data = v[:, :]
-        elif v.ndim == 3:
-            nt = ds.dimensions.get(v.dims[0], v.shape[0])
-            if nt == 0:
-                raise ValueError(f"{path}: variable '{var}' has no records")
-            data = v[nt - 1, :, :]
-        else:
-            raise ValueError(f"{path}: variable '{var}' must be 2D (y,x) or 3D (time,y,x)")
-    data = np.asarray(data, dtype=np.float64)
+    data = load_field(path, cfg.ic.var or "u")
     if data.shape != (cfg.ny, cfg.nx):
         raise ValueError(
             f"IC shape {data.shape} does not match grid (ny={cfg.ny}, nx={cfg.nx})"
@@ -79,14 +69,47 @@ def from_file(cfg: SimConfig, dtype=jnp.float32) -> jnp.ndarray:
     return jnp.asarray(data, dtype=dtype)
 
 
+def _preset_fn(cfg: SimConfig, dtype):
+    """Resolve the preset to a zero-arg jnp builder (init.cpp:35-42)."""
+    if cfg.ic.preset == "gaussian_hotspot":
+        return lambda: gaussian_hotspot(cfg, dtype)
+    if cfg.ic.preset == "constant_zero":
+        return lambda: constant_zero(cfg, dtype)
+    raise ValueError(f"Unknown IC preset: {cfg.ic.preset}")
+
+
 def apply_initial_condition(cfg: SimConfig, dtype=jnp.float32) -> jnp.ndarray:
     """Dispatch on ic.mode/preset (reference: init.cpp:35-47)."""
     if cfg.ic.mode == "preset":
-        if cfg.ic.preset == "gaussian_hotspot":
-            return gaussian_hotspot(cfg, dtype)
-        if cfg.ic.preset == "constant_zero":
-            return constant_zero(cfg, dtype)
-        raise ValueError(f"Unknown IC preset: {cfg.ic.preset}")
+        return _preset_fn(cfg, dtype)()
     if cfg.ic.mode == "file":
         return from_file(cfg, dtype)
+    raise ValueError(f"Unknown IC mode: {cfg.ic.mode}")
+
+
+def device_initial_condition(cfg: SimConfig, dtype, sharding) -> "jnp.ndarray":
+    """Build the IC directly on device(s) with the given sharding.
+
+    Pod-scale contract: preset ICs are pure functions of *global* cell
+    coordinates, so they are materialized sharded at birth via
+    ``jit(..., out_shardings=...)`` — each device computes only its own
+    block and no host ever holds (or cross-host-verifies) the (ny, nx)
+    global array.  (A plain ``device_put(host_array, sharding)`` would
+    allgather the full array on every process for jax's multi-host equality
+    check — O(global) traffic the reference's per-rank local init,
+    init.cpp:12-33, never pays.)
+
+    File ICs are read on the host (each process slices only its shard
+    blocks into device memory via ``make_array_from_callback``).
+    """
+    import jax
+
+    if cfg.ic.mode == "preset":
+        build = _preset_fn(cfg, dtype)
+        return jax.jit(build, out_shardings=sharding)()
+    if cfg.ic.mode == "file":
+        host = np.asarray(from_file(cfg, dtype))
+        return jax.make_array_from_callback(
+            host.shape, sharding, lambda idx: host[idx]
+        )
     raise ValueError(f"Unknown IC mode: {cfg.ic.mode}")

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SimConfig, bc_to_string
-from ..ops.init import apply_initial_condition
+from ..ops.init import apply_initial_condition, device_initial_condition
 from ..ops.stability import clamp_dt
 from ..ops.step import (
     PALLAS_KERNELS,
@@ -35,21 +35,30 @@ from ..ops.step import (
     make_interior_step,
     select_kernel,
 )
-from ..io.snapshots import SnapshotWriter
+from ..io.snapshots import ShardedSnapshotWriter, SnapshotWriter
 from ..parallel.mesh import choose_mesh_shape, divisible, field_sharding, make_mesh
 from ..parallel.halo import build_sharded_advance, build_sharded_multistep_advance
 
 _DTYPES = {"f32": jnp.float32, "f64": jnp.float64, "bf16": jnp.bfloat16}
 
-_distributed_initialized = False
+_distributed_spec: Optional[str] = None
 
 
 def maybe_init_distributed(cfg: SimConfig) -> None:
     """Multi-host setup (the MPI_Init analogue, main.cpp:24): must run
     before any backend touch.  ``distributed="auto"`` lets TPU pods
     self-discover; else "coordinator:port,num_processes,process_id"."""
-    global _distributed_initialized
-    if not cfg.distributed or _distributed_initialized:
+    global _distributed_spec
+    if not cfg.distributed:
+        return
+    if _distributed_spec is not None:
+        # jax.distributed can only initialize once per process; a different
+        # spec on a later run would be silently ignored, so fail loudly.
+        if cfg.distributed != _distributed_spec:
+            raise RuntimeError(
+                f"distributed already initialized with {_distributed_spec!r};"
+                f" cannot re-initialize with {cfg.distributed!r}"
+            )
         return
     if cfg.distributed == "auto":
         jax.distributed.initialize()
@@ -64,7 +73,7 @@ def maybe_init_distributed(cfg: SimConfig) -> None:
             num_processes=int(parts[1]),
             process_id=int(parts[2]),
         )
-    _distributed_initialized = True
+    _distributed_spec = cfg.distributed
 
 
 def is_controller() -> bool:
@@ -76,14 +85,25 @@ def fetch_global(u: jax.Array) -> np.ndarray:
     """Materialize the full global field on this host.
 
     Multi-host: every host holds only its addressable shards, so gather via
-    process_allgather (the PnetCDF-collective-write analogue: all hosts
-    participate, host 0 writes).  Single host: a plain device_get.
+    process_allgather.  The snapshot path does NOT use this on multi-host
+    runs (each process hyperslab-writes its own shards, io.cpp:402-424
+    analogue); this remains for ad-hoc inspection and final-state access.
     """
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
 
         return np.asarray(multihost_utils.process_allgather(u, tiled=True))
     return np.asarray(jax.device_get(u))
+
+
+def _field_stats(a: jax.Array) -> jax.Array:
+    """[min, max, mean, l2] as ONE on-device vector — the diagnostic
+    reductions the reference documents, computed without materializing the
+    field on the host (one 4-scalar fetch when the caller reads it)."""
+    af = a.astype(jnp.float32) if a.dtype == jnp.bfloat16 else a
+    return jnp.stack(
+        [jnp.min(af), jnp.max(af), jnp.mean(af), jnp.sqrt(jnp.sum(af * af))]
+    )
 
 
 @dataclasses.dataclass
@@ -107,9 +127,13 @@ def _log(msg: str) -> None:
 
 def setup_precision(cfg: SimConfig) -> None:
     # Two-way toggle: a prior f64 run in this process must not leave x64 on
-    # (f32 Pallas hardware builds are disqualified under x64 and the build
-    # cache does not key on the flag).
-    jax.config.update("jax_enable_x64", cfg.precision == "f64")
+    # (f32 Pallas hardware builds are disqualified under x64).  Only flip
+    # when the flag actually differs, and say so — an embedding application
+    # may have set x64 for its own reasons.
+    want_x64 = cfg.precision == "f64"
+    if bool(jax.config.read("jax_enable_x64")) != want_x64:
+        _log(f"[precision] setting jax_enable_x64={want_x64} for {cfg.precision} run")
+        jax.config.update("jax_enable_x64", want_x64)
     if cfg.debug_nans:
         jax.config.update("jax_debug_nans", True)
 
@@ -142,10 +166,19 @@ def prepare(cfg: SimConfig, devices=None):
         px, py = choose_mesh_shape(len(devs), cfg.nx, cfg.ny, cfg.mesh.x, cfg.mesh.y)
         mesh = make_mesh(px, py, devs)
 
-    u0 = apply_initial_condition(cfg, dtype)
+    def place_ic(sharding):
+        # Multi-process: materialize the IC sharded at birth (a host-array
+        # device_put would allgather the global field on every process for
+        # jax's cross-host equality check).  Single process: all shardings
+        # are fully addressable, so the plain host-compute + device_put has
+        # no such check and avoids an extra compiled program (the axon TPU
+        # tunnel charges per deferred compile).
+        if jax.process_count() > 1:
+            return device_initial_condition(cfg, dtype, sharding)
+        return jax.device_put(apply_initial_condition(cfg, dtype), sharding)
 
     if mesh is not None and divisible(mesh, cfg.nx, cfg.ny):
-        u0 = jax.device_put(u0, field_sharding(mesh))
+        u0 = place_ic(field_sharding(mesh))
         advance = None
         if select_kernel(cfg) in PALLAS_KERNELS:
             # Multi-chip fast path: one k-wide halo exchange per k steps,
@@ -170,10 +203,12 @@ def prepare(cfg: SimConfig, devices=None):
             # (decision log #6); still sharded, just compiler-managed halos.
             # Force the jnp path — a manual Pallas call cannot be
             # auto-partitioned by GSPMD.
-            u0 = jax.device_put(u0, field_sharding(mesh))
+            u0 = place_ic(field_sharding(mesh))
             cfg = dataclasses.replace(cfg, kernel="jnp")
         else:
-            u0 = jax.device_put(u0, devs[0])
+            from jax.sharding import SingleDeviceSharding
+
+            u0 = place_ic(SingleDeviceSharding(devs[0]))
         advance = build_single_device_advance(cfg, dt)
 
     return u0, advance, mesh, dt, clamped
@@ -197,16 +232,40 @@ def run_simulation(cfg: SimConfig, devices=None, write_output: bool = True) -> R
     if mesh is not None:
         _log(f"  mesh: x={mesh.shape['x']} y={mesh.shape['y']} ({len(mesh.devices.ravel())} devices)")
 
-    ic_host = fetch_global(u).astype(np.float64)
-    _log(f"IC min/max: {ic_host.min():g} / {ic_host.max():g}")
+    # IC sanity log via on-device reductions (a 4-scalar fetch, not a global
+    # gather) — also the sync point that surfaces a bad IC before the
+    # snapshot file is created.
+    stats = jax.jit(_field_stats)
+    ic_stats = np.asarray(jax.device_get(stats(u)), dtype=np.float64)
+    _log(f"IC min/max: {ic_stats[0]:g} / {ic_stats[1]:g}")
 
+    multi_host = jax.process_count() > 1
     writer = None
+    sharded_writer = None
     out_path = None
     if write_output and cfg.output_enable:
         out_path = cfg.resolved_output_path()
         _log("Opening NetCDF file for output")
-        if is_controller():
+        if multi_host:
+            # Parallel hyperslab snapshot writes (io.cpp:402-424 analogue):
+            # the controller creates the file + header, then every process
+            # attaches and writes only its own shard rows.  No host ever
+            # holds the global array.
+            from jax.experimental import multihost_utils
+
+            if is_controller():
+                sharded_writer = ShardedSnapshotWriter(out_path, cfg, create=True)
+            multihost_utils.sync_global_devices("climate_sim_tpu:snapshot_open")
+            if not is_controller():
+                sharded_writer = ShardedSnapshotWriter(out_path, cfg, create=False)
+        else:
             writer = SnapshotWriter(out_path, cfg)
+
+    def emit_snapshot(frame_src: jax.Array) -> None:
+        if sharded_writer is not None:
+            sharded_writer.write_shards(frame_src)
+        elif writer is not None:
+            writer.write(fetch_global(frame_src))
 
     # Warm-up: AOT-compile every distinct chunk program outside the timed
     # region (the reference pays no JIT cost; and through a remote-compile
@@ -234,42 +293,41 @@ def run_simulation(cfg: SimConfig, devices=None, write_output: bool = True) -> R
         _log(f"profiler trace -> {cfg.profile_dir}")
         jax.profiler.start_trace(cfg.profile_dir)
 
-    multi_host = jax.process_count() > 1
+    any_writer = writer is not None or sharded_writer is not None
     snapshots = 0
+    diag_pending = []  # (step, on-device stats vector): fetched AFTER timing
     n = 0
     t0 = time.perf_counter()
     while n < cfg.steps:
-        if n % cfg.out_every == 0 and (writer is not None or
-                                        (multi_host and out_path is not None)):
+        k = min(cfg.out_every - (n % cfg.out_every), cfg.steps - n)
+        if n % cfg.out_every == 0 and any_writer:
             u_snap = u
-            k = min(cfg.out_every - (n % cfg.out_every), cfg.steps - n)
             u = advance_compiled(k)(u)  # dispatch next chunk before the host transfer
-            frame = fetch_global(u_snap)  # collective on multi-host
-            if writer is not None:
-                writer.write(frame)
+            emit_snapshot(u_snap)
             snapshots += 1
         else:
-            k = min(cfg.out_every - (n % cfg.out_every), cfg.steps - n)
             u = advance_compiled(k)(u)
         if cfg.diagnostics_every and (n // cfg.out_every) % max(1, cfg.diagnostics_every) == 0:
-            h = fetch_global(u).astype(np.float64)
-            _log(
-                f"diag: step={n + k} min={h.min():.6g} max={h.max():.6g}"
-                f" mean={h.mean():.6g} l2={np.sqrt((h * h).sum()):.6g}"
-            )
+            # Dispatch the reductions now, fetch after the timed loop: the
+            # timing line stays identical with diagnostics on or off
+            # (the reference kept its reductions out of the timed path too).
+            diag_pending.append((n + k, stats(u)))
         n += k
     u.block_until_ready()
     total = time.perf_counter() - t0
     if profiling:
         jax.profiler.stop_trace()
 
-    if cfg.write_final and (writer is not None or (multi_host and out_path is not None)):
-        frame = fetch_global(u)
-        if writer is not None:
-            writer.write(frame)
+    for step, vec in diag_pending:
+        mn, mx, mean, l2 = np.asarray(jax.device_get(vec), dtype=np.float64)
+        _log(f"diag: step={step} min={mn:.6g} max={mx:.6g} mean={mean:.6g} l2={l2:.6g}")
+
+    if cfg.write_final and any_writer:
+        emit_snapshot(u)
         snapshots += 1
-    if writer is not None:
-        writer.close()
+    for w in (writer, sharded_writer):
+        if w is not None:
+            w.close()
 
     if multi_host:
         # MPI_Reduce(MAX) analogue (main.cpp:127-128): max wall time over hosts.

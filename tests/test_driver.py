@@ -192,3 +192,25 @@ def test_clamped_dt_recorded_in_metadata(tmp_path):
     assert res.clamped and res.dt < 99.0
     with NetCDFFile(nc) as ds:
         assert ds.getncattr("dt") == f"{res.dt:.6f}"
+
+
+def test_diagnostics_printed_outside_timed_loop(tmp_path, capsys):
+    """--diagnostics_every emits min/max/mean/l2 lines computed on device and
+    fetched AFTER the timed loop, so the timing line is undistorted (the
+    reference kept its documented reductions out of the timed path too)."""
+    run(tmp_path, ["--nx=32", "--ny=16", "--steps=8", "--out_every=4",
+                   "--diagnostics_every=1"])
+    out = capsys.readouterr().out
+    lines = out.splitlines()
+    diag = [ln for ln in lines if ln.startswith("diag: ")]
+    assert len(diag) == 2  # cadence: once per out_every block
+    assert all("min=" in d and "max=" in d and "mean=" in d and "l2=" in d
+               for d in diag)
+    # all diag lines appear before the timing line (flushed pre-timing-print,
+    # post-timer-stop)
+    t_idx = next(i for i, ln in enumerate(lines) if ln.startswith("timing:"))
+    assert all(lines.index(d) < t_idx for d in diag)
+    # values are sane: gaussian IC stays within [0, A]
+    first = diag[0]
+    mx = float(first.split("max=")[1].split()[0])
+    assert 0.0 < mx <= 1.0 + 1e-9

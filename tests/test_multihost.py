@@ -27,6 +27,18 @@ sys.path.insert(0, {repo!r})
 from climate_sim_tpu.config import merged_config
 from climate_sim_tpu.runtime.driver import run_simulation
 
+# Parallel-IO contract (reference io.cpp:402-424 analogue): no process may
+# gather the global field -- only tiny scalar reductions are allowed through
+# process_allgather (timing MAX, sync barriers).
+from jax.experimental import multihost_utils as _mhu
+import numpy as _np
+_orig_allgather = _mhu.process_allgather
+def _guarded_allgather(x, tiled=False):
+    if _np.size(x) > 16:
+        raise RuntimeError("BIG_ALLGATHER: %s" % (_np.shape(x),))
+    return _orig_allgather(x, tiled=tiled)
+_mhu.process_allgather = _guarded_allgather
+
 cfg = merged_config(None, [
     "--nx=128", "--ny=64", "--steps=8", "--out_every=4",
     "--kernel=jnp", "--output.dir=" + out,
@@ -93,3 +105,11 @@ def test_two_process_run_matches_single(tmp_path):
             np.testing.assert_allclose(
                 a.variables["u"][t, :, :], b.variables["u"][t, :, :], atol=1e-6
             )
+
+    # Parallel-write contract: the two-process hyperslab-written file is
+    # byte-identical to the single-process whole-record file, and the worker
+    # guard above guarantees no process ever allgathered the global field
+    # (a BIG_ALLGATHER raise would have failed the returncode asserts).
+    mh_bytes = open(os.path.join(out, "snapshots.nc"), "rb").read()
+    single_bytes = open(os.path.join(ref_out, "snapshots.nc"), "rb").read()
+    assert mh_bytes == single_bytes

@@ -159,3 +159,83 @@ def test_record_index_out_of_range(tmp_path):
     with NetCDFFile(path) as ds:
         with pytest.raises(IndexError):
             ds.variables["u"][5, :, :]
+
+
+def _schema_writer(path, ny, nx, create=True):
+    w = NetCDFWriter(path, version=5, create=create)
+    w.def_dim("time", None)
+    w.def_dim("y", ny)
+    w.def_dim("x", nx)
+    w.def_var("u", np.float64, ("time", "y", "x"))
+    w.put_gatt("description", "region test")
+    w.enddef()
+    return w
+
+
+def test_put_rec_region_tiles_byte_identical(tmp_path):
+    """A record assembled from 2x2 hyperslab tiles is byte-identical to the
+    same record written whole (the parallel-write correctness contract,
+    reference io.cpp:402-424)."""
+    ny, nx = 6, 10
+    rng = np.random.default_rng(0)
+    frames = [rng.normal(size=(ny, nx)) for _ in range(2)]
+
+    whole = str(tmp_path / "whole.nc")
+    w = _schema_writer(whole, ny, nx)
+    for t, f in enumerate(frames):
+        w.put_rec("u", t, f)
+    w.close()
+
+    tiled = str(tmp_path / "tiled.nc")
+    w = _schema_writer(tiled, ny, nx)
+    for t, f in enumerate(frames):
+        # deliberately out-of-order tiles, ragged split
+        for y0, y1 in ((4, 6), (0, 4)):
+            for x0, x1 in ((7, 10), (0, 7)):
+                w.put_rec_region("u", t, (y0, x0), f[y0:y1, x0:x1])
+    w.close()
+
+    assert open(whole, "rb").read() == open(tiled, "rb").read()
+
+
+def test_put_rec_region_attach_mode(tmp_path):
+    """create=False attaches to an existing file, verifies the header, never
+    patches numrecs; disjoint writers compose to the whole-record bytes."""
+    ny, nx = 4, 8
+    f = np.arange(ny * nx, dtype=np.float64).reshape(ny, nx)
+
+    path = str(tmp_path / "shared.nc")
+    creator = _schema_writer(path, ny, nx)
+    creator.put_rec_region("u", 0, (0, 0), f[:2])  # top band + numrecs patch
+
+    other = _schema_writer(path, ny, nx, create=False)
+    other.put_rec_region("u", 0, (2, 0), f[2:])  # bottom band, no header touch
+    other.close()
+    creator.close()
+
+    with NetCDFFile(path) as ds:
+        assert ds.dimensions["time"] == 1
+        np.testing.assert_array_equal(ds.variables["u"][0, :, :], f)
+
+    ref = str(tmp_path / "ref.nc")
+    w = _schema_writer(ref, ny, nx)
+    w.put_rec("u", 0, f)
+    w.close()
+    assert open(path, "rb").read() == open(ref, "rb").read()
+
+
+def test_attach_mode_header_mismatch_raises(tmp_path):
+    path = str(tmp_path / "a.nc")
+    _schema_writer(path, 4, 8).close()
+    with pytest.raises(ValueError, match="header does not match"):
+        _schema_writer(path, 4, 9, create=False)
+
+
+def test_put_rec_region_bounds_checked(tmp_path):
+    path = str(tmp_path / "b.nc")
+    w = _schema_writer(path, 4, 8)
+    with pytest.raises(ValueError, match="exceeds"):
+        w.put_rec_region("u", 0, (3, 0), np.zeros((2, 8)))
+    with pytest.raises(ValueError, match="rank"):
+        w.put_rec_region("u", 0, (0,), np.zeros((4, 8)))
+    w.close()
