@@ -256,7 +256,12 @@ def build_sharded_multistep_advance(
                 interpret=interpret,
             )
 
-    return _make_chunk_advance(tile_pass, k, mesh, spec)
+    advance = _make_chunk_advance(tile_pass, k, mesh, spec)
+    # Introspection for the multichip dryrun / verify tooling: which kernel
+    # input mode this mesh+grid actually engages (slab fast path vs the
+    # assembled-tile fallback).
+    advance.uses_slabs = use_slabs
+    return advance
 
 
 def build_sharded_overlap_advance(
