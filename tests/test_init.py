@@ -116,3 +116,49 @@ def test_file_ic_errors(tmp_path):
     cfg2.ic.var = "missing"
     with pytest.raises(KeyError):
         apply_initial_condition(cfg2)
+
+
+def test_restart_from_hdf5_3d_last_record(tmp_path):
+    """A NETCDF4-family (HDF5) snapshot stack restarts from its LAST record,
+    matching the classic-file restart contract — the reference ecosystem's
+    IC files (generate_ic.py:23) are this format family."""
+    import h5py
+    import jax.numpy as jnp
+
+    from climate_sim_tpu.config import SimConfig
+    from climate_sim_tpu.ops.init import apply_initial_condition
+
+    rng = np.random.default_rng(7)
+    frames = rng.normal(size=(3, 10, 14))
+    path = str(tmp_path / "stack.nc")
+    with h5py.File(path, "w") as f:
+        f.create_dataset("u", data=frames)
+
+    cfg = SimConfig(nx=14, ny=10)
+    cfg.ic.mode = "file"
+    cfg.ic.path = path
+    got = np.asarray(apply_initial_condition(cfg, jnp.float64))
+    np.testing.assert_array_equal(got, frames[-1])
+
+
+def test_hdf5_missing_var_and_bad_magic(tmp_path):
+    import h5py
+    import jax.numpy as jnp
+
+    from climate_sim_tpu.config import SimConfig
+    from climate_sim_tpu.ops.init import apply_initial_condition
+
+    path = str(tmp_path / "novar.nc")
+    with h5py.File(path, "w") as f:
+        f.create_dataset("other", data=np.zeros((4, 4)))
+    cfg = SimConfig(nx=4, ny=4)
+    cfg.ic.mode = "file"
+    cfg.ic.path = path
+    with pytest.raises(KeyError):
+        apply_initial_condition(cfg, jnp.float64)
+
+    junk = str(tmp_path / "junk.nc")
+    open(junk, "wb").write(b"not a netcdf file")
+    cfg.ic.path = junk
+    with pytest.raises(ValueError, match="not a NetCDF file"):
+        apply_initial_condition(cfg, jnp.float64)

@@ -87,3 +87,62 @@ def test_output_enable_false_writes_nothing(tmp_path):
     assert out.returncode == 0, out.stderr
     assert "timing: total_max=" in out.stdout
     assert not os.path.exists(f"{tmp_path}/nothing")
+
+
+def test_generate_ic_reference_flags(tmp_path):
+    """Reference CLI spellings work: --amp, --outdir, --outfile
+    (reference generate_ic.py:46-53)."""
+    script = os.path.join(REPO, "scripts", "generate_ic.py")
+    outdir = str(tmp_path / "icdir")
+    r = subprocess.run(
+        [sys.executable, script, "--nx=12", "--ny=8", "--amp=2.0",
+         f"--outdir={outdir}"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode == 0, r.stderr
+    from climate_sim_tpu.io.netcdf import NetCDFFile
+
+    with NetCDFFile(os.path.join(outdir, "ic_global.nc")) as ds:
+        u = ds.variables["u"][:]
+    assert u.shape == (8, 12)
+    gi = load_script("generate_ic")
+    np.testing.assert_allclose(u, gi.make_gaussian_ic(nx=12, ny=8, A=2.0))  # --amp respected
+
+    outfile = str(tmp_path / "explicit.nc")
+    r = subprocess.run(
+        [sys.executable, script, "--nx=12", "--ny=8", f"--outfile={outfile}"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode == 0, r.stderr
+    assert os.path.getsize(outfile) > 0
+
+
+def test_generate_ic_hdf5_format_restartable(tmp_path):
+    """--format=netcdf4 writes an HDF5-family file that the file-IC path
+    reads identically to the classic file (reference interop,
+    generate_ic.py:23)."""
+    import jax.numpy as jnp
+
+    from climate_sim_tpu.config import SimConfig
+    from climate_sim_tpu.ops.init import apply_initial_condition
+
+    gi = load_script("generate_ic")
+    U = gi.make_gaussian_ic(nx=40, ny=24)
+    h5 = str(tmp_path / "ic_h5.nc")
+    c5 = str(tmp_path / "ic_c5.nc")
+    gi.write_hdf5(U, h5)
+    gi.write_netcdf(U, c5)
+
+    # magic bytes differ...
+    assert open(h5, "rb").read(8) == bytes([0x89]) + b"HDF\r\n" + bytes([0x1A, 0x0A])
+    assert open(c5, "rb").read(3) == b"CDF"
+
+    # ...but the file-IC reader resolves both to the same field.
+    fields = []
+    for path in (h5, c5):
+        cfg = SimConfig(nx=40, ny=24)
+        cfg.ic.mode = "file"
+        cfg.ic.path = path
+        fields.append(np.asarray(apply_initial_condition(cfg, jnp.float64)))
+    np.testing.assert_array_equal(fields[0], fields[1])
+    np.testing.assert_allclose(fields[0], U)
