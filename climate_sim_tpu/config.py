@@ -32,7 +32,7 @@ from __future__ import annotations
 import dataclasses
 import enum
 from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 import yaml
 
@@ -240,14 +240,18 @@ def _load_mesh_node(cfg: SimConfig, node: Any) -> None:
             cfg.mesh.enable = bool(node["enable"])
 
 
-def load_yaml_file(path: str) -> SimConfig:
-    """Load a YAML config accepting nested blocks or flat keys (io.cpp:84-171)."""
+def load_yaml_file(path: str, validate: bool = True) -> SimConfig:
+    """Load a YAML config accepting nested blocks or flat keys (io.cpp:84-171).
+
+    ``validate=False`` defers validation — used by :func:`merged_config` so a
+    CLI flag can override an invalid YAML value before the check runs.
+    """
     with open(path, "r") as f:
         root = yaml.safe_load(f) or {}
-    return load_yaml_dict(root)
+    return load_yaml_dict(root, validate=validate)
 
 
-def load_yaml_dict(root: Dict[str, Any]) -> SimConfig:
+def load_yaml_dict(root: Dict[str, Any], validate: bool = True) -> SimConfig:
     cfg = SimConfig()
 
     def node(name):
@@ -321,8 +325,11 @@ def load_yaml_dict(root: Dict[str, Any]) -> SimConfig:
     if "distributed" in root:
         cfg.distributed = str(root["distributed"])
 
-    # No validate() here: merged_config validates after CLI overrides, so a
-    # CLI flag can override an invalid YAML value (io.cpp:363-376 precedence).
+    # merged_config defers validation until after CLI overrides, so a CLI
+    # flag can override an invalid YAML value (io.cpp:363-376 precedence);
+    # direct callers get validated configs by default.
+    if validate:
+        cfg.validate()
     return cfg
 
 
@@ -453,7 +460,7 @@ def extract_config_path(args: Sequence[str]) -> Optional[str]:
 def merged_config(yaml_path: Optional[str], cli_args: Sequence[str]) -> SimConfig:
     """defaults < YAML < CLI, then validate (reference: io.cpp:363-376)."""
     if yaml_path:
-        cfg = load_yaml_file(yaml_path)
+        cfg = load_yaml_file(yaml_path, validate=False)
     else:
         cfg = SimConfig()
     apply_overrides(cfg, parse_cli_overrides(cli_args))

@@ -30,13 +30,33 @@ _lib = None
 _lib_lock = threading.Lock()
 
 
-def _build_library() -> None:
-    subprocess.run(
-        ["make", "-C", _NATIVE_DIR],
-        check=True,
-        capture_output=True,
-        text=True,
+def _needs_build() -> bool:
+    src = os.path.join(_NATIVE_DIR, "src", "cdf5_writer.cc")
+    return not os.path.exists(_LIB_PATH) or (
+        os.path.exists(src) and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
     )
+
+
+def _build_library() -> None:
+    """Build under an inter-process file lock: two processes importing
+    concurrently must not CDLL-load a half-written .so (make's output is not
+    atomic).  The lock holder builds; waiters re-check freshness after it."""
+    import fcntl
+
+    os.makedirs(os.path.join(_NATIVE_DIR, "build"), exist_ok=True)
+    lock_path = os.path.join(_NATIVE_DIR, "build", ".build.lock")
+    with open(lock_path, "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        try:
+            if _needs_build():  # another process may have built while we waited
+                subprocess.run(
+                    ["make", "-C", _NATIVE_DIR],
+                    check=True,
+                    capture_output=True,
+                    text=True,
+                )
+        finally:
+            fcntl.flock(lock, fcntl.LOCK_UN)
 
 
 def load_library() -> ctypes.CDLL:
@@ -45,10 +65,7 @@ def load_library() -> ctypes.CDLL:
     with _lib_lock:
         if _lib is not None:
             return _lib
-        src = os.path.join(_NATIVE_DIR, "src", "cdf5_writer.cc")
-        if not os.path.exists(_LIB_PATH) or (
-            os.path.exists(src) and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
-        ):
+        if _needs_build():
             _build_library()
         lib = ctypes.CDLL(_LIB_PATH)
         lib.ncw_create.restype = ctypes.c_int64

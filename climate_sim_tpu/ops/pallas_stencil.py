@@ -435,8 +435,17 @@ def _build_kernel_body(
     return kernel, n_dma
 
 
+def _build_multistep_call(*args, **kwargs):
+    """Cache shim: the x64 flag participates in hardware-lowering viability
+    below, so it must be part of the build-cache key — otherwise toggling
+    jax_enable_x64 between builds could serve a stale probe result."""
+    return _build_multistep_call_cached(
+        *args, **kwargs, x64=bool(jax.config.read("jax_enable_x64"))
+    )
+
+
 @functools.lru_cache(maxsize=64)
-def _build_multistep_call(
+def _build_multistep_call_cached(
     ny: int,
     nx: int,
     k: int,
@@ -459,6 +468,7 @@ def _build_multistep_call(
     slab_mode: bool,
     dtype_name: str,
     interpret: bool,
+    x64: bool,
 ):
     """pallas_call advancing k steps -> (ny, nx).
 
@@ -474,12 +484,10 @@ def _build_multistep_call(
     # fallback when compiling for hardware (interpret mode keeps them for
     # CPU parity tests).  jax_enable_x64 also disqualifies hardware
     # lowering: index normalization then emits i64 ref indices, which
-    # Mosaic rejects (processes enable x64 only for f64 parity runs, which
-    # use the jnp path anyway; the flag is read at build time — builds are
-    # cached, so don't toggle x64 mid-process).
-    if not interpret and (
-        compute_dtype != jnp.float32 or jax.config.read("jax_enable_x64")
-    ):
+    # Mosaic rejects.  The flag is part of the lru_cache key (shim above),
+    # so toggling x64 between builds re-probes instead of serving stale
+    # results.
+    if not interpret and (compute_dtype != jnp.float32 or x64):
         return None
     if fused_dma or slab_mode:
         xoff = _XPAD

@@ -3,7 +3,6 @@ case where all four sides are physical)."""
 
 import numpy as np
 import jax.numpy as jnp
-import pytest
 
 from climate_sim_tpu.config import BCConfig, BCType
 from climate_sim_tpu.ops import pad_with_ghosts

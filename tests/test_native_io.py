@@ -5,7 +5,6 @@ codec for the snapshot schema (reference: src/io.cpp:378-448), through both
 the raw binding and the SnapshotWriter front-end.
 """
 
-import os
 
 import numpy as np
 import pytest

@@ -7,7 +7,7 @@ TPU analogue of the reference's exact-stencil unit tests
 (reference: tests/simulation/unit/test_diffusion.cpp, test_advection.cpp).
 """
 
-import itertools
+
 
 import numpy as np
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ same ``u(time, y, x)`` files.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Tuple
+from typing import Dict, List
 
 import numpy as np
 
