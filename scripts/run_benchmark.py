@@ -7,16 +7,26 @@ rank sweep, weak scaling with a fixed per-rank tile, speedup S=T1/Tp,
 efficiency E=S/p and Karp-Flatt (1/S-1/p)/(1-1/p) annotations.
 
 Where the reference launches ``mpirun [--oversubscribe] -np p``, this
-harness launches one subprocess per measurement with a *virtual CPU device
-mesh* (``--xla_force_host_platform_device_count=p`` — the JAX analogue of
-oversubscribed local ranks), each parsing the driver's greppable
+harness offers three platforms, each parsing the driver's greppable
 ``timing: total_max=... worst_avg_step=...`` line (driver.py prints it for
-exactly this purpose, like main.cpp:127-133).
+exactly this purpose, like main.cpp:127-133):
 
-``--platform=tpu`` instead runs on the attached TPU chips (rank counts are
-then capped at the real device count).
+* ``multiproc`` (default) — p coordinated ``jax.distributed`` OS processes,
+  one virtual CPU device each, forming one p-device mesh: ranks map to real
+  OS-level parallelism, so speedup/efficiency are honestly interpretable
+  (the direct analogue of ``mpirun -np p`` on one node).  Rank counts above
+  the machine's core count measure oversubscription, not scaling — the
+  harness warns and annotates.
+* ``cpu`` — one process with a p-device *virtual* mesh
+  (``--xla_force_host_platform_device_count=p``).  This validates the
+  sharded code path and measures collective/partitioning overhead, but all
+  "ranks" share one host's cores: do NOT read its speedup column as
+  scaling (it is the analogue of ``mpirun --oversubscribe`` far past the
+  core count).
+* ``tpu`` — the attached real chips (rank counts capped at device count).
 
-Outputs (same filenames/columns as the reference):
+Outputs (same filenames/columns as the reference, plus a leading
+``platform`` column):
     bench/results/strong_<ts>.csv
     bench/results/strong_annotated_<ts>.csv
     bench/results/weak_<ts>.csv
@@ -36,16 +46,80 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _TIMING_RE = re.compile(r"timing: total_max=([0-9.eE+-]+)")
 
 
-def run_one(p: int, nx: int, ny: int, steps: int, platform: str,
-            extra: list[str]) -> tuple[float, float]:
-    """One measurement subprocess -> (total_time, perstep_time)."""
-    env = dict(os.environ)
-    args = [
+def _free_port() -> int:
+    import socket
+
+    s = socket.socket()
+    s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _sim_args(nx: int, ny: int, steps: int, extra: list[str]) -> list[str]:
+    return [
         sys.executable, "-m", "climate_sim_tpu",
         f"--nx={nx}", f"--ny={ny}", f"--steps={steps}",
         "--out_every=1000000",  # timing runs write no mid-run snapshots
         "--output.enable=false",
     ] + extra
+
+
+def run_multiproc(p: int, nx: int, ny: int, steps: int,
+                  extra: list[str]) -> tuple[float, float]:
+    """p coordinated jax.distributed processes (1 virtual CPU device each)
+    forming one p-device mesh — the mpirun -np p analogue.  Returns the
+    controller's MAX-over-hosts timing."""
+    port = _free_port()
+    env = dict(os.environ)
+    env["CLIMATE_SIM_PLATFORM"] = "cpu"
+    # One core per rank, like `mpirun -np p` with one PE per rank: without
+    # this, rank 1's XLA intra-op threadpool already uses every core and the
+    # sweep measures thread-vs-process contention instead of scaling.
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=1"
+        + " --xla_cpu_multi_thread_eigen=false"
+        + " intra_op_parallelism_threads=1"
+    )
+    env["OMP_NUM_THREADS"] = "1"
+    # Hard-pin each rank to its own core (XLA's thread flags alone are not
+    # reliably honored): rank i -> core i, the mpirun bind-to-core analogue.
+    ncores = os.cpu_count() or 1
+    import shutil
+
+    pin = shutil.which("taskset") is not None
+    procs = [
+        subprocess.Popen(
+            (["taskset", "-c", str(i % ncores)] if pin else [])
+            + _sim_args(nx, ny, steps, extra)
+            + [f"--distributed=127.0.0.1:{port},{p},{i}"],
+            cwd=REPO_ROOT, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(p)
+    ]
+    outs = [pr.communicate(timeout=1800)[0] for pr in procs]
+    for i, (pr, o) in enumerate(zip(procs, outs)):
+        if pr.returncode != 0:
+            raise RuntimeError(
+                f"multiproc rank {i}/{p} failed (exit {pr.returncode}):\n{o[-2000:]}"
+            )
+    m = _TIMING_RE.search(outs[0])
+    if not m:
+        raise RuntimeError(f"no timing line in rank-0 output:\n{outs[0][-2000:]}")
+    total = float(m.group(1))
+    return total, total / steps
+
+
+def run_one(p: int, nx: int, ny: int, steps: int, platform: str,
+            extra: list[str]) -> tuple[float, float]:
+    """One measurement -> (total_time, perstep_time)."""
+    if platform == "multiproc":
+        return run_multiproc(p, nx, ny, steps, extra)
+    env = dict(os.environ)
+    args = _sim_args(nx, ny, steps, extra)
     if platform == "cpu":
         env["CLIMATE_SIM_PLATFORM"] = "cpu"
         env["XLA_FLAGS"] = (
@@ -82,9 +156,12 @@ def annotate_strong(rows: list[tuple]) -> list[tuple]:
 
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--platform", choices=["cpu", "tpu"], default="cpu",
-                    help="cpu = virtual device mesh (default, like mpirun "
-                         "--oversubscribe); tpu = real attached chips")
+    ap.add_argument("--platform", choices=["multiproc", "cpu", "tpu"],
+                    default="multiproc",
+                    help="multiproc = p coordinated OS processes, 1 device "
+                         "each (real parallelism; default); cpu = one process "
+                         "with a virtual p-device mesh (path validation only, "
+                         "NOT scaling); tpu = real attached chips")
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--strong-nx", type=int, default=1024)
     ap.add_argument("--strong-ny", type=int, default=1024)
@@ -105,13 +182,27 @@ def main() -> int:
         args.strong_ranks = sorted({min(p, n) for p in args.strong_ranks})
         args.weak_ranks = sorted({min(p, n) for p in args.weak_ranks})
 
+    ncores = os.cpu_count() or 1
+    warn_note = ""
+    if args.platform == "multiproc":
+        over = [p for p in args.strong_ranks + args.weak_ranks if p > ncores]
+        if over:
+            warn_note = (f"# WARNING: ranks {sorted(set(over))} exceed "
+                         f"{ncores} cores — those rows measure "
+                         "oversubscription, not scaling\n")
+            print(warn_note.strip(), flush=True)
+    elif args.platform == "cpu":
+        warn_note = ("# WARNING: virtual-mesh rows share one host's cores; "
+                     "speedup/efficiency are NOT scaling evidence\n")
+
     os.makedirs(args.out_dir, exist_ok=True)
     ts = datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
     strong_csv = os.path.join(args.out_dir, f"strong_{ts}.csv")
     strong_annot = os.path.join(args.out_dir, f"strong_annotated_{ts}.csv")
     weak_csv = os.path.join(args.out_dir, f"weak_{ts}.csv")
 
-    header = "ranks,nx,ny,steps,total_time,perstep_time"
+    header = "platform,ranks,nx,ny,steps,total_time,perstep_time"
+    plat = args.platform
 
     rows = []
     for p in args.strong_ranks:
@@ -122,26 +213,34 @@ def main() -> int:
         rows.append((p, args.strong_nx, args.strong_ny, args.steps, total, perstep))
     with open(strong_csv, "w") as f:
         f.write(f"# strong scaling: Nx={args.strong_nx}, Ny={args.strong_ny}, "
-                f"steps={args.steps}\n{header}\n")
+                f"steps={args.steps}\n{warn_note}{header}\n")
         for r in rows:
-            f.write(",".join(str(v) for v in r) + "\n")
+            f.write(plat + "," + ",".join(str(v) for v in r) + "\n")
     with open(strong_annot, "w") as f:
         f.write(f"# strong scaling: Nx={args.strong_nx}, Ny={args.strong_ny}, "
-                f"steps={args.steps}\n{header},speedup,efficiency,karp_flatt\n")
+                f"steps={args.steps}\n{warn_note}"
+                f"{header},speedup,efficiency,karp_flatt\n")
         for r in annotate_strong(rows):
-            f.write(",".join(str(v) for v in r) + "\n")
+            f.write(plat + "," + ",".join(str(v) for v in r) + "\n")
     print(f"Annotated strong-scaling results written to {strong_annot}")
 
     if not args.skip_weak:
         with open(weak_csv, "w") as f:
             f.write(f"# weak scaling: tile={args.weak_tile_nx}x{args.weak_tile_ny}, "
-                    f"steps={args.steps}\n{header}\n")
+                    f"steps={args.steps}\n{warn_note}{header},weak_efficiency\n")
+            t1 = None
             for p in args.weak_ranks:
                 k = math.ceil(math.sqrt(p))
                 nx, ny = args.weak_tile_nx * k, args.weak_tile_ny * k
                 print(f"== weak: p={p}, Nx={nx}, Ny={ny} ==", flush=True)
                 total, perstep = run_one(p, nx, ny, args.steps, args.platform, args.extra)
-                f.write(f"{p},{nx},{ny},{args.steps},{total},{perstep}\n")
+                # E_w = T1/Tp at ~constant work per rank (ideal = 1).  The
+                # sqrt-rounded grid can give rank p slightly more work per
+                # rank than rank 1; normalize by the actual per-rank load.
+                if t1 is None:
+                    t1 = total * (args.weak_tile_nx * args.weak_tile_ny) / (nx * ny / p)
+                ew = t1 * (nx * ny / p) / (args.weak_tile_nx * args.weak_tile_ny) / total
+                f.write(f"{plat},{p},{nx},{ny},{args.steps},{total},{perstep},{ew}\n")
 
     print(f"\nWrote:\n  {strong_csv}\n  {strong_annot}")
     if not args.skip_weak:
