@@ -51,6 +51,7 @@ re-association (the weighted-stencil form; tested to tight tolerances).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Callable, Optional
 
 import jax
@@ -438,9 +439,15 @@ def _build_kernel_body(
 def _build_multistep_call(*args, **kwargs):
     """Cache shim: the x64 flag participates in hardware-lowering viability
     below, so it must be part of the build-cache key — otherwise toggling
-    jax_enable_x64 between builds could serve a stale probe result."""
+    jax_enable_x64 between builds could serve a stale probe result.  The
+    CLIMATE_SIM_BX / CLIMATE_SIM_BY env knobs (perf-sweep tooling, see
+    docs/performance.md) enter the key the same way."""
+    env = os.environ
     return _build_multistep_call_cached(
-        *args, **kwargs, x64=bool(jax.config.read("jax_enable_x64"))
+        *args, **kwargs,
+        x64=bool(jax.config.read("jax_enable_x64")),
+        bx_override=int(env.get("CLIMATE_SIM_BX", 0)) or None,
+        by_override=int(env.get("CLIMATE_SIM_BY", 0)) or None,
     )
 
 
@@ -469,6 +476,8 @@ def _build_multistep_call_cached(
     dtype_name: str,
     interpret: bool,
     x64: bool,
+    bx_override: Optional[int] = None,
+    by_override: Optional[int] = None,
 ):
     """pallas_call advancing k steps -> (ny, nx).
 
@@ -504,6 +513,8 @@ def _build_multistep_call_cached(
             return None
         if BX < 512 and nx > BX:
             BX = nx
+        if bx_override and nx % bx_override == 0 and bx_override % 128 == 0:
+            BX = bx_override
         W = BX + 2 * _XPAD
     else:
         BX = nx
@@ -511,6 +522,8 @@ def _build_multistep_call_cached(
         xoff = khalo
     row_bytes = W * compute_dtype.itemsize
     BY = _pick_block_rows(ny, row_bytes, khalo)
+    if by_override and ny % by_override == 0 and by_override % 8 == 0:
+        BY = by_override
     if BY is None:
         return None
     if (fused_dma or slab_mode) and (BY % 8 or khalo % 8 or nx % 128 or ny % 8):

@@ -1,0 +1,99 @@
+#!/usr/bin/env python3
+"""Block-geometry sweep for the multi-step Pallas kernel (perf tooling).
+
+For each (BX, BY) pair, spawns a fresh subprocess (the kernel-build cache
+keys on the CLIMATE_SIM_BX/BY env overrides, but a clean process also
+isolates XLA autotuning state) that times the fused multi-step advance on
+the real chip with the bench.py protocol (AOT compile, N dispatched chunks
+per sync, best of trials).  Prints one line per config plus the winner.
+
+Usage:
+    python scripts/perf_sweep.py --nx 4096 --ny 4096 \
+        --bx 0 1024 2048 4096 --by 0 64 128 256 512
+(0 means "kernel default".)
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import json
+import os
+import subprocess
+import sys
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import json, sys, time
+import numpy as np, jax, jax.numpy as jnp
+from climate_sim_tpu.config import BCConfig, BCType, SimConfig
+from climate_sim_tpu.ops.init import gaussian_hotspot
+from climate_sim_tpu.ops.step import build_single_device_advance
+
+nx, ny, chunk, reps, trials = (int(a) for a in sys.argv[1:6])
+cfg = SimConfig(nx=nx, ny=ny, D=0.05, vx=0.5, vy=-0.25, dt=0.1,
+                steps=chunk, out_every=chunk)
+cfg.bc = BCConfig(left=BCType.DIRICHLET, right=BCType.NEUMANN,
+                  bottom=BCType.PERIODIC, top=BCType.PERIODIC)
+fn = build_single_device_advance(cfg, cfg.dt)(chunk)
+u = jax.device_put(gaussian_hotspot(cfg, jnp.float32), jax.devices()[0])
+try:
+    fn = fn.lower(u).compile()
+except Exception as e:
+    print("AOT failed:", e, file=sys.stderr)
+u = fn(u)
+_ = np.asarray(jax.device_get(u[:1, :1]))  # sync any deferred compile
+best = float("inf")
+for _t in range(trials):
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        u = fn(u)
+    u.block_until_ready()
+    _ = np.asarray(jax.device_get(u[:1, :1]))
+    best = min(best, time.perf_counter() - t0)
+print(json.dumps({"gpts": nx * ny * chunk * reps / best / 1e9}))
+"""
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--nx", type=int, default=4096)
+    ap.add_argument("--ny", type=int, default=4096)
+    ap.add_argument("--chunk", type=int, default=100)
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--trials", type=int, default=2)
+    ap.add_argument("--bx", type=int, nargs="+", default=[0])
+    ap.add_argument("--by", type=int, nargs="+", default=[0])
+    a = ap.parse_args()
+
+    results = []
+    for bx, by in itertools.product(a.bx, a.by):
+        env = dict(os.environ)
+        env.pop("CLIMATE_SIM_BX", None)
+        env.pop("CLIMATE_SIM_BY", None)
+        if bx:
+            env["CLIMATE_SIM_BX"] = str(bx)
+        if by:
+            env["CLIMATE_SIM_BY"] = str(by)
+        r = subprocess.run(
+            [sys.executable, "-c", WORKER, str(a.nx), str(a.ny),
+             str(a.chunk), str(a.reps), str(a.trials)],
+            cwd=REPO_ROOT, env=env, capture_output=True, text=True, timeout=1200,
+        )
+        tag = f"BX={bx or 'auto'} BY={by or 'auto'}"
+        if r.returncode != 0:
+            print(f"{tag}: FAILED\n{r.stderr[-500:]}", flush=True)
+            continue
+        g = json.loads(r.stdout.strip().splitlines()[-1])["gpts"]
+        results.append((g, tag))
+        print(f"{tag}: {g:.2f} Gpt/s", flush=True)
+
+    if results:
+        g, tag = max(results)
+        print(f"BEST: {tag} -> {g:.2f} Gpt/s")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

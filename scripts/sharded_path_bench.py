@@ -1,0 +1,103 @@
+#!/usr/bin/env python3
+"""Per-shard throughput of the sharded kernel paths on ONE real chip.
+
+A 1x1 mesh engages the full sharded machinery (shard_map, SMEM edge flags,
+slab exchange / overlap band split) with self-ppermutes, so the kernel-side
+cost of each path is measurable without multi-chip hardware — the
+difference vs a real mesh is only ICI transfer time, which the overlap path
+exists to hide (see docs/performance.md).
+
+Paths timed at --nx/--ny per shard (default 4096^2):
+  single    — build_single_device_advance (no shard_map): the ceiling
+  slab      — build_sharded_multistep_advance, slab-input fast path
+  overlap   — build_sharded_overlap_advance (interior + 4 bands + stitch)
+  perstep   — build_sharded_advance (width-1 exchange every step, jnp ghosts)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--nx", type=int, default=4096)
+    ap.add_argument("--ny", type=int, default=4096)
+    ap.add_argument("--chunk", type=int, default=100)
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--trials", type=int, default=2)
+    ap.add_argument("--paths", nargs="+",
+                    default=["single", "slab", "overlap"],
+                    choices=["single", "slab", "overlap", "perstep"])
+    a = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from climate_sim_tpu.config import BCConfig, BCType, SimConfig
+    from climate_sim_tpu.ops.init import gaussian_hotspot
+    from climate_sim_tpu.ops.step import build_single_device_advance, make_interior_step
+    from climate_sim_tpu.parallel.halo import (
+        build_sharded_advance,
+        build_sharded_multistep_advance,
+        build_sharded_overlap_advance,
+    )
+    from climate_sim_tpu.parallel.mesh import field_sharding, make_mesh
+
+    cfg = SimConfig(nx=a.nx, ny=a.ny, D=0.05, vx=0.5, vy=-0.25, dt=0.1,
+                    steps=a.chunk, out_every=a.chunk)
+    cfg.bc = BCConfig(left=BCType.DIRICHLET, right=BCType.NEUMANN,
+                      bottom=BCType.PERIODIC, top=BCType.PERIODIC)
+
+    mesh = make_mesh(1, 1)
+    u_sharded = jax.device_put(gaussian_hotspot(cfg, jnp.float32),
+                               field_sharding(mesh))
+    u_single = jax.device_put(gaussian_hotspot(cfg, jnp.float32),
+                              jax.devices()[0])
+
+    def build(path):
+        if path == "single":
+            return build_single_device_advance(cfg, cfg.dt), u_single
+        if path == "slab":
+            adv = build_sharded_multistep_advance(cfg, mesh, cfg.dt)
+            if adv is None:
+                return None, None
+            print(f"[bench] slab path uses_slabs={getattr(adv, 'uses_slabs', '?')}",
+                  file=sys.stderr)
+            return adv, u_sharded
+        if path == "overlap":
+            return build_sharded_overlap_advance(cfg, mesh, cfg.dt), u_sharded
+        interior = make_interior_step(cfg, cfg.dt)
+        return build_sharded_advance(cfg, mesh, cfg.dt, interior), u_sharded
+
+    for path in a.paths:
+        adv, u0 = build(path)
+        if adv is None:
+            print(f"{path}: unavailable for this shape", flush=True)
+            continue
+        fn = adv(a.chunk)
+        try:
+            fn = fn.lower(u0).compile()
+        except Exception as e:
+            print(f"[bench] {path}: AOT failed ({e}); jit fallback", file=sys.stderr)
+        u = fn(u0)
+        _ = np.asarray(jax.device_get(u[:1, :1]))  # sync deferred compile
+        best = float("inf")
+        for _t in range(a.trials):
+            t0 = time.perf_counter()
+            for _ in range(a.reps):
+                u = fn(u)
+            u.block_until_ready()
+            _ = np.asarray(jax.device_get(u[:1, :1]))
+            best = min(best, time.perf_counter() - t0)
+        g = a.nx * a.ny * a.chunk * a.reps / best / 1e9
+        print(f"{path}: {g:.2f} Gpt/s/shard", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
