@@ -73,9 +73,16 @@ def load_library() -> ctypes.CDLL:
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p),
         ]
+        lib.ncw_attach.restype = ctypes.c_int64
+        lib.ncw_attach.argtypes = lib.ncw_create.argtypes
         lib.ncw_append.restype = ctypes.c_int64
         lib.ncw_append.argtypes = [
             ctypes.c_int64, ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+        ]
+        lib.ncw_append_region.restype = ctypes.c_int64
+        lib.ncw_append_region.argtypes = [
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ]
         lib.ncw_flush.restype = ctypes.c_int64
         lib.ncw_flush.argtypes = [ctypes.c_int64]
@@ -102,7 +109,10 @@ class NativeSnapshotWriter:
     :class:`climate_sim_tpu.io.netcdf.NetCDFWriter` with version=5.
     """
 
-    def __init__(self, path: str, cfg, attrs: Dict[str, str]):
+    def __init__(self, path: str, cfg, attrs: Dict[str, str], create: bool = True):
+        """``create=False`` attaches to a file another process created with
+        the same schema (header byte-verified, numrecs left to the creator)
+        — the per-rank half of parallel hyperslab writes."""
         self._lib = load_library()
         self.ny = cfg.ny
         self.nx = cfg.nx
@@ -112,11 +122,15 @@ class NativeSnapshotWriter:
         values = (ctypes.c_char_p * len(attrs))(
             *[str(v).encode("utf-8") for v in attrs.values()]
         )
-        self._h = self._lib.ncw_create(
+        open_fn = self._lib.ncw_create if create else self._lib.ncw_attach
+        self._h = open_fn(
             path.encode("utf-8"), cfg.ny, cfg.nx, len(attrs), names, values
         )
         if not self._h:
-            raise RuntimeError(f"ncw_create failed: {_last_error(self._lib)}")
+            raise RuntimeError(
+                f"ncw_{'create' if create else 'attach'} failed: "
+                f"{_last_error(self._lib)}"
+            )
 
     def append(self, irec: int, frame: np.ndarray) -> None:
         """Enqueue one (ny, nx) float64 frame; returns before the disk write."""
@@ -126,6 +140,19 @@ class NativeSnapshotWriter:
         ptr = frame.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
         if self._lib.ncw_append(self._h, ptr, irec) != 0:
             raise RuntimeError(f"ncw_append failed: {_last_error(self._lib)}")
+
+    def append_region(self, irec: int, y0: int, x0: int, block: np.ndarray) -> None:
+        """Enqueue one (by, bx) float64 hyperslab at rows y0.., cols x0..
+        (async; copies the block) — ncmpi_put_vara_double_all analogue."""
+        block = np.ascontiguousarray(block, dtype=np.float64)
+        if block.ndim != 2:
+            raise ValueError(f"region block must be 2D, got {block.shape}")
+        by, bx = block.shape
+        ptr = block.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+        if self._lib.ncw_append_region(self._h, ptr, irec, y0, x0, by, bx) != 0:
+            raise RuntimeError(
+                f"ncw_append_region failed: {_last_error(self._lib)}"
+            )
 
     def flush(self) -> None:
         if self._lib.ncw_flush(self._h) != 0:

@@ -72,17 +72,38 @@ class ShardedSnapshotWriter:
 
     Caller contract: construct with ``create=True`` on exactly one process,
     barrier, then ``create=False`` elsewhere (the driver does this).
+
+    When the native C++ runtime is available, region appends are handed to
+    its background writer thread (``use_native=True``), so the byte-swap and
+    disk writes overlap device compute on every process — the full analogue
+    of PnetCDF's nonblocking collective writes.  Fallback is the pure-Python
+    codec (byte-identical output).
     """
 
-    def __init__(self, path: str, cfg: SimConfig, create: bool):
+    def __init__(self, path: str, cfg: SimConfig, create: bool,
+                 use_native: bool = True):
         self.path = path
         self.cfg = cfg
         if create:
             d = os.path.dirname(path)
             if d:
                 os.makedirs(d, exist_ok=True)
-        self._w = NetCDFWriter(path, version=5, create=create)
-        _define_schema(self._w, cfg)
+
+        self._native = None
+        if use_native:
+            try:
+                from .native import NativeSnapshotWriter
+
+                self._native = NativeSnapshotWriter(
+                    path, cfg, metadata_attrs(cfg), create=create
+                )
+            except Exception:
+                self._native = None
+
+        self._w = None
+        if self._native is None:
+            self._w = NetCDFWriter(path, version=5, create=create)
+            _define_schema(self._w, cfg)
         self._next_index = 0
 
     @property
@@ -99,15 +120,26 @@ class ShardedSnapshotWriter:
                 continue
             ys, xs = shard.index
             block = np.asarray(shard.data, dtype=np.float64)
-            self._w.put_rec_region("u", idx, (ys.start or 0, xs.start or 0), block)
+            if self._native is not None:
+                self._native.append_region(idx, ys.start or 0, xs.start or 0, block)
+            else:
+                self._w.put_rec_region(
+                    "u", idx, (ys.start or 0, xs.start or 0), block
+                )
         self._next_index = max(self._next_index, idx + 1)
         return idx
 
     def sync(self) -> None:
-        self._w.sync()
+        if self._native is not None:
+            self._native.flush()
+        else:
+            self._w.sync()
 
     def close(self) -> None:
-        self._w.close()
+        if self._native is not None:
+            self._native.close()
+        else:
+            self._w.close()
 
     def __enter__(self):
         return self

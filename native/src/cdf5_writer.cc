@@ -14,7 +14,13 @@
 //
 // C ABI (consumed via ctypes from climate_sim_tpu/io/native.py):
 //   ncw_create(path, ny, nx, nattrs, names[], values[]) -> handle (>=1), 0 on error
+//   ncw_attach(path, ny, nx, nattrs, names[], values[]) -> handle; opens an
+//       existing file created by another process with the SAME schema,
+//       byte-verifies the header (numrecs excluded) and never touches it —
+//       the per-rank half of parallel hyperslab writes (io.cpp:402-424).
 //   ncw_append(handle, frame_ptr, irec)  -> 0 ok      (async; copies the frame)
+//   ncw_append_region(handle, ptr, irec, y0, x0, by, bx) -> 0 ok (async
+//       hyperslab write of a (by, bx) block at rows y0.., cols x0..)
 //   ncw_flush(handle)                    -> 0 ok      (drain queue)
 //   ncw_close(handle)                    -> 0 ok      (drain + close + free)
 //   ncw_queue_depth(handle)              -> frames currently queued, <0 error
@@ -126,14 +132,16 @@ std::string encode_header(int64_t ny, int64_t nx, int64_t numrecs,
 
 struct Frame {
   int64_t irec;
+  // Region within the record: full frames are y0=x0=0, by=ny, bx=nx.
+  int64_t y0, x0, by, bx;
   std::vector<double> data;  // host byte order; swapped in the worker
 };
 
 class Writer {
  public:
   Writer(const std::string& path, int64_t ny, int64_t nx,
-         std::vector<std::pair<std::string, std::string>> attrs)
-      : ny_(ny), nx_(nx) {
+         std::vector<std::pair<std::string, std::string>> attrs, bool create)
+      : ny_(ny), nx_(nx), owns_header_(create) {
     // Two-pass: header size depends only on counts/strings.
     std::string probe = encode_header(ny, nx, 0, attrs, 0);
     size_t hlen = probe.size() + pad4(probe.size());
@@ -141,12 +149,31 @@ class Writer {
     std::string header = encode_header(ny, nx, 0, attrs, begin_);
     header.append(pad4(header.size()), '\0');
 
-    f_ = std::fopen(path.c_str(), "w+b");
-    if (!f_) throw std::runtime_error("cannot open " + path);
-    if (std::fwrite(header.data(), 1, header.size(), f_) != header.size()) {
-      std::fclose(f_);
-      f_ = nullptr;
-      throw std::runtime_error("short header write to " + path);
+    if (create) {
+      f_ = std::fopen(path.c_str(), "w+b");
+      if (!f_) throw std::runtime_error("cannot open " + path);
+      if (std::fwrite(header.data(), 1, header.size(), f_) != header.size()) {
+        std::fclose(f_);
+        f_ = nullptr;
+        throw std::runtime_error("short header write to " + path);
+      }
+      // Attaching processes read this back as soon as their open barrier
+      // releases: make it visible now.
+      std::fflush(f_);
+    } else {
+      // Attach: verify the creator's on-disk header matches this schema
+      // byte-for-byte, numrecs field (offset 4, 8 bytes) excluded.
+      f_ = std::fopen(path.c_str(), "r+b");
+      if (!f_) throw std::runtime_error("cannot open existing " + path);
+      std::string ondisk(header.size(), '\0');
+      size_t got = std::fread(&ondisk[0], 1, ondisk.size(), f_);
+      if (got != header.size() ||
+          ondisk.compare(0, 4, header, 0, 4) != 0 ||
+          ondisk.compare(12, std::string::npos, header, 12, std::string::npos) != 0) {
+        std::fclose(f_);
+        f_ = nullptr;
+        throw std::runtime_error(path + ": existing header does not match schema");
+      }
     }
     worker_ = std::thread([this] { this->run(); });
   }
@@ -159,7 +186,15 @@ class Writer {
   }
 
   void append(const double* frame, int64_t irec) {
-    auto fr = Frame{irec, std::vector<double>(frame, frame + ny_ * nx_)};
+    append_region(frame, irec, 0, 0, ny_, nx_);
+  }
+
+  void append_region(const double* block, int64_t irec, int64_t y0, int64_t x0,
+                     int64_t by, int64_t bx) {
+    if (y0 < 0 || x0 < 0 || by <= 0 || bx <= 0 || y0 + by > ny_ || x0 + bx > nx_)
+      throw std::runtime_error("region out of bounds");
+    auto fr = Frame{irec, y0, x0, by, bx,
+                    std::vector<double>(block, block + by * bx)};
     std::unique_lock<std::mutex> lk(mu_);
     // Bounded queue: cap buffered frames so a slow disk cannot exhaust RAM.
     not_full_.wait(lk, [this] { return queue_.size() < kMaxQueue || stop_; });
@@ -230,19 +265,33 @@ class Writer {
   }
 
   void write_frame(const Frame& fr, std::vector<uint64_t>& swapped) {
-    const int64_t n = ny_ * nx_;
+    const int64_t n = fr.by * fr.bx;
     swapped.resize(size_t(n));
     const uint64_t* src = reinterpret_cast<const uint64_t*>(fr.data.data());
     for (int64_t i = 0; i < n; ++i) swapped[size_t(i)] = __builtin_bswap64(src[i]);
 
-    const int64_t recsize = n * 8;
+    const int64_t recsize = ny_ * nx_ * 8;
+    const int64_t rec_base = begin_ + fr.irec * recsize;
     // fseeko + off_t: record offsets exceed 2 GiB within ~16 frames at
     // 4096^2 f64, overflowing a 32-bit long.
-    if (fseeko(f_, off_t(begin_ + fr.irec * recsize), SEEK_SET) != 0)
-      throw std::runtime_error("seek failed");
-    if (std::fwrite(swapped.data(), 1, size_t(recsize), f_) != size_t(recsize))
-      throw std::runtime_error("short record write");
-    if (fr.irec + 1 > numrecs_) {
+    if (fr.bx == nx_) {
+      // Full-width row band: one contiguous write.
+      if (fseeko(f_, off_t(rec_base + fr.y0 * nx_ * 8), SEEK_SET) != 0)
+        throw std::runtime_error("seek failed");
+      if (std::fwrite(swapped.data(), 1, size_t(n * 8), f_) != size_t(n * 8))
+        throw std::runtime_error("short record write");
+    } else {
+      // One write per row segment at its deterministic offset.
+      for (int64_t r = 0; r < fr.by; ++r) {
+        int64_t el = (fr.y0 + r) * nx_ + fr.x0;
+        if (fseeko(f_, off_t(rec_base + el * 8), SEEK_SET) != 0)
+          throw std::runtime_error("seek failed");
+        if (std::fwrite(swapped.data() + size_t(r * fr.bx), 1,
+                        size_t(fr.bx * 8), f_) != size_t(fr.bx * 8))
+          throw std::runtime_error("short region write");
+      }
+    }
+    if (owns_header_ && fr.irec + 1 > numrecs_) {
       numrecs_ = fr.irec + 1;
       // Patch the 8-byte numrecs field at offset 4 (CDF-5).
       char b[8];
@@ -255,6 +304,7 @@ class Writer {
   }
 
   int64_t ny_, nx_;
+  bool owns_header_ = true;
   int64_t begin_ = 0;
   int64_t numrecs_ = 0;
   std::FILE* f_ = nullptr;
@@ -278,12 +328,13 @@ int64_t g_next_handle = 1;
 
 extern "C" {
 
-int64_t ncw_create(const char* path, int64_t ny, int64_t nx, int64_t nattrs,
-                   const char** names, const char** values) {
+static int64_t make_writer(const char* path, int64_t ny, int64_t nx,
+                           int64_t nattrs, const char** names,
+                           const char** values, bool create) {
   try {
     std::vector<std::pair<std::string, std::string>> attrs;
     for (int64_t i = 0; i < nattrs; ++i) attrs.emplace_back(names[i], values[i]);
-    auto w = std::make_shared<Writer>(path, ny, nx, std::move(attrs));
+    auto w = std::make_shared<Writer>(path, ny, nx, std::move(attrs), create);
     std::lock_guard<std::mutex> lk(g_table_mu);
     int64_t h = g_next_handle++;
     g_writers[h] = std::move(w);
@@ -292,6 +343,16 @@ int64_t ncw_create(const char* path, int64_t ny, int64_t nx, int64_t nattrs,
     set_error(e.what());
     return 0;
   }
+}
+
+int64_t ncw_create(const char* path, int64_t ny, int64_t nx, int64_t nattrs,
+                   const char** names, const char** values) {
+  return make_writer(path, ny, nx, nattrs, names, values, true);
+}
+
+int64_t ncw_attach(const char* path, int64_t ny, int64_t nx, int64_t nattrs,
+                   const char** names, const char** values) {
+  return make_writer(path, ny, nx, nattrs, names, values, false);
 }
 
 static std::shared_ptr<Writer> lookup(int64_t h) {
@@ -308,6 +369,22 @@ int64_t ncw_append(int64_t handle, const double* frame, int64_t irec) {
   }
   try {
     w->append(frame, irec);
+    return 0;
+  } catch (const std::exception& e) {
+    set_error(e.what());
+    return -1;
+  }
+}
+
+int64_t ncw_append_region(int64_t handle, const double* block, int64_t irec,
+                          int64_t y0, int64_t x0, int64_t by, int64_t bx) {
+  auto w = lookup(handle);
+  if (!w) {
+    set_error("bad handle");
+    return -1;
+  }
+  try {
+    w->append_region(block, irec, y0, x0, by, bx);
     return 0;
   } catch (const std::exception& e) {
     set_error(e.what());

@@ -120,3 +120,55 @@ def test_many_frames_async_drain(tmp_path, rng):
         assert ds.dimensions["time"] == 12
         for i in (0, 5, 11):
             np.testing.assert_array_equal(ds.variables["u"][i, :, :], frames[i])
+
+
+def test_native_region_writes_byte_identical(tmp_path, rng):
+    """A record assembled from async native hyperslab appends (out-of-order
+    tiles, create+attach handles) is byte-identical to a whole-record write
+    through the Python codec (ncmpi_put_vara_double_all analogue)."""
+    cfg = SimConfig(nx=24, ny=12)
+    attrs = metadata_attrs(cfg)
+    frames = [rng.normal(size=(12, 24)) for _ in range(2)]
+
+    ref = str(tmp_path / "ref.nc")
+    w = NetCDFWriter(ref, version=5)
+    w.def_dim("time", None)
+    w.def_dim("y", 12)
+    w.def_dim("x", 24)
+    w.def_var("u", np.float64, ("time", "y", "x"))
+    for k, v in attrs.items():
+        w.put_gatt(k, v)
+    w.enddef()
+    for t, f in enumerate(frames):
+        w.put_rec("u", t, f)
+    w.close()
+
+    tiled = str(tmp_path / "tiled.nc")
+    creator = native.NativeSnapshotWriter(tiled, cfg, attrs, create=True)
+    attacher = native.NativeSnapshotWriter(tiled, cfg, attrs, create=False)
+    for t, f in enumerate(frames):
+        creator.append_region(t, 6, 8, f[6:, 8:])    # bottom-right, ragged
+        attacher.append_region(t, 0, 0, f[:6, :])    # top band (full width)
+        creator.append_region(t, 6, 0, f[6:, :8])    # bottom-left
+    attacher.close()
+    creator.close()
+
+    assert open(tiled, "rb").read() == open(ref, "rb").read()
+
+
+def test_native_attach_header_mismatch(tmp_path):
+    cfg = SimConfig(nx=8, ny=8)
+    path = str(tmp_path / "h.nc")
+    w = native.NativeSnapshotWriter(path, cfg, metadata_attrs(cfg))
+    w.close()
+    other = SimConfig(nx=8, ny=16)
+    with pytest.raises(RuntimeError, match="attach failed"):
+        native.NativeSnapshotWriter(path, other, metadata_attrs(other), create=False)
+
+
+def test_native_region_bounds(tmp_path, rng):
+    cfg = SimConfig(nx=8, ny=8)
+    w = native.NativeSnapshotWriter(str(tmp_path / "b.nc"), cfg, metadata_attrs(cfg))
+    with pytest.raises(RuntimeError, match="out of bounds"):
+        w.append_region(0, 6, 0, np.zeros((4, 8)))
+    w.close()
