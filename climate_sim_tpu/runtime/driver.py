@@ -199,13 +199,26 @@ def prepare(cfg: SimConfig, devices=None):
             advance = build_sharded_advance(cfg, mesh, dt, interior)
     else:
         if mesh is not None:
-            # Indivisible grid: let GSPMD partition the global program
-            # (decision log #6); still sharded, just compiler-managed halos.
-            # Force the jnp path — a manual Pallas call cannot be
-            # auto-partitioned by GSPMD.
-            u0 = place_ic(field_sharding(mesh))
-            cfg = dataclasses.replace(cfg, kernel="jnp")
-        else:
+            # Indivisible grid: shard only the axes the mesh divides evenly
+            # (JAX refuses uneven explicit shardings outright) and let GSPMD
+            # partition the global program (decision log #6) — compiler
+            # -managed halos, jnp path forced (a manual Pallas call cannot
+            # be auto-partitioned by GSPMD).
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            sy = "y" if cfg.ny % mesh.shape["y"] == 0 else None
+            sx = "x" if cfg.nx % mesh.shape["x"] == 0 else None
+            if sy is None and sx is None:
+                _log(
+                    f"[warn] grid {cfg.nx}x{cfg.ny} is indivisible along both"
+                    f" axes of every {len(devs)}-device mesh; running"
+                    " single-device"
+                )
+                mesh = None
+            else:
+                u0 = place_ic(NamedSharding(mesh, PartitionSpec(sy, sx)))
+                cfg = dataclasses.replace(cfg, kernel="jnp")
+        if mesh is None:
             from jax.sharding import SingleDeviceSharding
 
             u0 = place_ic(SingleDeviceSharding(devs[0]))

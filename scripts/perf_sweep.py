@@ -25,8 +25,13 @@ import sys
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 WORKER = r"""
-import json, sys, time
+import json, os, sys, time
 import numpy as np, jax, jax.numpy as jnp
+# The image's sitecustomize force-registers the axon backend regardless of
+# JAX_PLATFORMS; reclaim CPU explicitly for dry-runs (same dance as
+# tests/conftest.py).
+if os.environ.get("CLIMATE_SIM_PLATFORM") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 from climate_sim_tpu.config import BCConfig, BCType, SimConfig
 from climate_sim_tpu.ops.init import gaussian_hotspot
 from climate_sim_tpu.ops.step import build_single_device_advance

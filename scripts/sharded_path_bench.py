@@ -17,6 +17,7 @@ Paths timed at --nx/--ny per shard (default 4096^2):
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -30,6 +31,9 @@ def main() -> int:
     ap.add_argument("--chunk", type=int, default=100)
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--trials", type=int, default=2)
+    ap.add_argument("--interpret", action="store_true",
+                    help="Pallas interpret mode (CPU dry-runs; timings "
+                         "meaningless)")
     ap.add_argument("--paths", nargs="+",
                     default=["single", "slab", "overlap"],
                     choices=["single", "slab", "overlap", "perstep"])
@@ -37,6 +41,11 @@ def main() -> int:
 
     import jax
     import jax.numpy as jnp
+
+    # Reclaim CPU for dry-runs despite the image's forced axon backend
+    # (same dance as tests/conftest.py).
+    if os.environ.get("CLIMATE_SIM_PLATFORM") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     from climate_sim_tpu.config import BCConfig, BCType, SimConfig
     from climate_sim_tpu.ops.init import gaussian_hotspot
@@ -63,14 +72,16 @@ def main() -> int:
         if path == "single":
             return build_single_device_advance(cfg, cfg.dt), u_single
         if path == "slab":
-            adv = build_sharded_multistep_advance(cfg, mesh, cfg.dt)
+            adv = build_sharded_multistep_advance(
+                cfg, mesh, cfg.dt, interpret=a.interpret)
             if adv is None:
                 return None, None
             print(f"[bench] slab path uses_slabs={getattr(adv, 'uses_slabs', '?')}",
                   file=sys.stderr)
             return adv, u_sharded
         if path == "overlap":
-            return build_sharded_overlap_advance(cfg, mesh, cfg.dt), u_sharded
+            return build_sharded_overlap_advance(
+                cfg, mesh, cfg.dt, interpret=a.interpret), u_sharded
         interior = make_interior_step(cfg, cfg.dt)
         return build_sharded_advance(cfg, mesh, cfg.dt, interior), u_sharded
 

@@ -97,6 +97,40 @@ def test_vis_empty_dir_exits_nonzero(tmp_path):
     assert "No snapshots" in (r.stderr + r.stdout)
 
 
+def _read_all_steps(out):
+    from climate_sim_tpu.io.netcdf import NetCDFFile
+
+    with NetCDFFile(os.path.join(out, "snapshots.nc")) as ds:
+        return np.asarray(ds.variables["u"][:, :, :])
+
+
+def test_diffusion_peak_decays_blackbox(tmp_path):
+    """Peak decreases and field stays nonnegative under pure diffusion
+    (reference: integration_diffusion.cpp:36-47 — 64^2, D=1, periodic)."""
+    out = f"{tmp_path}/o"
+    r = sim(["--nx=64", "--ny=64", "--D=1.0", "--dt=0.2", "--steps=10",
+             "--out_every=9", "--bc=periodic", f"--output.dir={out}"])
+    assert r.returncode == 0, r.stderr
+    frames = _read_all_steps(out)
+    assert frames.shape[0] == 2          # steps 0 and 9 (pre-update cadence)
+    assert frames[1].max() < frames[0].max()
+    assert (frames[1] >= -1e-12).all()
+
+
+def test_advection_com_drift_blackbox(tmp_path):
+    """Center of mass moves by vx*dt*steps within +-1 cell and mass is
+    conserved within 5% (reference: integration_advection.cpp:28-35)."""
+    out = f"{tmp_path}/o"
+    r = sim(["--nx=64", "--ny=64", "--vx=1.0", "--dt=1.0", "--steps=6",
+             "--out_every=5", "--bc=periodic", f"--output.dir={out}"])
+    assert r.returncode == 0, r.stderr
+    frames = _read_all_steps(out)
+    cells_x = np.arange(64) + 0.5        # mass centroid at cell centers
+    com = [float((f.sum(axis=0) * cells_x).sum() / f.sum()) for f in frames]
+    assert abs((com[1] - com[0]) - 5.0) <= 1.0
+    assert abs(frames[1].sum() - frames[0].sum()) <= 0.05 * frames[0].sum()
+
+
 def test_diagnostics_flag_blackbox(tmp_path):
     r = sim(["--nx=32", "--ny=16", "--steps=4", "--out_every=2",
              "--diagnostics_every=1", f"--output.dir={tmp_path}/o"])

@@ -1,0 +1,182 @@
+"""In-process tests for paths previously reachable only via subprocesses
+(runtime CLI, kernel selection, dataset sniffing, mesh-shape requests) —
+keeps the CI line-coverage gate (>=90%, reference gcovr.cfg) honest,
+since subprocess executions are invisible to in-process coverage tracing.
+"""
+
+import numpy as np
+import pytest
+
+from climate_sim_tpu.config import SimConfig
+from climate_sim_tpu.io.datasets import load_field, sniff_format
+from climate_sim_tpu.parallel.mesh import choose_mesh_shape, make_mesh
+from climate_sim_tpu.runtime.cli import main as cli_main
+
+
+# ---------------------------------------------------------------- CLI
+
+
+def test_cli_help_exits_zero(capsys):
+    assert cli_main(["-h"]) == 0
+    assert "config" in capsys.readouterr().out
+
+
+def test_cli_run_subcommand_and_config_error(capsys, tmp_path):
+    # "run" prefix is accepted and stripped; bad override -> exit 2.
+    assert cli_main(["run", "--nx=-3", f"--output.dir={tmp_path}/o"]) == 2
+    assert "error:" in capsys.readouterr().err
+
+
+def test_cli_runtime_error_exits_one(capsys, tmp_path):
+    rc = cli_main(["--ic.mode=file", "--ic.path=/nonexistent/x.nc",
+                   "--nx=16", "--ny=16", "--steps=1",
+                   f"--output.dir={tmp_path}/o"])
+    assert rc == 1
+    assert "error:" in capsys.readouterr().err
+
+
+def test_cli_platform_env(monkeypatch, tmp_path):
+    # Tests already run on CPU; requesting it again through the env hook is
+    # a no-op that still exercises the branch.
+    monkeypatch.setenv("CLIMATE_SIM_PLATFORM", "cpu")
+    rc = cli_main(["--nx=16", "--ny=16", "--steps=1", "--out_every=1",
+                   f"--output.dir={tmp_path}/o"])
+    assert rc == 0
+
+
+# ------------------------------------------------------ kernel selection
+
+
+def test_select_kernel_auto_is_jnp_on_cpu():
+    from climate_sim_tpu.ops.step import select_kernel
+
+    assert select_kernel(SimConfig(kernel="auto")) == "jnp"
+    assert select_kernel(SimConfig(kernel="jnp")) == "jnp"
+    assert select_kernel(SimConfig(kernel="pallas")) == "pallas"
+
+
+def test_pallas_branches_build_on_cpu():
+    """Selecting the Pallas kernel builds (no execution) on any backend."""
+    from climate_sim_tpu.ops.step import (
+        build_single_device_advance,
+        make_interior_step,
+    )
+
+    cfg = SimConfig(nx=256, ny=256, kernel="pallas_multistep", dt=0.1)
+    assert callable(build_single_device_advance(cfg, cfg.dt))
+    assert callable(make_interior_step(cfg, cfg.dt))
+
+
+# ------------------------------------------------------------- datasets
+
+
+def test_sniff_format_rejects_garbage(tmp_path):
+    p = tmp_path / "junk.bin"
+    p.write_bytes(b"NOTANC__junkjunk")
+    with pytest.raises(ValueError, match="not a NetCDF file"):
+        sniff_format(str(p))
+
+
+def _write_h5(path, name, arr):
+    import h5py
+
+    with h5py.File(path, "w") as f:
+        f.create_dataset(name, data=arr)
+
+
+def test_load_field_hdf5_2d_and_last_record(tmp_path):
+    a2 = np.arange(12.0).reshape(3, 4)
+    p2 = str(tmp_path / "f2.h5")
+    _write_h5(p2, "u", a2)
+    assert sniff_format(p2) == "hdf5"
+    np.testing.assert_array_equal(load_field(p2), a2)
+
+    a3 = np.stack([a2, a2 + 100.0])
+    p3 = str(tmp_path / "f3.h5")
+    _write_h5(p3, "u", a3)
+    np.testing.assert_array_equal(load_field(p3), a2 + 100.0)
+
+
+def test_load_field_hdf5_errors(tmp_path):
+    p = str(tmp_path / "bad.h5")
+    _write_h5(p, "v", np.zeros((2, 2)))
+    with pytest.raises(KeyError, match="'u' not found"):
+        load_field(p)
+    p4 = str(tmp_path / "bad4.h5")
+    _write_h5(p4, "u", np.zeros((1, 1, 2, 2)))
+    with pytest.raises(ValueError, match="must be 2D"):
+        load_field(p4)
+    p0 = str(tmp_path / "empty.h5")
+    _write_h5(p0, "u", np.zeros((0, 2, 2)))
+    with pytest.raises(ValueError, match="no records"):
+        load_field(p0)
+
+
+def test_load_field_classic_missing_var(tmp_path):
+    from climate_sim_tpu.io.netcdf import NetCDFWriter
+
+    p = str(tmp_path / "c.nc")
+    w = NetCDFWriter(p, version=5)
+    w.def_dim("y", 2)
+    w.def_dim("x", 2)
+    w.def_var("v", np.float64, ("y", "x"))
+    w.enddef()
+    w.put_var("v", np.zeros((2, 2)))
+    w.close()
+    with pytest.raises(KeyError, match="'u' not found"):
+        load_field(p)
+
+
+# ----------------------------------------------------------------- mesh
+
+
+def test_choose_mesh_shape_explicit_requests():
+    assert choose_mesh_shape(8, 64, 64, req_x=4, req_y=2) == (4, 2)
+    assert choose_mesh_shape(8, 64, 64, req_x=2) == (2, 4)
+    assert choose_mesh_shape(8, 64, 64, req_y=2) == (4, 2)
+    with pytest.raises(ValueError, match="!= device count"):
+        choose_mesh_shape(8, 64, 64, req_x=3, req_y=2)
+    with pytest.raises(ValueError, match="does not divide"):
+        choose_mesh_shape(8, 64, 64, req_x=3)
+    with pytest.raises(ValueError, match="does not divide"):
+        choose_mesh_shape(8, 64, 64, req_y=3)
+
+
+def test_make_mesh_insufficient_devices():
+    with pytest.raises(ValueError, match="need"):
+        make_mesh(64, 64)
+
+
+# ---------------------------------------------------------------- init
+
+
+def test_unknown_ic_mode_raises():
+    from climate_sim_tpu.ops.init import device_initial_condition
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    cfg = SimConfig(nx=16, ny=16)
+    cfg.ic.mode = "bogus"
+    mesh = make_mesh(1, 1, jax.devices()[:1])
+    sh = NamedSharding(mesh, PartitionSpec())
+    with pytest.raises(ValueError, match="Unknown IC mode"):
+        device_initial_condition(cfg, np.float32, sh)
+
+
+def test_device_ic_file_mode_sharded(tmp_path):
+    import jax
+    from climate_sim_tpu.io.snapshots import SnapshotWriter
+    from climate_sim_tpu.ops.init import device_initial_condition
+    from climate_sim_tpu.parallel.mesh import field_sharding
+
+    cfg = SimConfig(nx=64, ny=32)
+    rng = np.random.default_rng(7)
+    frame = rng.standard_normal((32, 64))
+    path = str(tmp_path / "ic.nc")
+    with SnapshotWriter(path, cfg, use_native=False) as w:
+        w.write(frame)
+    cfg.ic.mode = "file"
+    cfg.ic.path = path
+    mesh = make_mesh(4, 2)
+    arr = device_initial_condition(cfg, np.float64, field_sharding(mesh))
+    np.testing.assert_allclose(np.asarray(jax.device_get(arr)), frame)
