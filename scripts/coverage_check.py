@@ -19,7 +19,6 @@ Exits nonzero when total line coverage < --fail-under (default 90).
 from __future__ import annotations
 
 import argparse
-import dis
 import os
 import sys
 from collections import defaultdict
@@ -144,6 +143,4 @@ def _compress(lines: list[int]) -> str:
 
 
 if __name__ == "__main__":
-    # dis import kept for parity with co_lines semantics documentation.
-    _ = dis
     sys.exit(main())

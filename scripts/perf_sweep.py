@@ -37,12 +37,13 @@ from climate_sim_tpu.ops.init import gaussian_hotspot
 from climate_sim_tpu.ops.step import build_single_device_advance
 
 nx, ny, chunk, reps, trials = (int(a) for a in sys.argv[1:6])
+dtype = getattr(jnp, sys.argv[6]) if len(sys.argv) > 6 else jnp.float32
 cfg = SimConfig(nx=nx, ny=ny, D=0.05, vx=0.5, vy=-0.25, dt=0.1,
                 steps=chunk, out_every=chunk)
 cfg.bc = BCConfig(left=BCType.DIRICHLET, right=BCType.NEUMANN,
                   bottom=BCType.PERIODIC, top=BCType.PERIODIC)
 fn = build_single_device_advance(cfg, cfg.dt)(chunk)
-u = jax.device_put(gaussian_hotspot(cfg, jnp.float32), jax.devices()[0])
+u = jax.device_put(gaussian_hotspot(cfg, dtype), jax.devices()[0])
 try:
     fn = fn.lower(u).compile()
 except Exception as e:
@@ -70,6 +71,8 @@ def main() -> int:
     ap.add_argument("--trials", type=int, default=2)
     ap.add_argument("--bx", type=int, nargs="+", default=[0])
     ap.add_argument("--by", type=int, nargs="+", default=[0])
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"])
     a = ap.parse_args()
 
     results = []
@@ -83,10 +86,10 @@ def main() -> int:
             env["CLIMATE_SIM_BY"] = str(by)
         r = subprocess.run(
             [sys.executable, "-c", WORKER, str(a.nx), str(a.ny),
-             str(a.chunk), str(a.reps), str(a.trials)],
+             str(a.chunk), str(a.reps), str(a.trials), a.dtype],
             cwd=REPO_ROOT, env=env, capture_output=True, text=True, timeout=1200,
         )
-        tag = f"BX={bx or 'auto'} BY={by or 'auto'}"
+        tag = f"BX={bx or 'auto'} BY={by or 'auto'} {a.dtype}"
         if r.returncode != 0:
             print(f"{tag}: FAILED\n{r.stderr[-500:]}", flush=True)
             continue
