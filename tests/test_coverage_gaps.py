@@ -180,3 +180,75 @@ def test_device_ic_file_mode_sharded(tmp_path):
     mesh = make_mesh(4, 2)
     arr = device_initial_condition(cfg, np.float64, field_sharding(mesh))
     np.testing.assert_allclose(np.asarray(jax.device_get(arr)), frame)
+
+
+# --------------------------------------------------------------- config
+
+
+def test_yaml_tpu_extension_keys():
+    from climate_sim_tpu.config import load_yaml_dict
+
+    cfg = load_yaml_dict({
+        "precision": "bf16",
+        "kernel": "jnp",
+        "mesh": {"x": 2, "y": 4, "enable": False},
+        "strict_reference_compat": True,
+        "diagnostics_every": 3,
+        "debug_nans": True,
+        "profile_dir": "/tmp/tr",
+        "max_devices": 2,
+        "halo_overlap": True,
+        "distributed": "auto",
+        "output": {"path": "/tmp/x.nc", "write_final": True,
+                   "enable": True},
+        "ic": {"mode": "file", "file": "/tmp/ic.nc", "var": "u"},
+    })
+    assert cfg.precision == "bf16" and cfg.kernel == "jnp"
+    assert (cfg.mesh.x, cfg.mesh.y, cfg.mesh.enable) == (2, 4, False)
+    assert cfg.strict_reference_compat and cfg.diagnostics_every == 3
+    assert cfg.debug_nans and cfg.profile_dir == "/tmp/tr"
+    assert cfg.max_devices == 2 and cfg.halo_overlap
+    assert cfg.distributed == "auto"
+    assert cfg.output_path == "/tmp/x.nc" and cfg.write_final
+    assert cfg.ic.path == "/tmp/ic.nc" and cfg.ic.var == "u"
+
+
+def test_validate_tpu_extension_errors():
+    import pytest as _pytest
+
+    bad = [("precision", "f16"), ("kernel", "cuda"), ("max_devices", -1)]
+    for attr, val in bad:
+        cfg = SimConfig()
+        setattr(cfg, attr, val)
+        with _pytest.raises(ValueError):
+            cfg.validate()
+
+
+def test_cli_mesh_flags_and_flat_prefix():
+    from climate_sim_tpu.config import apply_overrides, parse_cli_overrides
+
+    cfg = SimConfig()
+    ov = parse_cli_overrides([
+        "--mesh.x=4", "--mesh.y=2", "--mesh.enable=false",
+        "--output.enable=false", "--output_prefix=alt",
+    ])
+    apply_overrides(cfg, ov)
+    assert (cfg.mesh.x, cfg.mesh.y, cfg.mesh.enable) == (4, 2, False)
+    assert cfg.output_enable is False
+    assert cfg.output_prefix == "alt"
+
+
+def test_config_to_dict_round_trip_strings():
+    from climate_sim_tpu.config import config_to_dict
+
+    d = config_to_dict(SimConfig())
+    assert d["bc"] == {"left": "dirichlet", "right": "dirichlet",
+                       "bottom": "dirichlet", "top": "dirichlet"}
+    assert d["nx"] == 256
+
+
+def test_bad_bc_node_rejected():
+    from climate_sim_tpu.config import load_yaml_dict
+
+    with pytest.raises(ValueError, match="bad bc node"):
+        load_yaml_dict({"bc": [1, 2, 3]})
