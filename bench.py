@@ -43,12 +43,12 @@ def main() -> int:
 
     NX = NY = 4096
     CHUNK = 100         # steps per dispatched program
-    REPS = 200          # timed chunks -> 20000 steps per trial
+    REPS = 60           # timed chunks -> 6000 steps per trial
     # REPS sizing: through the tunneled TPU, the end-of-trial sync
     # (block_until_ready + a scalar fetch) costs a fixed ~65 ms regardless
     # of work; profiler traces show chained chunk executions run
-    # back-to-back on device (~14 us gaps).  20000 steps/trial (~2.1 s
-    # device time at the measured rate) amortizes the sync to ~3%, so the
+    # back-to-back on device (~14 us gaps).  6000 steps/trial (~640 ms
+    # device time at the measured rate) amortizes the sync to ~9%, so the
     # wall-clock rate converges on the device's sustained rate — the number
     # a non-tunneled deployment would see.  (At the old REPS=10, the sync
     # was ~38% of the trial and the headline underread by a third.)
