@@ -183,11 +183,20 @@ def _build_kernel_body(
         if not (fused_dma or slab_mode):
             # Rbuf = R rounded up to the 8-row sublane tile (DMA slice
             # alignment); the extra rows are input padding, never computed.
+            # The row start needs an explicit divisibility hint: Mosaic
+            # cannot prove block*BY % 8 == 0 through the pid rem/div chain
+            # (hardware lowering fails on small-region kernels without it).
             (hbm_ref,) = refs
+            if nby == 1 and nbx == 1:
+                start = 0  # single block: keep the slice start static
+            else:
+                start = jnp.asarray(block, jnp.int32) * jnp.int32(BY)
+                if BY % 8 == 0:
+                    start = pl.multiple_of(start, 8)
             return [(
                 None,
                 pltpu.make_async_copy(
-                    hbm_ref.at[pl.ds(block * BY, Rbuf), :], dst, sems.at[slot, 0]
+                    hbm_ref.at[pl.ds(start, Rbuf), :], dst, sems.at[slot, 0]
                 ),
             )]
         # Index math stays int32: under jax_enable_x64 a Python-int operand
@@ -527,6 +536,11 @@ def _build_multistep_call_cached(
     if BY is None:
         return None
     if (fused_dma or slab_mode) and (BY % 8 or khalo % 8 or nx % 128 or ny % 8):
+        return None
+    if not interpret and not (fused_dma or slab_mode) and BY % 8 and ny // BY > 1:
+        # Assembled-mode hardware DMA slices rows at block*BY, which must sit
+        # on the 8-row sublane tile; a misaligned BY only lowers in interpret
+        # mode.  (nby == 1 starts at 0 and is always aligned.)
         return None
     R = BY + 2 * khalo
     Rbuf = R if (fused_dma or slab_mode) else -(-R // 8) * 8

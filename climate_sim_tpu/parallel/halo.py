@@ -304,15 +304,23 @@ def build_sharded_overlap_advance(
 
     tile_cfg = dataclasses.replace(cfg, nx=mx, ny=my)
     k = pick_steps_per_pass(tile_cfg, cfg.out_every or 8)
+    # y-band height: kk rounded up to a half-sublane multiple, so the
+    # interior height my - 2*hb stays 8-row aligned whenever my is —
+    # Mosaic requires assembled-mode row-block DMA starts on the 8-row
+    # sublane tile, and my - 2*kk has no aligned divisor for most kk.
+    def _hb(kk: int) -> int:
+        return -(-kk // 4) * 4
+
     # Interior must be non-empty and every region layout must exist, for k
     # and every chunk remainder (all static).
     for kk in range(1, k + 1):
-        if my <= 2 * kk or mx <= 2 * kk:
+        hb = _hb(kk)
+        if my <= 2 * hb or mx <= 2 * kk:
             return None
         shapes = [
-            (my - 2 * kk, mx - 2 * kk, False),  # interior (no fixups)
-            (kk, mx, True),                     # bottom/top bands
-            (my - 2 * kk, kk, True),            # left/right bands
+            (my - 2 * hb, mx - 2 * kk, False),  # interior (no fixups)
+            (hb, mx, True),                     # bottom/top bands
+            (my - 2 * hb, kk, True),            # left/right bands
         ]
         for (ny_r, nx_r, flg) in shapes:
             if tile_region_multistep(
@@ -322,6 +330,7 @@ def build_sharded_overlap_advance(
                 return None
 
     def tile_pass(u: jnp.ndarray, kk: int) -> jnp.ndarray:
+        hb = _hb(kk)
         xi = lax.axis_index("x")
         yi = lax.axis_index("y")
         l_ = (xi == 0).astype(jnp.int32)
@@ -333,28 +342,30 @@ def build_sharded_overlap_advance(
         # (1) face exchanges.
         mid, gb, gt = _exchange_parts(u, px, py, kk)
 
-        # (2) interior: raw tile is its own k-halo padding — independent of
-        # every ppermute above, so it runs concurrently with them.
+        # (2) interior (rows [hb, my-hb), cols [kk, mx-kk)): its kk-deep
+        # input halo lies inside the raw tile — independent of every
+        # ppermute above, so it runs concurrently with them.
         inner = tile_region_multistep(
-            u, None, cfg, dt, kk, my - 2 * kk, mx - 2 * kk, False, interpret
+            u[hb - kk : my - hb + kk, :], None, cfg, dt, kk,
+            my - 2 * hb, mx - 2 * kk, False, interpret,
         )
 
         # (3) edge bands consume the arrived halos.
         bot = tile_region_multistep(
-            jnp.concatenate([gb, mid[: 2 * kk, :]], axis=0),
-            jnp.stack([l_, r_, b_, z]), cfg, dt, kk, kk, mx, True, interpret,
+            jnp.concatenate([gb, mid[: hb + kk, :]], axis=0),
+            jnp.stack([l_, r_, b_, z]), cfg, dt, kk, hb, mx, True, interpret,
         )
         top = tile_region_multistep(
-            jnp.concatenate([mid[-2 * kk :, :], gt], axis=0),
-            jnp.stack([l_, r_, z, t_]), cfg, dt, kk, kk, mx, True, interpret,
+            jnp.concatenate([mid[-(hb + kk) :, :], gt], axis=0),
+            jnp.stack([l_, r_, z, t_]), cfg, dt, kk, hb, mx, True, interpret,
         )
         left = tile_region_multistep(
-            mid[:, : 3 * kk],
-            jnp.stack([l_, z, z, z]), cfg, dt, kk, my - 2 * kk, kk, True, interpret,
+            mid[hb - kk : my - hb + kk, : 3 * kk],
+            jnp.stack([l_, z, z, z]), cfg, dt, kk, my - 2 * hb, kk, True, interpret,
         )
         right = tile_region_multistep(
-            mid[:, -3 * kk :],
-            jnp.stack([z, r_, z, z]), cfg, dt, kk, my - 2 * kk, kk, True, interpret,
+            mid[hb - kk : my - hb + kk, -3 * kk :],
+            jnp.stack([z, r_, z, z]), cfg, dt, kk, my - 2 * hb, kk, True, interpret,
         )
 
         # (4) stitch.
@@ -389,7 +400,12 @@ def build_sharded_advance(
         def body(u_local):
             return lax.fori_loop(0, k, lambda i, v: one_step(v), u_local)
 
-        sharded = jax.shard_map(body, mesh=mesh, in_specs=spec, out_specs=spec)
+        # check_vma=False: a Pallas interior_step's ShapeDtypeStruct carries
+        # no varying-across-mesh annotation, which the vma checker rejects
+        # (hardware-only failure; the jnp interior passes either way).
+        sharded = jax.shard_map(
+            body, mesh=mesh, in_specs=spec, out_specs=spec, check_vma=False
+        )
         return jax.jit(sharded)
 
     return advance
