@@ -43,7 +43,7 @@ def main() -> int:
 
     NX = NY = 4096
     CHUNK = 100         # steps per dispatched program
-    REPS = 60           # timed chunks -> 6000 steps per trial
+    REPS = 200          # timed chunks -> 20000 steps per trial
     # REPS sizing: through the tunneled TPU, the end-of-trial sync
     # (block_until_ready + a scalar fetch) costs a fixed ~65 ms regardless
     # of work; profiler traces show chained chunk executions run
