@@ -46,6 +46,115 @@ def _take_last_record(v, path: str, var: str) -> np.ndarray:
     raise ValueError(f"{path}: variable '{var}' must be 2D (y,x) or 3D (time,y,x)")
 
 
+def _field_ndim_check(shape, path: str, var: str) -> int:
+    ndim = len(shape)
+    if ndim not in (2, 3):
+        raise ValueError(f"{path}: variable '{var}' must be 2D (y,x) or 3D (time,y,x)")
+    if ndim == 3 and shape[0] == 0:
+        raise ValueError(f"{path}: variable '{var}' has no records")
+    return ndim
+
+
+def probe_field(path: str, var: str = "u"):
+    """``(ny, nx)`` of the 2D field — or of one record of a 3D variable —
+    without reading any data (header/metadata only)."""
+    kind = sniff_format(path)
+
+    if kind == "classic":
+        from .netcdf import NetCDFFile
+
+        with NetCDFFile(path) as ds:
+            if var not in ds.variables:
+                raise KeyError(f"Variable '{var}' not found in {path}")
+            shape = ds.variables[var].shape
+            _field_ndim_check(shape, path, var)
+            return tuple(shape[-2:])
+
+    try:
+        import netCDF4  # type: ignore
+
+        with netCDF4.Dataset(path, "r") as ds:
+            if var not in ds.variables:
+                raise KeyError(f"Variable '{var}' not found in {path}")
+            shape = ds.variables[var].shape
+            _field_ndim_check(shape, path, var)
+            return tuple(shape[-2:])
+    except ImportError:
+        pass
+
+    with _h5py_file(path) as f:
+        if var not in f:
+            raise KeyError(f"Variable '{var}' not found in {path}")
+        shape = f[var].shape
+        _field_ndim_check(shape, path, var)
+        return tuple(shape[-2:])
+
+
+def load_field_region(path: str, var: str, y0: int, ny: int, x0: int, nx: int) -> np.ndarray:
+    """Read ONLY rows ``[y0, y0+ny) × cols [x0, x0+nx)`` of the field (the
+    last record for 3D variables), as float64.
+
+    The shard-local restart primitive: at pod scale each process calls this
+    for its own addressable shards, so no host ever materializes — or even
+    transfers — the (ny, nx) global array (reference's collective hyperslab
+    access pattern, io.cpp:402-424).  Classic files use the codec's
+    positioned-read :meth:`NCVariable.read_region`; HDF5-family files use the
+    libraries' native partial reads (chunked datasets fetch only the touched
+    chunks).
+    """
+    kind = sniff_format(path)
+
+    if kind == "classic":
+        from .netcdf import NetCDFFile
+
+        with NetCDFFile(path) as ds:
+            if var not in ds.variables:
+                raise KeyError(f"Variable '{var}' not found in {path}")
+            v = ds.variables[var]
+            ndim = _field_ndim_check(v.shape, path, var)
+            irec = v.shape[0] - 1 if ndim == 3 else None
+            data = v.read_region((y0, x0), (ny, nx), irec=irec)
+        return np.asarray(data, dtype=np.float64)
+
+    try:
+        import netCDF4  # type: ignore
+
+        with netCDF4.Dataset(path, "r") as ds:
+            if var not in ds.variables:
+                raise KeyError(f"Variable '{var}' not found in {path}")
+            v = ds.variables[var]
+            ndim = _field_ndim_check(v.shape, path, var)
+            if ndim == 3:
+                data = v[v.shape[0] - 1, y0 : y0 + ny, x0 : x0 + nx]
+            else:
+                data = v[y0 : y0 + ny, x0 : x0 + nx]
+        return np.asarray(data, dtype=np.float64)
+    except ImportError:
+        pass
+
+    with _h5py_file(path) as f:
+        if var not in f:
+            raise KeyError(f"Variable '{var}' not found in {path}")
+        v = f[var]
+        ndim = _field_ndim_check(v.shape, path, var)
+        if ndim == 3:
+            data = v[v.shape[0] - 1, y0 : y0 + ny, x0 : x0 + nx]
+        else:
+            data = v[y0 : y0 + ny, x0 : x0 + nx]
+    return np.asarray(data, dtype=np.float64)
+
+
+def _h5py_file(path: str):
+    try:
+        import h5py  # type: ignore
+    except ImportError as e:
+        raise RuntimeError(
+            f"{path} is an HDF5/NETCDF4 file but neither netCDF4 nor h5py is"
+            " installed; convert it to classic NetCDF or install one of them"
+        ) from e
+    return h5py.File(path, "r")
+
+
 def load_field(path: str, var: str = "u") -> np.ndarray:
     """Read ``var`` from ``path`` as float64, whatever the container format."""
     kind = sniff_format(path)

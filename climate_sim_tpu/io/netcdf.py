@@ -570,6 +570,74 @@ class NCVariable:
             raw = raw + b"\x00" * (nbytes - len(raw))
         return np.frombuffer(raw, dtype=self.dtype).reshape(shape)
 
+    def _pread(self, offset: int, nbytes: int) -> bytes:
+        """Positioned read that tolerates a final partially-written record
+        (zero-fill), matching :meth:`_read_record`'s semantics."""
+        raw = os.pread(self._file.fileno(), nbytes, offset)
+        if len(raw) < nbytes:
+            raw = raw + b"\x00" * (nbytes - len(raw))
+        return raw
+
+    def read_region(
+        self, starts: Sequence[int], counts: Sequence[int], irec: Optional[int] = None
+    ) -> np.ndarray:
+        """Contiguous-hyperslab read over the non-record dimensions: returns
+        the ``counts``-shaped block at ``starts`` (of record ``irec`` for
+        record variables), touching only the addressed bytes.
+
+        The read-side analogue of :meth:`NetCDFWriter.put_rec_region`: at pod
+        scale each process restarts from ONLY its own shard rows instead of
+        every host reading the (ny, nx) global field (the reference's
+        collective per-rank hyperslab access, io.cpp:402-424, generalized to
+        reads).  Row runs are coalesced into one positioned read when the
+        region spans trailing dimensions in full.
+        """
+        shape = self._shape[1:] if self.isrec else self._shape
+        if self.isrec:
+            if irec is None:
+                raise ValueError(f"{self.name}: record variable requires irec")
+            nrec = self._shape[0]
+            if irec < 0:
+                irec += nrec
+            if irec < 0 or irec >= nrec:
+                raise IndexError(f"record {irec} out of range [0, {nrec - 1}]")
+            base = self.begin + irec * self._recsize
+        else:
+            base = self.begin
+        starts = tuple(int(s) for s in starts)
+        counts = tuple(int(c) for c in counts)
+        if len(starts) != len(shape) or len(counts) != len(shape):
+            raise ValueError(
+                f"{self.name}: region rank {len(starts)}/{len(counts)} does not"
+                f" match variable rank {len(shape)}"
+            )
+        for s, c, n in zip(starts, counts, shape):
+            if s < 0 or c < 0 or s + c > n:
+                raise IndexError(
+                    f"{self.name}: region [{s}, {s + c}) outside dimension of size {n}"
+                )
+        out = np.empty(counts, dtype=self.dtype)
+        if out.size == 0:
+            return out
+        itemsize = self.dtype.itemsize
+        ndim = len(shape)
+        strides = [1] * ndim  # row-major strides in items
+        for i in range(ndim - 2, -1, -1):
+            strides[i] = strides[i + 1] * shape[i + 1]
+        # Largest contiguous run: trailing dims read in full fold into one read.
+        d = ndim - 1
+        while d > 0 and starts[d] == 0 and counts[d] == shape[d]:
+            d -= 1
+        run = counts[d] * strides[d]
+        flat = out.reshape(-1, run)
+        fixed = base + sum(starts[i] * strides[i] for i in range(d + 1)) * itemsize
+        for row, idx in enumerate(np.ndindex(*counts[:d])):
+            off = fixed + sum(idx[i] * strides[i] for i in range(d)) * itemsize
+            flat[row] = np.frombuffer(
+                self._pread(off, run * itemsize), dtype=self.dtype
+            )
+        return out
+
     def _read_all(self) -> np.ndarray:
         if self.isrec:
             nrec = self._shape[0]

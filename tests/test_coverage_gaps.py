@@ -252,3 +252,87 @@ def test_bad_bc_node_rejected():
 
     with pytest.raises(ValueError, match="bad bc node"):
         load_yaml_dict({"bc": [1, 2, 3]})
+
+
+# ----------------------------------------- shard-local restart reads
+
+
+def test_load_field_region_both_formats(tmp_path):
+    from climate_sim_tpu.io.datasets import load_field_region, probe_field
+
+    a2 = np.arange(48.0).reshape(6, 8)
+    a3 = np.stack([a2, a2 + 100.0])
+
+    p_h5 = str(tmp_path / "r.h5")
+    _write_h5(p_h5, "u", a3)
+
+    from climate_sim_tpu.io.snapshots import SnapshotWriter
+
+    cfg = SimConfig(nx=8, ny=6)
+    p_nc = str(tmp_path / "r.nc")
+    with SnapshotWriter(p_nc, cfg, use_native=False) as w:
+        w.write(a2)
+        w.write(a2 + 100.0)
+
+    for p in (p_h5, p_nc):
+        assert probe_field(p) == (6, 8)
+        np.testing.assert_array_equal(
+            load_field_region(p, "u", 2, 3, 1, 5), (a2 + 100.0)[2:5, 1:6]
+        )
+        np.testing.assert_array_equal(load_field_region(p, "u", 0, 6, 0, 8), a2 + 100.0)
+
+
+def test_device_ic_file_mode_reads_only_shards(tmp_path, monkeypatch):
+    """Pod-scale restart contract: the file IC path must request only
+    shard-sized regions — never the (ny, nx) global field — and must not
+    fall back to the whole-field loader."""
+    import jax
+    from climate_sim_tpu.io.snapshots import SnapshotWriter
+    from climate_sim_tpu.ops import init as init_mod
+    from climate_sim_tpu.io import datasets
+    from climate_sim_tpu.parallel.mesh import field_sharding
+
+    cfg = SimConfig(nx=64, ny=32)
+    rng = np.random.default_rng(3)
+    frame = rng.standard_normal((32, 64))
+    path = str(tmp_path / "ic.nc")
+    with SnapshotWriter(path, cfg, use_native=False) as w:
+        w.write(frame)
+    cfg.ic.mode = "file"
+    cfg.ic.path = path
+
+    regions = []
+    real_region = datasets.load_field_region
+
+    def spy(path_, var_, y0, ny, x0, nx):
+        regions.append((ny, nx))
+        return real_region(path_, var_, y0, ny, x0, nx)
+
+    monkeypatch.setattr(datasets, "load_field_region", spy)
+    monkeypatch.setattr(
+        init_mod, "from_file",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("global read")),
+    )
+
+    mesh = make_mesh(4, 2)
+    arr = init_mod.device_initial_condition(cfg, np.float64, field_sharding(mesh))
+    np.testing.assert_allclose(np.asarray(jax.device_get(arr)), frame)
+    assert regions and all(r == (32 // 2, 64 // 4) for r in regions)
+
+
+def test_device_ic_file_mode_error_contracts(tmp_path):
+    from climate_sim_tpu.ops.init import device_initial_condition
+    from climate_sim_tpu.parallel.mesh import field_sharding
+
+    cfg = SimConfig(nx=8, ny=8)
+    cfg.ic.mode = "file"
+    cfg.ic.path = ""
+    mesh = make_mesh(1, 1)
+    with pytest.raises(ValueError, match="requires ic.path"):
+        device_initial_condition(cfg, np.float32, field_sharding(mesh))
+
+    p = str(tmp_path / "small.h5")
+    _write_h5(p, "u", np.zeros((4, 4)))
+    cfg.ic.path = p
+    with pytest.raises(ValueError, match="does not match grid"):
+        device_initial_condition(cfg, np.float32, field_sharding(mesh))

@@ -239,3 +239,47 @@ def test_put_rec_region_bounds_checked(tmp_path):
     with pytest.raises(ValueError, match="rank"):
         w.put_rec_region("u", 0, (0,), np.zeros((4, 8)))
     w.close()
+
+
+# ------------------------------------------------- region reads (restart)
+
+
+@pytest.mark.parametrize("version", [2, 5])
+def test_read_region_matches_full_read(tmp_path, version):
+    """read_region == the same slice of a full-record read, for record and
+    non-record variables, interior and edge-touching regions."""
+    path = str(tmp_path / "r.nc")
+    frames = write_sample(path, version, ny=6, nx=9, nrec=2)
+    with NetCDFFile(path) as ds:
+        u = ds.variables["u"]
+        for (y0, ny), (x0, nx) in [
+            ((0, 6), (0, 9)),   # whole field (single coalesced read)
+            ((2, 3), (0, 9)),   # full rows (coalesced)
+            ((1, 4), (3, 5)),   # interior block (per-row reads)
+            ((5, 1), (8, 1)),   # single corner cell
+            ((0, 0), (0, 0)),   # empty region
+        ]:
+            for irec in (0, 1, -1):
+                got = u.read_region((y0, x0), (ny, nx), irec=irec)
+                np.testing.assert_array_equal(
+                    got, frames[irec][y0 : y0 + ny, x0 : x0 + nx]
+                )
+        xc = ds.variables["xc"]
+        np.testing.assert_array_equal(
+            xc.read_region((2,), (4,)), (np.arange(9) * 0.5)[2:6]
+        )
+
+
+def test_read_region_errors(tmp_path):
+    path = str(tmp_path / "e.nc")
+    write_sample(path, 5, ny=6, nx=9, nrec=2)
+    with NetCDFFile(path) as ds:
+        u = ds.variables["u"]
+        with pytest.raises(ValueError, match="requires irec"):
+            u.read_region((0, 0), (2, 2))
+        with pytest.raises(IndexError, match="out of range"):
+            u.read_region((0, 0), (2, 2), irec=5)
+        with pytest.raises(IndexError, match="outside dimension"):
+            u.read_region((5, 0), (2, 9), irec=0)
+        with pytest.raises(ValueError, match="rank"):
+            u.read_region((0,), (2,), irec=0)
