@@ -146,6 +146,7 @@ def _build_kernel_body(
     sharded: bool,
     slab_mode: bool,
     compute_dtype,
+    fullslab: bool = False,
 ):
     """The kernel function (closure over all static parameters).
 
@@ -427,18 +428,42 @@ def _build_kernel_body(
             dst = bufs[(t + 1) % 2]
             if not prepadded:
                 apply_fixups(src, bx, by, flags_ref)
-            lo, hi = 1 + t, R - 1 - t
-            a = src[pl.ds(lo - 1, hi - lo + 2), :]
-            new = wc * a[1:-1, 1:-1]
-            if wxm != 0.0:
-                new += wxm * a[1:-1, :-2]
-            if wxp != 0.0:
-                new += wxp * a[1:-1, 2:]
-            if wym != 0.0:
-                new += wym * a[:-2, 1:-1]
-            if wyp != 0.0:
-                new += wyp * a[2:, 1:-1]
-            dst[pl.ds(lo, hi - lo), pl.ds(1, W - 2)] = new
+            if fullslab:
+                # Full-slab form: compute ALL (Rbuf, W) points every
+                # sub-step with circular rolls for the four neighbor
+                # shifts.  Every load and store is tile-aligned with a
+                # static shape (no shrinking ranges, no lane/sublane-offset
+                # stores), at the price of ~(2k/BY) redundant row-compute.
+                # Staleness creeps inward one ring per sub-step from the
+                # slab border (rows 0/R-1 and the roll-wrapped columns are
+                # never valid), which is exactly the trapezoid invariant —
+                # after k sub-steps the output rows [khalo, khalo+BY) and
+                # interior columns are untouched by it.
+                a = src[:, :]
+                new = wc * a
+                # pltpu.roll requires non-negative shifts: -1 == size-1.
+                if wxm != 0.0:
+                    new += wxm * pltpu.roll(a, 1, 1)
+                if wxp != 0.0:
+                    new += wxp * pltpu.roll(a, W - 1, 1)
+                if wym != 0.0:
+                    new += wym * pltpu.roll(a, 1, 0)
+                if wyp != 0.0:
+                    new += wyp * pltpu.roll(a, R - 1, 0)
+                dst[:, :] = new
+            else:
+                lo, hi = 1 + t, R - 1 - t
+                a = src[pl.ds(lo - 1, hi - lo + 2), :]
+                new = wc * a[1:-1, 1:-1]
+                if wxm != 0.0:
+                    new += wxm * a[1:-1, :-2]
+                if wxp != 0.0:
+                    new += wxp * a[1:-1, 2:]
+                if wym != 0.0:
+                    new += wym * a[:-2, 1:-1]
+                if wyp != 0.0:
+                    new += wyp * a[2:, 1:-1]
+                dst[pl.ds(lo, hi - lo), pl.ds(1, W - 2)] = new
         final = bufs[k % 2]
         out_ref[:, :] = final[khalo : khalo + BY, xoff : xoff + BX]
 
@@ -457,6 +482,7 @@ def _build_multistep_call(*args, **kwargs):
         x64=bool(jax.config.read("jax_enable_x64")),
         bx_override=int(env.get("CLIMATE_SIM_BX", 0)) or None,
         by_override=int(env.get("CLIMATE_SIM_BY", 0)) or None,
+        substep_override=env.get("CLIMATE_SIM_SUBSTEP") or None,
     )
 
 
@@ -487,6 +513,7 @@ def _build_multistep_call_cached(
     x64: bool,
     bx_override: Optional[int] = None,
     by_override: Optional[int] = None,
+    substep_override: Optional[str] = None,
 ):
     """pallas_call advancing k steps -> (ny, nx).
 
@@ -548,6 +575,14 @@ def _build_multistep_call_cached(
     nby = ny // BY
     n_blocks = nbx * nby
 
+    # Full-slab sub-steps (aligned rolls instead of shrinking-trapezoid
+    # slices) are the default where the scratch window is exactly the
+    # logical window (Rbuf == R): measured +1-2.5% on hardware (single and
+    # sharded slab paths) — the aligned form's per-op win slightly
+    # outweighs its ~2k/BY redundant border rows.  Opt out with
+    # CLIMATE_SIM_SUBSTEP=trapezoid (perf-sweep A/B knob).
+    fullslab = substep_override != "trapezoid" and Rbuf == R and not prepadded
+
     kernel, n_dma = _build_kernel_body(
         k=k, khalo=khalo, R=R, Rbuf=Rbuf, W=W, BY=BY, BX=BX, nx=BX, nxg=nx,
         ny=ny, xoff=xoff, nbx=nbx, nby=nby, n_blocks=n_blocks,
@@ -556,7 +591,7 @@ def _build_multistep_call_cached(
         fix_left=fix_left, fix_right=fix_right,
         fix_bottom=fix_bottom, fix_top=fix_top,
         prepadded=prepadded, sharded=sharded, slab_mode=slab_mode,
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, fullslab=fullslab,
     )
 
     in_rows = ny if (fused_dma or slab_mode) else ny + 2 * khalo + (Rbuf - R)
