@@ -77,16 +77,64 @@ def choose_mesh_shape(
     return dims_create(n_devices)
 
 
+def _topology_aware_grid(devs, n_y: int, n_x: int):
+    """Physical-layout-aware (n_y, n_x) device grid, or None.
+
+    On real TPU slices, ``jax.devices()`` enumeration order does not follow
+    the ICI torus, so a plain reshape scatters mesh neighbors across
+    multi-hop links — and the halo exchange is nearest-neighbor ``ppermute``
+    traffic on exactly those mesh edges.  ``mesh_utils.create_device_mesh``
+    lays devices out by their physical coords so every mesh neighbor is one
+    ICI hop; for multi-host slices ``create_hybrid_device_mesh`` confines the
+    DCN crossing to the 'y' axis (row slabs are contiguous, and only 1/py of
+    halo faces ride DCN — the MPI analogue is rank-reordering for the
+    Cartesian topology, which the reference's MPI_Cart_create(reorder=true)
+    requests at decomp.cpp:14).
+
+    Returns None when the device set has no physical topology to honor
+    (CPU/virtual devices, subsets, or shapes the utils cannot map) — callers
+    fall back to enumeration-order reshape, which is exact on any backend.
+    """
+    if not all(getattr(d, "platform", "") == "tpu" for d in devs):
+        return None
+    try:
+        from jax.experimental import mesh_utils
+    except ImportError:  # pragma: no cover - mesh_utils ships with jax
+        return None
+
+    n_procs = len({d.process_index for d in devs})
+    try:
+        if n_procs > 1 and n_y % n_procs == 0:
+            grid = mesh_utils.create_hybrid_device_mesh(
+                (n_y // n_procs, n_x), (n_procs, 1), devices=devs
+            )
+        else:
+            grid = mesh_utils.create_device_mesh(
+                (n_y, n_x), devices=devs, contiguous_submeshes=False
+            )
+    except Exception:
+        return None
+    return grid
+
+
 def make_mesh(
     n_x: int, n_y: int, devices: Optional[Sequence[jax.Device]] = None
 ) -> Mesh:
-    """Create a ('y', 'x')-named mesh of shape (n_y, n_x)."""
+    """Create a ('y', 'x')-named mesh of shape (n_y, n_x).
+
+    On real multi-device TPU slices the device grid is laid out by physical
+    ICI/DCN topology (see ``_topology_aware_grid``); everywhere else the
+    devices are reshaped in enumeration order.
+    """
     import numpy as np
 
     devs = list(devices) if devices is not None else jax.devices()
     if len(devs) < n_x * n_y:
         raise ValueError(f"need {n_x * n_y} devices, have {len(devs)}")
-    grid = np.asarray(devs[: n_x * n_y]).reshape(n_y, n_x)
+    devs = devs[: n_x * n_y]
+    grid = _topology_aware_grid(devs, n_y, n_x) if n_x * n_y > 1 else None
+    if grid is None:
+        grid = np.asarray(devs).reshape(n_y, n_x)
     return Mesh(grid, axis_names=("y", "x"))
 
 

@@ -52,6 +52,33 @@ def test_choose_mesh_prefers_divisible():
         choose_mesh_shape(8, 64, 64, req_x=3)
 
 
+def test_topology_aware_grid_fallbacks():
+    """Topology-aware layout engages only on real TPU device sets; virtual
+    CPU devices (and fakes the mesh utils reject) fall back to
+    enumeration-order reshape, which make_mesh must always produce
+    correctly."""
+    from climate_sim_tpu.parallel.mesh import _topology_aware_grid
+
+    devs = jax.devices()[:8]
+    # CPU/virtual devices carry no ICI topology -> None.
+    assert _topology_aware_grid(devs, 2, 4) is None
+
+    class _FakeTpu:
+        platform = "tpu"
+        process_index = 0
+
+    # Claims to be TPU but mesh_utils can't map it -> except-path None.
+    assert _topology_aware_grid([_FakeTpu() for _ in range(8)], 2, 4) is None
+
+    # Fallback reshape: row-major (y, x) enumeration order, all devices used.
+    mesh = make_mesh(4, 2)
+    assert mesh.devices.shape == (2, 4)
+    assert [d.id for d in mesh.devices.flat] == [d.id for d in devs]
+    # Single-device mesh skips the topology path entirely.
+    m1 = make_mesh(1, 1, jax.devices()[:1])
+    assert m1.devices.shape == (1, 1)
+
+
 def test_halo_exchange_rank_id_faces():
     """Each shard holds its linear id; after exchange each ghost face equals
     the neighbor's id (reference: test_halo.cpp:8-63)."""
