@@ -2,10 +2,10 @@
 
 The reference ecosystem's IC producer writes NETCDF4 (HDF5) files
 (reference: scripts/generate_ic.py:23, ``Dataset(..., format="NETCDF4")``)
-while this framework's own snapshots are classic CDF-5.  :func:`load_field`
-reads a named 2D ``(y, x)`` field — or the LAST record of a 3D
-``(time, y, x)`` variable, enabling restart-from-snapshot — from either
-family:
+while this framework's own snapshots are classic CDF-5.  :func:`open_field`
+yields a uniform partial-read handle on a named 2D ``(y, x)`` field — or
+the LAST record of a 3D ``(time, y, x)`` variable, enabling
+restart-from-snapshot — from either family:
 
 * classic CDF-1/2/5 → the built-in codec (:class:`..netcdf.NetCDFFile`);
 * HDF5 → ``netCDF4`` when installed (full fidelity), else ``h5py``
@@ -33,19 +33,6 @@ def sniff_format(path: str) -> str:
     raise ValueError(f"{path}: not a NetCDF file (classic or HDF5); magic {head!r}")
 
 
-def _take_last_record(v, path: str, var: str) -> np.ndarray:
-    """2D vars read whole; 3D vars yield their LAST record (restart)."""
-    ndim = len(v.shape)
-    if ndim == 2:
-        return np.asarray(v[:, :])
-    if ndim == 3:
-        nt = v.shape[0]
-        if nt == 0:
-            raise ValueError(f"{path}: variable '{var}' has no records")
-        return np.asarray(v[nt - 1, :, :])
-    raise ValueError(f"{path}: variable '{var}' must be 2D (y,x) or 3D (time,y,x)")
-
-
 def _field_ndim_check(shape, path: str, var: str) -> int:
     ndim = len(shape)
     if ndim not in (2, 3):
@@ -53,95 +40,6 @@ def _field_ndim_check(shape, path: str, var: str) -> int:
     if ndim == 3 and shape[0] == 0:
         raise ValueError(f"{path}: variable '{var}' has no records")
     return ndim
-
-
-def probe_field(path: str, var: str = "u"):
-    """``(ny, nx)`` of the 2D field — or of one record of a 3D variable —
-    without reading any data (header/metadata only)."""
-    kind = sniff_format(path)
-
-    if kind == "classic":
-        from .netcdf import NetCDFFile
-
-        with NetCDFFile(path) as ds:
-            if var not in ds.variables:
-                raise KeyError(f"Variable '{var}' not found in {path}")
-            shape = ds.variables[var].shape
-            _field_ndim_check(shape, path, var)
-            return tuple(shape[-2:])
-
-    try:
-        import netCDF4  # type: ignore
-
-        with netCDF4.Dataset(path, "r") as ds:
-            if var not in ds.variables:
-                raise KeyError(f"Variable '{var}' not found in {path}")
-            shape = ds.variables[var].shape
-            _field_ndim_check(shape, path, var)
-            return tuple(shape[-2:])
-    except ImportError:
-        pass
-
-    with _h5py_file(path) as f:
-        if var not in f:
-            raise KeyError(f"Variable '{var}' not found in {path}")
-        shape = f[var].shape
-        _field_ndim_check(shape, path, var)
-        return tuple(shape[-2:])
-
-
-def load_field_region(path: str, var: str, y0: int, ny: int, x0: int, nx: int) -> np.ndarray:
-    """Read ONLY rows ``[y0, y0+ny) × cols [x0, x0+nx)`` of the field (the
-    last record for 3D variables), as float64.
-
-    The shard-local restart primitive: at pod scale each process calls this
-    for its own addressable shards, so no host ever materializes — or even
-    transfers — the (ny, nx) global array (reference's collective hyperslab
-    access pattern, io.cpp:402-424).  Classic files use the codec's
-    positioned-read :meth:`NCVariable.read_region`; HDF5-family files use the
-    libraries' native partial reads (chunked datasets fetch only the touched
-    chunks).
-    """
-    kind = sniff_format(path)
-
-    if kind == "classic":
-        from .netcdf import NetCDFFile
-
-        with NetCDFFile(path) as ds:
-            if var not in ds.variables:
-                raise KeyError(f"Variable '{var}' not found in {path}")
-            v = ds.variables[var]
-            ndim = _field_ndim_check(v.shape, path, var)
-            irec = v.shape[0] - 1 if ndim == 3 else None
-            data = v.read_region((y0, x0), (ny, nx), irec=irec)
-        return np.asarray(data, dtype=np.float64)
-
-    try:
-        import netCDF4  # type: ignore
-
-        with netCDF4.Dataset(path, "r") as ds:
-            if var not in ds.variables:
-                raise KeyError(f"Variable '{var}' not found in {path}")
-            v = ds.variables[var]
-            ndim = _field_ndim_check(v.shape, path, var)
-            if ndim == 3:
-                data = v[v.shape[0] - 1, y0 : y0 + ny, x0 : x0 + nx]
-            else:
-                data = v[y0 : y0 + ny, x0 : x0 + nx]
-        return np.asarray(data, dtype=np.float64)
-    except ImportError:
-        pass
-
-    with _h5py_file(path) as f:
-        if var not in f:
-            raise KeyError(f"Variable '{var}' not found in {path}")
-        v = f[var]
-        ndim = _field_ndim_check(v.shape, path, var)
-        if ndim == 3:
-            data = v[v.shape[0] - 1, y0 : y0 + ny, x0 : x0 + nx]
-        else:
-            data = v[y0 : y0 + ny, x0 : x0 + nx]
-    return np.asarray(data, dtype=np.float64)
 
 
 def _h5py_file(path: str):
@@ -155,41 +53,101 @@ def _h5py_file(path: str):
     return h5py.File(path, "r")
 
 
-def load_field(path: str, var: str = "u") -> np.ndarray:
-    """Read ``var`` from ``path`` as float64, whatever the container format."""
+class FieldHandle:
+    """One open dataset serving any number of hyperslab reads.
+
+    The shard-local restart primitive: at pod scale each process opens the
+    file ONCE and calls :meth:`read_region` for each of its addressable
+    shards, so no host ever materializes — or even transfers — the (ny, nx)
+    global array (the reference's collective per-rank hyperslab access
+    pattern, io.cpp:402-424, generalized to reads).  Classic files use the
+    codec's positioned-read ``NCVariable.read_region``; HDF5-family files
+    use the libraries' native partial reads (chunked datasets fetch only
+    the touched chunks).  3D ``(time, y, x)`` variables always serve their
+    LAST record (restart-from-snapshot).
+    """
+
+    def __init__(self, ds, v, backend: str, path: str, var: str):
+        self._ds, self._v, self._backend = ds, v, backend
+        self.path, self.var = path, var
+        self.ndim = _field_ndim_check(v.shape, path, var)
+        #: (ny, nx) of the field / of one record.
+        self.shape = tuple(int(n) for n in v.shape[-2:])
+
+    def read_region(self, y0: int, ny: int, x0: int, nx: int) -> np.ndarray:
+        """Rows ``[y0, y0+ny) × cols [x0, x0+nx)`` as float64."""
+        v = self._v
+        if self._backend == "classic":
+            irec = v.shape[0] - 1 if self.ndim == 3 else None
+            data = v.read_region((y0, x0), (ny, nx), irec=irec)
+        elif self.ndim == 3:
+            data = v[v.shape[0] - 1, y0 : y0 + ny, x0 : x0 + nx]
+        else:
+            data = v[y0 : y0 + ny, x0 : x0 + nx]
+        return np.asarray(data, dtype=np.float64)
+
+    def read_all(self) -> np.ndarray:
+        return self.read_region(0, self.shape[0], 0, self.shape[1])
+
+    def close(self) -> None:
+        self._ds.close()
+
+    def __enter__(self) -> "FieldHandle":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+def open_field(path: str, var: str = "u") -> FieldHandle:
+    """Open ``var`` in ``path`` for partial reads, whatever the container
+    format (the single dispatch point for classic / netCDF4 / h5py)."""
     kind = sniff_format(path)
 
     if kind == "classic":
         from .netcdf import NetCDFFile
 
-        with NetCDFFile(path) as ds:
-            if var not in ds.variables:
-                raise KeyError(f"Variable '{var}' not found in {path}")
-            data = _take_last_record(ds.variables[var], path, var)
-        return np.asarray(data, dtype=np.float64)
+        ds = NetCDFFile(path)
+        backend = "classic"
+        variables = ds.variables
+    else:
+        try:
+            import netCDF4  # type: ignore
+        except ImportError:
+            netCDF4 = None
+        if netCDF4 is not None:
+            ds = netCDF4.Dataset(path, "r")
+            backend = "netcdf4"
+            variables = ds.variables
+        else:
+            ds = _h5py_file(path)
+            backend = "h5py"
+            variables = ds
 
-    # HDF5 family (NETCDF4): prefer the real netCDF4 binding when present.
     try:
-        import netCDF4  # type: ignore
-
-        with netCDF4.Dataset(path, "r") as ds:
-            if var not in ds.variables:
-                raise KeyError(f"Variable '{var}' not found in {path}")
-            data = _take_last_record(ds.variables[var], path, var)
-        return np.asarray(data, dtype=np.float64)
-    except ImportError:
-        pass
-
-    try:
-        import h5py  # type: ignore
-    except ImportError as e:
-        raise RuntimeError(
-            f"{path} is an HDF5/NETCDF4 file but neither netCDF4 nor h5py is"
-            " installed; convert it to classic NetCDF or install one of them"
-        ) from e
-
-    with h5py.File(path, "r") as f:
-        if var not in f:
+        if var not in variables:
             raise KeyError(f"Variable '{var}' not found in {path}")
-        data = _take_last_record(f[var], path, var)
-    return np.asarray(data, dtype=np.float64)
+        return FieldHandle(ds, variables[var], backend, path, var)
+    except Exception:
+        ds.close()
+        raise
+
+
+def probe_field(path: str, var: str = "u"):
+    """``(ny, nx)`` of the 2D field — or of one record of a 3D variable —
+    without reading any data (header/metadata only)."""
+    with open_field(path, var) as h:
+        return h.shape
+
+
+def load_field_region(path: str, var: str, y0: int, ny: int, x0: int, nx: int) -> np.ndarray:
+    """One-shot open + :meth:`FieldHandle.read_region` (callers doing many
+    regions should hold an :func:`open_field` handle instead)."""
+    with open_field(path, var) as h:
+        return h.read_region(y0, ny, x0, nx)
+
+
+def load_field(path: str, var: str = "u") -> np.ndarray:
+    """Read ``var`` from ``path`` as float64, whatever the container format."""
+    with open_field(path, var) as h:
+        return h.read_all()

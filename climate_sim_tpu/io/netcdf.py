@@ -621,6 +621,11 @@ class NCVariable:
             return out
         itemsize = self.dtype.itemsize
         ndim = len(shape)
+        if ndim == 0:
+            # Scalar region (e.g. one record of a scalar record variable
+            # such as 'time'): a single positioned read at the base offset.
+            out[()] = np.frombuffer(self._pread(base, itemsize), dtype=self.dtype)[0]
+            return out
         strides = [1] * ndim  # row-major strides in items
         for i in range(ndim - 2, -1, -1):
             strides[i] = strides[i + 1] * shape[i + 1]

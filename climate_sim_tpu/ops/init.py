@@ -99,12 +99,13 @@ def device_initial_condition(cfg: SimConfig, dtype, sharding) -> "jnp.ndarray":
     check — O(global) traffic the reference's per-rank local init,
     init.cpp:12-33, never pays.)
 
-    File ICs are likewise shard-local: after a metadata-only shape probe,
-    each process pulls ONLY its addressable shard regions from the file
-    (``io.datasets.load_field_region`` positioned reads) via
+    File ICs are likewise shard-local: the file is opened ONCE per process
+    (``io.datasets.open_field``), and each addressable shard region is
+    served from that handle's positioned reads via
     ``make_array_from_callback`` — the read-side analogue of the writer's
     per-process hyperslabs (reference: io.cpp:402-424), so restart never
-    materializes the global field on any host.
+    materializes the global field on any host, and never re-parses the
+    file's header per shard.
     """
     import jax
 
@@ -112,24 +113,25 @@ def device_initial_condition(cfg: SimConfig, dtype, sharding) -> "jnp.ndarray":
         build = _preset_fn(cfg, dtype)
         return jax.jit(build, out_shardings=sharding)()
     if cfg.ic.mode == "file":
-        from ..io.datasets import load_field_region, probe_field
+        from ..io.datasets import open_field
 
         path = cfg.ic.path
         if not path:
             raise ValueError("ic.mode='file' requires ic.path")
         var = cfg.ic.var or "u"
-        shape = probe_field(path, var)
-        if shape != (cfg.ny, cfg.nx):
-            raise ValueError(
-                f"IC shape {shape} does not match grid (ny={cfg.ny}, nx={cfg.nx})"
-            )
+        with open_field(path, var) as h:
+            if h.shape != (cfg.ny, cfg.nx):
+                raise ValueError(
+                    f"IC shape {h.shape} does not match grid"
+                    f" (ny={cfg.ny}, nx={cfg.nx})"
+                )
 
-        def shard_block(idx):
-            ys, xs = (sl.indices(n) for sl, n in zip(idx, (cfg.ny, cfg.nx)))
-            block = load_field_region(
-                path, var, ys[0], ys[1] - ys[0], xs[0], xs[1] - xs[0]
-            )
-            return block.astype(dtype)
+            def shard_block(idx):
+                ys, xs = (sl.indices(n) for sl, n in zip(idx, (cfg.ny, cfg.nx)))
+                block = h.read_region(ys[0], ys[1] - ys[0], xs[0], xs[1] - xs[0])
+                return block.astype(dtype)
 
-        return jax.make_array_from_callback((cfg.ny, cfg.nx), sharding, shard_block)
+            return jax.make_array_from_callback(
+                (cfg.ny, cfg.nx), sharding, shard_block
+            )
     raise ValueError(f"Unknown IC mode: {cfg.ic.mode}")

@@ -482,8 +482,18 @@ def _build_multistep_call(*args, **kwargs):
         x64=bool(jax.config.read("jax_enable_x64")),
         bx_override=int(env.get("CLIMATE_SIM_BX", 0)) or None,
         by_override=int(env.get("CLIMATE_SIM_BY", 0)) or None,
-        substep_override=env.get("CLIMATE_SIM_SUBSTEP") or None,
+        substep_override=_substep_override(env.get("CLIMATE_SIM_SUBSTEP")),
     )
+
+
+def _substep_override(raw: Optional[str]) -> Optional[str]:
+    if not raw:
+        return None
+    if raw not in ("trapezoid", "fullslab"):
+        raise ValueError(
+            f"CLIMATE_SIM_SUBSTEP={raw!r}: must be 'trapezoid' or 'fullslab'"
+        )
+    return raw
 
 
 @functools.lru_cache(maxsize=64)

@@ -102,19 +102,39 @@ def _topology_aware_grid(devs, n_y: int, n_x: int):
     except ImportError:  # pragma: no cover - mesh_utils ships with jax
         return None
 
-    n_procs = len({d.process_index for d in devs})
+    # The DCN granule is a *slice* (devices within a slice are all-ICI);
+    # platforms that don't set slice_index fall back to process granules —
+    # the same convention as mesh_utils.create_hybrid_device_mesh itself.
+    process_is_granule = not hasattr(devs[0], "slice_index")
+    if process_is_granule:
+        n_gran = len({d.process_index for d in devs})
+    else:
+        n_gran = len({d.slice_index for d in devs})
+
     try:
-        if n_procs > 1 and n_y % n_procs == 0:
-            grid = mesh_utils.create_hybrid_device_mesh(
-                (n_y // n_procs, n_x), (n_procs, 1), devices=devs
-            )
-        else:
-            grid = mesh_utils.create_device_mesh(
-                (n_y, n_x), devices=devs, contiguous_submeshes=False
-            )
+        if n_gran > 1:
+            # Pin the DCN crossing to one mesh axis (prefer y: row-slab
+            # halo faces are contiguous); only 1/p_axis of halo traffic
+            # rides DCN, the rest stays on ICI.
+            if n_y % n_gran == 0:
+                ici, dcn = (n_y // n_gran, n_x), (n_gran, 1)
+            elif n_x % n_gran == 0:
+                ici, dcn = (n_y, n_x // n_gran), (1, n_gran)
+            else:
+                ici = dcn = None
+            if ici is not None:
+                try:
+                    return mesh_utils.create_hybrid_device_mesh(
+                        ici, dcn, devices=devs,
+                        process_is_granule=process_is_granule,
+                    )
+                except Exception:
+                    pass  # fall through to the flat ICI-aware layout
+        return mesh_utils.create_device_mesh(
+            (n_y, n_x), devices=devs, contiguous_submeshes=False
+        )
     except Exception:
         return None
-    return grid
 
 
 def make_mesh(

@@ -302,13 +302,20 @@ def test_device_ic_file_mode_reads_only_shards(tmp_path, monkeypatch):
     cfg.ic.path = path
 
     regions = []
-    real_region = datasets.load_field_region
+    opens = []
+    real_region = datasets.FieldHandle.read_region
+    real_open = datasets.open_field
 
-    def spy(path_, var_, y0, ny, x0, nx):
+    def region_spy(self, y0, ny, x0, nx):
         regions.append((ny, nx))
-        return real_region(path_, var_, y0, ny, x0, nx)
+        return real_region(self, y0, ny, x0, nx)
 
-    monkeypatch.setattr(datasets, "load_field_region", spy)
+    def open_spy(path_, var_="u"):
+        opens.append(path_)
+        return real_open(path_, var_)
+
+    monkeypatch.setattr(datasets.FieldHandle, "read_region", region_spy)
+    monkeypatch.setattr(datasets, "open_field", open_spy)
     monkeypatch.setattr(
         init_mod, "from_file",
         lambda *a, **k: (_ for _ in ()).throw(AssertionError("global read")),
@@ -318,6 +325,7 @@ def test_device_ic_file_mode_reads_only_shards(tmp_path, monkeypatch):
     arr = init_mod.device_initial_condition(cfg, np.float64, field_sharding(mesh))
     np.testing.assert_allclose(np.asarray(jax.device_get(arr)), frame)
     assert regions and all(r == (32 // 2, 64 // 4) for r in regions)
+    assert len(opens) == 1, "file must be opened once per process, not per shard"
 
 
 def test_device_ic_file_mode_error_contracts(tmp_path):

@@ -283,3 +283,23 @@ def test_read_region_errors(tmp_path):
             u.read_region((5, 0), (2, 9), irec=0)
         with pytest.raises(ValueError, match="rank"):
             u.read_region((0,), (2,), irec=0)
+
+
+def test_read_region_scalar_record_variable(tmp_path):
+    """Rank-0 regions (one record of a scalar record variable, e.g. a
+    restart timestamp) read back as 0-d arrays instead of crashing."""
+    from climate_sim_tpu.io.netcdf import NetCDFFile, NetCDFWriter
+
+    p = str(tmp_path / "scalar_rec.nc")
+    with NetCDFWriter(p) as w:
+        w.def_dim("time", None)
+        w.def_var("t", np.float64, ("time",))
+        w.enddef()
+        for i in range(3):
+            w.put_rec("t", i, np.float64(10.0 * i))
+    with NetCDFFile(p) as ds:
+        v = ds.variables["t"]
+        for i in (0, 2, -1):
+            out = v.read_region((), (), irec=i)
+            assert out.shape == ()
+            assert float(out) == 10.0 * (i % 3)

@@ -222,3 +222,25 @@ def test_seeded_fuzz_matches_oracle():
         err = float(jnp.abs(out - ref).max()) / scale
         assert err < 3e-5, (nx, ny, dx, dy, D, vx, vy, dt, k,
                             cfg.strict_reference_compat, err)
+
+
+@pytest.mark.parametrize("form", ["trapezoid", "fullslab"])
+def test_substep_override_forms_match_oracle(form, monkeypatch):
+    """Both sub-step forms stay live behind CLIMATE_SIM_SUBSTEP and agree
+    with the oracle on the fused-DMA path (the A/B knob docs/performance.md
+    relies on)."""
+    monkeypatch.setenv("CLIMATE_SIM_SUBSTEP", form)
+    cfg = make_cfg(128, 64, MIX1)
+    u = gaussian_hotspot(cfg, jnp.float32)
+    ref = oracle(u, cfg, 8)
+    out = multistep_kernel_step(u, cfg, cfg.dt, 8, interpret=True)
+    assert out is not None
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_substep_override_rejects_typos(monkeypatch):
+    monkeypatch.setenv("CLIMATE_SIM_SUBSTEP", "trapezoidal")
+    cfg = make_cfg(128, 64, D4)
+    u = gaussian_hotspot(cfg, jnp.float32)
+    with pytest.raises(ValueError, match="CLIMATE_SIM_SUBSTEP"):
+        multistep_kernel_step(u, cfg, cfg.dt, 8, interpret=True)
