@@ -79,6 +79,83 @@ def test_topology_aware_grid_fallbacks():
     assert m1.devices.shape == (1, 1)
 
 
+def test_topology_aware_grid_hybrid_dispatch(monkeypatch):
+    """Multi-slice device sets route through create_hybrid_device_mesh with
+    the DCN crossing pinned to y (x when y doesn't divide), slices counted
+    by slice_index; hybrid failure falls back to the flat ICI-aware layout."""
+    from jax.experimental import mesh_utils
+
+    from climate_sim_tpu.parallel.mesh import _topology_aware_grid
+
+    class FakeDev:
+        platform = "tpu"
+
+        def __init__(self, slice_index, process_index=0):
+            self.slice_index = slice_index
+            self.process_index = process_index
+
+    calls = []
+
+    def fake_hybrid(ici, dcn, devices=None, process_is_granule=False):
+        calls.append(("hybrid", tuple(ici), tuple(dcn), process_is_granule))
+        return np.empty((ici[0] * dcn[0], ici[1] * dcn[1]), dtype=object)
+
+    def fake_flat(shape, devices=None, contiguous_submeshes=False):
+        calls.append(("flat", tuple(shape)))
+        return np.empty(shape, dtype=object)
+
+    monkeypatch.setattr(mesh_utils, "create_hybrid_device_mesh", fake_hybrid)
+    monkeypatch.setattr(mesh_utils, "create_device_mesh", fake_flat)
+
+    # 2 slices x 4 devices, y divisible by slices -> DCN on y.
+    devs = [FakeDev(s) for s in (0, 0, 0, 0, 1, 1, 1, 1)]
+    grid = _topology_aware_grid(devs, 4, 2)
+    assert grid.shape == (4, 2)
+    assert calls[-1] == ("hybrid", (2, 2), (2, 1), False)
+
+    # y NOT divisible by slices, x divisible -> DCN on x.
+    grid = _topology_aware_grid([FakeDev(s) for s in (0, 0, 0, 1, 1, 1)], 3, 2)
+    assert grid.shape == (3, 2)
+    assert calls[-1] == ("hybrid", (3, 1), (1, 2), False)
+
+    # neither axis divisible by the 2 slices -> straight to flat layout.
+    grid = _topology_aware_grid(
+        [FakeDev(s % 2) for s in range(15)], 5, 3
+    )
+    assert calls[-1] == ("flat", (5, 3))
+
+    # single slice -> flat layout, no hybrid call.
+    calls.clear()
+    grid = _topology_aware_grid([FakeDev(0) for _ in range(8)], 2, 4)
+    assert calls == [("flat", (2, 4))]
+
+    # no slice_index attr -> process granules.
+    class FakeDevNoSlice:
+        platform = "tpu"
+
+        def __init__(self, process_index):
+            self.process_index = process_index
+
+    grid = _topology_aware_grid([FakeDevNoSlice(p // 4) for p in range(8)], 4, 2)
+    assert calls[-1] == ("hybrid", (2, 2), (2, 1), True)
+
+    # hybrid blow-up falls back to the flat ICI-aware layout.
+    def raising_hybrid(*a, **k):
+        raise ValueError("granule mismatch")
+
+    monkeypatch.setattr(mesh_utils, "create_hybrid_device_mesh", raising_hybrid)
+    calls.clear()
+    grid = _topology_aware_grid([FakeDev(s) for s in (0, 0, 0, 0, 1, 1, 1, 1)], 4, 2)
+    assert grid is not None and calls == [("flat", (4, 2))]
+
+    # flat blow-up -> None (caller reshapes in enumeration order).
+    def raising_flat(*a, **k):
+        raise ValueError("no topology")
+
+    monkeypatch.setattr(mesh_utils, "create_device_mesh", raising_flat)
+    assert _topology_aware_grid([FakeDev(0) for _ in range(8)], 2, 4) is None
+
+
 def test_halo_exchange_rank_id_faces():
     """Each shard holds its linear id; after exchange each ghost face equals
     the neighbor's id (reference: test_halo.cpp:8-63)."""
