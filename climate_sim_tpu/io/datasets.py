@@ -76,6 +76,16 @@ class FieldHandle:
 
     def read_region(self, y0: int, ny: int, x0: int, nx: int) -> np.ndarray:
         """Rows ``[y0, y0+ny) × cols [x0, x0+nx)`` as float64."""
+        gny, gnx = self.shape
+        if y0 < 0 or x0 < 0 or y0 + ny > gny or x0 + nx > gnx:
+            # Explicit bounds check: numpy slice semantics on the HDF5
+            # backends would silently CLIP the region to a smaller block
+            # (the classic codec raises) — surface the same clear error on
+            # every backend.
+            raise IndexError(
+                f"{self.path}: region [{y0},{y0 + ny})x[{x0},{x0 + nx}) "
+                f"outside field ({gny}, {gnx})"
+            )
         v = self._v
         if self._backend == "classic":
             irec = v.shape[0] - 1 if self.ndim == 3 else None

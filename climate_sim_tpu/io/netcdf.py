@@ -127,8 +127,20 @@ class _HeaderEncoder:
         return sum(len(p) for p in self.parts)
 
 
-def _attr_payload(value: Any) -> Tuple[int, bytes, int]:
-    """Encode an attribute value -> (nc_type, payload bytes, nelems)."""
+_CLASSIC_TYPES = frozenset(
+    (NC_BYTE, NC_CHAR, NC_SHORT, NC_INT, NC_FLOAT, NC_DOUBLE)
+)
+
+
+def _attr_payload(value: Any, version: int = 5) -> Tuple[int, bytes, int]:
+    """Encode an attribute value -> (nc_type, payload bytes, nelems).
+
+    CDF-1/2 files only know the six classic types; 64-bit / unsigned
+    integer attribute values are narrowed to NC_INT when they fit (Python
+    ints default to int64 on most platforms) and rejected otherwise —
+    silently emitting NC_INT64 into a CDF-1 header would produce a file
+    every other reader rejects.
+    """
     if isinstance(value, str):
         b = value.encode("utf-8")
         return NC_CHAR, b + b"\x00" * _pad4(len(b)), len(b)
@@ -136,6 +148,17 @@ def _attr_payload(value: Any) -> Tuple[int, bytes, int]:
         return NC_CHAR, value + b"\x00" * _pad4(len(value)), len(value)
     arr = np.atleast_1d(np.asarray(value))
     nct = nc_type_for(arr.dtype)
+    if version < 5 and nct not in _CLASSIC_TYPES:
+        if arr.dtype.kind in ("i", "u") and (
+            arr.size == 0
+            or (arr.min() >= -(2**31) and arr.max() < 2**31)
+        ):
+            nct = NC_INT
+        else:
+            raise TypeError(
+                f"attribute dtype {arr.dtype} needs CDF-5 (writer version "
+                f"{version}); value out of NC_INT range"
+            )
     be = arr.astype(_TYPE_TO_DTYPE[nct])
     raw = be.tobytes()
     return nct, raw + b"\x00" * _pad4(len(raw)), arr.size
@@ -195,6 +218,11 @@ class NetCDFWriter:
         if self._defined:
             raise RuntimeError("def_var after enddef")
         nct = nc_type_for(np.dtype(dtype))
+        if self.version < 5 and nct not in _CLASSIC_TYPES:
+            raise TypeError(
+                f"variable dtype {np.dtype(dtype)} needs CDF-5 "
+                f"(writer version {self.version})"
+            )
         dimids = [self._dimids[d] for d in dims]
         isrec = bool(dimids) and self._dims[dimids[0]][1] is None
         if any(self._dims[d][1] is None for d in dimids[1:]):
@@ -263,10 +291,9 @@ class NetCDFWriter:
         for name in rec_vars:
             begins[name] = offset + roff
             roff += self._vars[name]["vsize"]
+        # (For a single record variable, roff == its unpadded vsize — the
+        # vsize loop above already skipped the padding per the spec note.)
         self._recsize = roff
-        if len(rec_vars) == 1:
-            # Unpadded single record var: recsize is the exact slab size.
-            self._recsize = self._vars[rec_vars[0]]["vsize"]
 
         self._begins = begins
         header = self._encode_header(begins)
@@ -336,7 +363,7 @@ class NetCDFWriter:
             e.u4(_NC_ATTRIBUTE)
             e.nonneg(len(atts))
             for name, value in atts.items():
-                nct, payload, nelems = _attr_payload(value)
+                nct, payload, nelems = _attr_payload(value, self.version)
                 e.name(name)
                 e.u4(nct)
                 e.nonneg(nelems)
@@ -389,9 +416,9 @@ class NetCDFWriter:
         pad = v["vsize"] - len(raw)
         if pad > 0:
             self._f.write(b"\x00" * pad)
-        if irec + 1 > self._numrecs:
-            self._numrecs = irec + 1
-            self._patch_numrecs()
+        # Only the creating writer maintains numrecs: an attached writer
+        # (create=False) patching it could shrink the creator's count.
+        self._maybe_grow_numrecs(irec)
 
     def put_rec_region(self, name: str, irec: int, corner: Sequence[int], block) -> None:
         """Write a rectangular sub-block of one record at global indices
@@ -487,6 +514,11 @@ class NetCDFWriter:
 # ---------------------------------------------------------------------------
 
 
+class _TruncatedHeader(ValueError):
+    """Decoder ran past the buffered header window (either a genuinely
+    truncated file, or a header larger than the read window)."""
+
+
 class _HeaderDecoder:
     def __init__(self, buf: bytes):
         self.buf = buf
@@ -496,7 +528,7 @@ class _HeaderDecoder:
     def take(self, n: int) -> bytes:
         b = self.buf[self.pos : self.pos + n]
         if len(b) != n:
-            raise ValueError("truncated NetCDF header")
+            raise _TruncatedHeader("truncated NetCDF header")
         self.pos += n
         return b
 
@@ -669,6 +701,19 @@ class NCVariable:
             return rec[rest] if rest else rec
         if self.isrec and isinstance(key, (int, np.integer)):
             return self[(key,)]
+        if self.isrec:
+            # Record-dim slices read only the touched records (a full
+            # _read_all on a long run's file would pull every snapshot off
+            # disk to serve u[0:2]).
+            k = (key,) if isinstance(key, slice) else key
+            if isinstance(k, tuple) and k and isinstance(k[0], slice):
+                recs = range(*k[0].indices(self._shape[0]))
+                if len(recs) == 0:
+                    stack = np.empty((0,) + self._shape[1:], dtype=self.dtype)
+                else:
+                    stack = np.stack([self._read_record(i) for i in recs])
+                rest = k[1:]
+                return stack[(slice(None),) + rest] if rest else stack
         return self._read_all()[key]
 
 
@@ -681,11 +726,36 @@ class NetCDFFile:
     def __init__(self, path: str):
         self._path = path
         self._f = open(path, "rb")
-        header = self._f.read(1 << 20)  # headers are small; 1 MiB is generous
+        try:
+            cap = 1 << 20  # headers are usually small; grown on demand
+            while True:
+                self._f.seek(0)
+                header = self._f.read(cap)
+                try:
+                    self._parse_header(header)
+                    break
+                except _TruncatedHeader:
+                    # May just mean an unusually large header (many vars/
+                    # attrs): retry with a bigger window while the file
+                    # actually has more bytes.
+                    if (
+                        len(header) == cap
+                        and os.fstat(self._f.fileno()).st_size > cap
+                    ):
+                        cap *= 4
+                        continue
+                    raise
+        except Exception:
+            # Never leak the fd on a parse failure (scanner loops open many
+            # candidate files).
+            self._f.close()
+            raise
+
+    def _parse_header(self, header: bytes) -> None:
+        path = self._path
         d = _HeaderDecoder(header)
         magic = d.take(4)
         if magic[:3] != b"CDF" or magic[3] not in (1, 2, 5):
-            self._f.close()
             raise ValueError(f"{path}: not a classic NetCDF file (magic {magic!r})")
         d.version = magic[3]
         self.version = magic[3]

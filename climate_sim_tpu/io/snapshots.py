@@ -57,6 +57,41 @@ def _define_schema(w: NetCDFWriter, cfg: SimConfig) -> None:
     w.enddef()
 
 
+def _open_backend(path: str, cfg: SimConfig, create: bool, use_native: bool):
+    """Open (native_writer, python_writer): the C++ async writer when its
+    shared library builds/loads, else the pure-Python codec (byte-identical
+    output).  The fallback is logged once — a silently-degraded run would
+    lose the async-overlap performance the native path exists for with no
+    way to notice short of profiling."""
+    if create:
+        d = os.path.dirname(path)
+        if d:
+            os.makedirs(d, exist_ok=True)
+
+    if use_native:
+        try:
+            from .native import NativeSnapshotWriter
+
+            return (
+                NativeSnapshotWriter(
+                    path, cfg, metadata_attrs(cfg), create=create
+                ),
+                None,
+            )
+        except Exception as e:
+            import sys
+
+            print(
+                f"[climate_sim_tpu] native snapshot writer unavailable "
+                f"({type(e).__name__}: {e}); using the Python codec",
+                file=sys.stderr,
+            )
+
+    w = NetCDFWriter(path, version=5, create=create)
+    _define_schema(w, cfg)
+    return None, w
+
+
 class ShardedSnapshotWriter:
     """Per-process parallel snapshot writes: every process writes ONLY the
     rows of its locally-addressable shards, at deterministic record offsets.
@@ -84,26 +119,7 @@ class ShardedSnapshotWriter:
                  use_native: bool = True):
         self.path = path
         self.cfg = cfg
-        if create:
-            d = os.path.dirname(path)
-            if d:
-                os.makedirs(d, exist_ok=True)
-
-        self._native = None
-        if use_native:
-            try:
-                from .native import NativeSnapshotWriter
-
-                self._native = NativeSnapshotWriter(
-                    path, cfg, metadata_attrs(cfg), create=create
-                )
-            except Exception:
-                self._native = None
-
-        self._w = None
-        if self._native is None:
-            self._w = NetCDFWriter(path, version=5, create=create)
-            _define_schema(self._w, cfg)
+        self._native, self._w = _open_backend(path, cfg, create, use_native)
         self._next_index = 0
 
     @property
@@ -158,24 +174,7 @@ class SnapshotWriter:
     def __init__(self, path: str, cfg: SimConfig, use_native: bool = True):
         self.path = path
         self.cfg = cfg
-        d = os.path.dirname(path)
-        if d:
-            os.makedirs(d, exist_ok=True)
-
-        self._native = None
-        if use_native:
-            try:
-                from .native import NativeSnapshotWriter
-
-                self._native = NativeSnapshotWriter(path, cfg, metadata_attrs(cfg))
-            except Exception:
-                self._native = None
-
-        if self._native is None:
-            self._w = NetCDFWriter(path, version=5)
-            _define_schema(self._w, cfg)
-        else:
-            self._w = None
+        self._native, self._w = _open_backend(path, cfg, True, use_native)
         self._next_index = 0
 
     @property

@@ -689,6 +689,16 @@ def multistep_kernel_step(
     (up to f32 re-association).  Returns None if no kernel layout fits
     (caller falls back to jnp).
     """
+    if k > 1 and one_sided_periodic(cfg):
+        # Multi-step fusion cannot honor one-sided-periodic semantics
+        # (see one_sided_periodic); advance with k single-step passes.
+        out = u
+        for _ in range(k):
+            nxt = multistep_kernel_step(out, cfg, dt, 1, interpret)
+            if nxt is None:
+                return None
+            out = nxt
+        return out
     ny, nx = u.shape
     compat = cfg.strict_reference_compat
     wrap_x = (
@@ -788,6 +798,10 @@ def tile_region_multistep(
     the pure shrinking-trapezoid interior case.  ``probe=True`` just reports
     layout availability (returns the call or None; shapes are static).
     """
+    if k > 1 and flagged and one_sided_periodic(cfg):
+        # No multi-step layout exists for one-sided-periodic semantics
+        # (see one_sided_periodic); callers use k=1 passes instead.
+        return None
     compat = cfg.strict_reference_compat
     if flagged:
         fixes = (
@@ -828,6 +842,10 @@ def sharded_tile_slab_multistep(
     layout).  ``probe=True`` (with ``probe_shape=(my, mx)``) reports layout
     availability.  Returns the updated interior, or None if no layout.
     """
+    if k > 1 and one_sided_periodic(cfg):
+        # No multi-step layout for one-sided-periodic semantics (see
+        # one_sided_periodic); callers use k=1 passes instead.
+        return None
     my, mx = probe_shape if probe else tile.shape
     compat = cfg.strict_reference_compat
     # khalo is k rounded up to a sublane tile: remainder passes (k < 8)
@@ -879,12 +897,39 @@ def make_pallas_interior_step(
     return step
 
 
+def one_sided_periodic(cfg: SimConfig) -> bool:
+    """True when exactly one side of an axis is periodic (and wrap is live,
+    i.e. not reference-compat) — e.g. the reference's own dev.yaml mixes
+    ``bottom=periodic top=dirichlet``.
+
+    The oracle's convention (ops/boundary.py::_ghost_line) re-pins the wrap
+    ghost from the opposite edge's CURRENT line every step.  A multi-step
+    kernel pass cannot honor that: the wrapped halo copies evolve in-slab
+    as if the axis were a full torus, missing the other edge's BC, and the
+    contamination reaches the periodic-edge output rows from the second
+    sub-step on.  Both-sides-periodic (a true torus axis) and compat mode
+    (periodic == stale zeros, re-suppliable per sub-step) fuse fine.
+    """
+    if cfg.strict_reference_compat:
+        return False
+    bc = cfg.bc
+    P = BCType.PERIODIC
+    return ((bc.left == P) != (bc.right == P)) or (
+        (bc.bottom == P) != (bc.top == P)
+    )
+
+
 def pick_steps_per_pass(cfg: SimConfig, chunk: int) -> int:
     """Choose k (steps fused per HBM pass) for a ``chunk``-step program.
 
     Larger k amortizes HBM traffic but grows the halo (2k rows of redundant
     load + compute per block); k=8 also enables the fused-DMA input path.
+    One-sided-periodic configs are capped at k=1 (see
+    :func:`one_sided_periodic`) — each pass then rebuilds the wrap ghosts
+    from the just-updated opposite edge, which is the oracle's semantics.
     """
+    if one_sided_periodic(cfg):
+        return 1
     k = min(8, chunk, max(1, cfg.nx // 32), max(1, cfg.ny // 32))
     return max(1, k)
 

@@ -267,7 +267,20 @@ def run_simulation(cfg: SimConfig, devices=None, write_output: bool = True) -> R
             from jax.experimental import multihost_utils
 
             if is_controller():
-                sharded_writer = ShardedSnapshotWriter(out_path, cfg, create=True)
+                try:
+                    sharded_writer = ShardedSnapshotWriter(
+                        out_path, cfg, create=True
+                    )
+                except Exception:
+                    # Peers are already committed to the open barrier and
+                    # will stall until the coordinator's heartbeat timeout
+                    # tears the job down; make sure the REAL error (disk
+                    # full, permissions, ...) is on the controller's stderr
+                    # before that masks it.
+                    import traceback
+
+                    traceback.print_exc()
+                    raise
             multihost_utils.sync_global_devices("climate_sim_tpu:snapshot_open")
             if not is_controller():
                 sharded_writer = ShardedSnapshotWriter(out_path, cfg, create=False)

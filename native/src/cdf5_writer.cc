@@ -42,13 +42,13 @@
 
 namespace {
 
-std::mutex g_err_mu;
-std::string g_last_error;
+// Per-thread error slot: each calling thread sees only its own last error,
+// and the buffer returned by ncw_last_error() cannot be freed/reallocated
+// by a concurrent set_error on another thread (the ctypes layer copies the
+// C string on the same thread that made the failing call).
+thread_local std::string g_last_error;
 
-void set_error(const std::string& msg) {
-  std::lock_guard<std::mutex> lk(g_err_mu);
-  g_last_error = msg;
-}
+void set_error(const std::string& msg) { g_last_error = msg; }
 
 // ---- CDF-5 header encoding (big-endian) -----------------------------------
 
@@ -437,9 +437,6 @@ int64_t ncw_close(int64_t handle) {
   }
 }
 
-const char* ncw_last_error() {
-  std::lock_guard<std::mutex> lk(g_err_mu);
-  return g_last_error.c_str();
-}
+const char* ncw_last_error() { return g_last_error.c_str(); }
 
 }  // extern "C"

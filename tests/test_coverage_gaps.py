@@ -344,3 +344,34 @@ def test_device_ic_file_mode_error_contracts(tmp_path):
     cfg.ic.path = p
     with pytest.raises(ValueError, match="does not match grid"):
         device_initial_condition(cfg, np.float32, field_sharding(mesh))
+
+
+def test_field_handle_bounds_check_all_backends(tmp_path):
+    """read_region must raise on out-of-range regions on EVERY backend —
+    numpy slice semantics on the HDF5 backends would silently clip
+    (regression)."""
+    import h5py
+
+    from climate_sim_tpu.io import datasets
+
+    a = np.arange(12.0).reshape(3, 4)
+    ph = str(tmp_path / "f.h5")
+    with h5py.File(ph, "w") as f:
+        f.create_dataset("u", data=a)
+    from climate_sim_tpu.io.netcdf import NetCDFWriter
+
+    pc = str(tmp_path / "f.nc")
+    with NetCDFWriter(pc) as w:
+        w.def_dim("y", 3)
+        w.def_dim("x", 4)
+        w.def_var("u", np.float64, ("y", "x"))
+        w.enddef()
+        w.put_var("u", a)
+
+    for p in (ph, pc):
+        with datasets.open_field(p) as h:
+            np.testing.assert_array_equal(h.read_region(1, 2, 0, 4), a[1:3])
+            with pytest.raises(IndexError, match="outside field"):
+                h.read_region(2, 2, 0, 4)
+            with pytest.raises(IndexError, match="outside field"):
+                h.read_region(0, 3, 3, 2)

@@ -303,3 +303,90 @@ def test_read_region_scalar_record_variable(tmp_path):
             out = v.read_region((), (), irec=i)
             assert out.shape == ()
             assert float(out) == 10.0 * (i % 3)
+
+
+def test_attach_writer_never_patches_numrecs(tmp_path):
+    """An attached (create=False) writer re-writing an old record must not
+    shrink the creator's numrecs (regression: put_rec patched the header
+    unconditionally)."""
+    from climate_sim_tpu.io.netcdf import NetCDFFile, NetCDFWriter
+
+    p = str(tmp_path / "attach.nc")
+    w = NetCDFWriter(p)
+    w.def_dim("time", None)
+    w.def_dim("y", 2)
+    w.def_dim("x", 3)
+    w.def_var("u", np.float64, ("time", "y", "x"))
+    w.enddef()
+    for i in range(5):
+        w.put_rec("u", i, np.full((2, 3), float(i)))
+    w.sync()
+
+    a = NetCDFWriter(p, create=False)
+    a.def_dim("time", None)
+    a.def_dim("y", 2)
+    a.def_dim("x", 3)
+    a.def_var("u", np.float64, ("time", "y", "x"))
+    a.enddef()
+    a.put_rec("u", 1, np.full((2, 3), 99.0))
+    a.close()
+    w.close()
+
+    with NetCDFFile(p) as ds:
+        assert ds.numrecs == 5
+        assert ds.variables["u"].shape == (5, 2, 3)
+        assert float(ds.variables["u"][1].max()) == 99.0
+        assert float(ds.variables["u"][4].max()) == 4.0
+
+
+def test_cdf1_rejects_wide_types_and_coerces_int_attrs(tmp_path):
+    """CDF-1/2 files only know the six classic types: int64 attribute
+    values are narrowed to NC_INT when they fit (and rejected when not);
+    int64 variables are rejected outright (regression: NC_INT64 was
+    silently emitted into CDF-1 headers, producing files other readers
+    reject)."""
+    import scipy.io
+
+    from climate_sim_tpu.io.netcdf import NetCDFWriter
+
+    p = str(tmp_path / "v1.nc")
+    with NetCDFWriter(p, version=1) as w:
+        w.def_dim("x", 4)
+        w.def_var("u", np.float64, ("x",))
+        w.put_gatt("count", 7)           # python int -> int64 -> NC_INT
+        w.put_gatt("big", np.int32(12))
+        w.enddef()
+        w.put_var("u", np.arange(4.0))
+    with scipy.io.netcdf_file(p, "r") as ds:  # independent reader
+        assert int(ds.count) == 7
+
+    with NetCDFWriter(str(tmp_path / "v1b.nc"), version=1) as w:
+        w.def_dim("x", 4)
+        with pytest.raises(TypeError, match="CDF-5"):
+            w.def_var("n", np.int64, ("x",))
+
+    w = NetCDFWriter(str(tmp_path / "v1c.nc"), version=1)
+    w.def_dim("x", 4)
+    w.def_var("u", np.float64, ("x",))
+    w.put_gatt("huge", 2**40)            # does not fit NC_INT
+    with pytest.raises(TypeError, match="NC_INT range"):
+        w.enddef()
+
+
+def test_record_slice_reads(tmp_path):
+    from climate_sim_tpu.io.netcdf import NetCDFFile, NetCDFWriter
+
+    p = str(tmp_path / "slices.nc")
+    with NetCDFWriter(p) as w:
+        w.def_dim("time", None)
+        w.def_dim("y", 2)
+        w.def_dim("x", 2)
+        w.def_var("u", np.float64, ("time", "y", "x"))
+        w.enddef()
+        for i in range(6):
+            w.put_rec("u", i, np.full((2, 2), float(i)))
+    with NetCDFFile(p) as ds:
+        v = ds.variables["u"]
+        np.testing.assert_array_equal(v[1:3].max(axis=(1, 2)), [1.0, 2.0])
+        np.testing.assert_array_equal(v[::2, 0, 0], [0.0, 2.0, 4.0])
+        assert v[4:2].shape == (0, 2, 2)

@@ -214,6 +214,13 @@ def test_seeded_fuzz_matches_oracle():
         cfg.bc = BCConfig(*[rng.choice(bcs_pool) for _ in range(4)])
         cfg.strict_reference_compat = rng.random() < 0.25
         u = gaussian_hotspot(cfg, jnp.float32)
+        # Half the trials park extra mass against an edge: centered
+        # hotspots decay to ~0 at the boundary and mask edge-handling
+        # bugs (a 400-trial fuzz only caught the one-sided-periodic
+        # contamination on grids small enough for the bump to reach it).
+        if rng.random() < 0.5:
+            axis = rng.choice([0, 1])
+            u = u + 0.5 * jnp.roll(u, u.shape[axis] // 2 - 2, axis=axis)
         ref = oracle(u, cfg, k)
         out = multistep_kernel_step(u, cfg, cfg.dt, k, interpret=True)
         if out is None:
@@ -244,3 +251,47 @@ def test_substep_override_rejects_typos(monkeypatch):
     u = gaussian_hotspot(cfg, jnp.float32)
     with pytest.raises(ValueError, match="CLIMATE_SIM_SUBSTEP"):
         multistep_kernel_step(u, cfg, cfg.dt, 8, interpret=True)
+
+
+ONE_SIDED = [
+    # (bcs(l,r,b,t), axis-to-shift-hotspot)
+    ((BCType.PERIODIC, BCType.NEUMANN, BCType.DIRICHLET, BCType.DIRICHLET), 1),
+    ((BCType.NEUMANN, BCType.PERIODIC, BCType.DIRICHLET, BCType.DIRICHLET), 1),
+    ((BCType.DIRICHLET, BCType.DIRICHLET, BCType.PERIODIC, BCType.NEUMANN), 0),
+    ((BCType.DIRICHLET, BCType.DIRICHLET, BCType.NEUMANN, BCType.PERIODIC), 0),
+]
+
+
+@pytest.mark.parametrize("bcs,axis", ONE_SIDED)
+def test_one_sided_periodic_matches_oracle(bcs, axis):
+    """Exactly one side of an axis periodic (the reference's own dev.yaml
+    mixes bottom=periodic top=dirichlet): the wrap ghost must track the
+    opposite edge's CURRENT line every step, which multi-step fusion cannot
+    do — the dispatcher must cap passes at one step and stay exact.
+    (Regression: k=8 fusion contaminated the periodic-edge rows/cols at
+    ~1e-3 for hotspots near the edge.)"""
+    cfg = make_cfg(128, 64, bcs, vx=1.0, vy=0.5)
+    u = gaussian_hotspot(cfg, jnp.float32)
+    # park mass against the periodic edge so contamination is visible
+    u = u + 0.5 * jnp.roll(u, u.shape[axis] // 2 - 2, axis=axis)
+    ref = oracle(u, cfg, 8)
+    out = multistep_kernel_step(u, cfg, cfg.dt, 8, interpret=True)
+    assert out is not None
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_one_sided_periodic_caps_pass_size():
+    from climate_sim_tpu.ops.pallas_stencil import (
+        one_sided_periodic,
+        pick_steps_per_pass,
+    )
+
+    cfg = make_cfg(128, 64, ONE_SIDED[0][0])
+    assert one_sided_periodic(cfg)
+    assert pick_steps_per_pass(cfg, 100) == 1
+    # both-sides-periodic and compat mixes fuse normally
+    cfg2 = make_cfg(256, 256, P4)
+    assert not one_sided_periodic(cfg2)
+    assert pick_steps_per_pass(cfg2, 100) == 8
+    cfg3 = make_cfg(128, 64, ONE_SIDED[0][0], compat=True)
+    assert not one_sided_periodic(cfg3)

@@ -235,3 +235,24 @@ def test_exchange_halos_slabs_layout():
     assert np.all(yh[:k, 128 + m : 128 + m + k] == 6.0)      # bottom pad, diagonal gr
     assert np.all(yh[k:, 128 - k : 128] == 4.0)              # top pad (same y nbr, py=2)
     assert np.all(yh[k:, 128 : 128 + m] == 5.0)
+
+
+def test_sharded_one_sided_periodic_matches_oracle():
+    """One side of an axis periodic (the reference dev.yaml's BC mix):
+    the sharded dispatcher must drop to one-step passes (the k-slab
+    fusion cannot track the opposite edge's current wrap line) and stay
+    exact, with extra mass parked against the periodic edge."""
+    from climate_sim_tpu.ops.pallas_stencil import pick_steps_per_pass
+
+    bcs = (BCType.DIRICHLET, BCType.NEUMANN, BCType.PERIODIC, BCType.DIRICHLET)
+    cfg = make_cfg(256, 128, bcs)
+    assert pick_steps_per_pass(cfg, 16) == 1
+    mesh = make_mesh(4, 2)
+    u = gaussian_hotspot(cfg, jnp.float32)
+    u = u + 0.5 * jnp.roll(u, u.shape[0] // 2 - 2, axis=0)
+    ref = oracle(u, cfg, 16)
+    us = jax.device_put(u, field_sharding(mesh))
+    adv = build_sharded_multistep_advance(cfg, mesh, cfg.dt, interpret=True)
+    assert adv is not None
+    out = adv(16)(us)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
