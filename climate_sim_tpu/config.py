@@ -182,6 +182,10 @@ class SimConfig:
             raise ValueError(f"unknown kernel: {self.kernel}")
         if self.max_devices < 0:
             raise ValueError("max_devices must be >= 0 (0 = all devices)")
+        if (self.mesh.x is not None and self.mesh.x < 1) or (
+            self.mesh.y is not None and self.mesh.y < 1
+        ):
+            raise ValueError("mesh.x/mesh.y must be >= 1 when set")
 
     def resolved_output_path(self) -> str:
         """Snapshot file path.  The reference hardcodes outputs/snapshots.nc
@@ -232,9 +236,11 @@ def _load_ic_node(cfg: SimConfig, node: Dict[str, Any]) -> None:
 
 def _load_mesh_node(cfg: SimConfig, node: Any) -> None:
     if isinstance(node, dict):
-        if "x" in node:
+        # None means "unset" (it is what config_to_dict emits for the
+        # defaults), not a request for mesh shape 0.
+        if node.get("x") is not None:
             cfg.mesh.x = int(node["x"])
-        if "y" in node:
+        if node.get("y") is not None:
             cfg.mesh.y = int(node["y"])
         if "enable" in node:
             cfg.mesh.enable = bool(node["enable"])
@@ -297,8 +303,19 @@ def load_yaml_dict(root: Dict[str, Any], validate: bool = True) -> SimConfig:
                 cfg.write_final = bool(out["write_final"])
             if "enable" in out:
                 cfg.output_enable = bool(out["enable"])
-    elif "output_prefix" in root:
-        cfg.output_prefix = str(root["output_prefix"])
+    else:
+        # Flat spellings — config_to_dict emits these, so its output
+        # round-trips through this loader.
+        if "output_prefix" in root:
+            cfg.output_prefix = str(root["output_prefix"])
+        if root.get("output_path") is not None:
+            cfg.output_path = str(root["output_path"])
+        if "output_dir" in root:
+            cfg.output_dir = str(root["output_dir"])
+        if "output_enable" in root:
+            cfg.output_enable = bool(root["output_enable"])
+        if "write_final" in root:
+            cfg.write_final = bool(root["write_final"])
 
     if "ic" in root and isinstance(root["ic"], dict):
         _load_ic_node(cfg, root["ic"])

@@ -71,11 +71,16 @@ def apply_boundary(
     compat: bool = False,
 ) -> jnp.ndarray:
     """Functional analogue of the reference's in-place ``apply_boundary``
-    (boundary.cpp:12-54) on an already-padded (ny+2, nx+2) array: returns a
-    new padded array with the ghost ring rewritten per the BCs.
+    (boundary.cpp:12-54) on an already-padded (ny+2, nx+2) array of the
+    GLOBAL field: returns a new padded array with the ghost ring rewritten
+    per the BCs.  Reference-parity API; equivalent to
+    ``pad_with_ghosts(u_padded[1:-1, 1:-1], ...)``.
 
-    Used by the explicitly-sharded path where the padded tile persists; the
-    single-device path prefers :func:`pad_with_ghosts`.
+    Do NOT call this on a per-shard tile inside ``shard_map``: it treats
+    every ghost as a physical edge and would clobber interior shards'
+    neighbor halos.  The sharded path's BC handling lives in
+    ``parallel/halo.py::exchange_and_pad``, which gates the overwrite on
+    ``lax.axis_index`` edge masks (the ``MPI_PROC_NULL`` analogue).
     """
     interior = u_padded[1:-1, 1:-1]
     return pad_with_ghosts(interior, bc, value, compat)

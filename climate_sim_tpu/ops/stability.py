@@ -11,9 +11,7 @@ import math
 
 
 def safe_dt(dx: float, dy: float, vx: float, vy: float, D: float) -> float:
-    denom_adv = (abs(vx) / dx if abs(vx) > 0 else 0.0) + (
-        abs(vy) / dy if abs(vy) > 0 else 0.0
-    )
+    denom_adv = abs(vx) / dx + abs(vy) / dy
     dt_adv = 1.0 / denom_adv if denom_adv > 0 else math.inf
 
     denom_diff = 1.0 / (dx * dx) + 1.0 / (dy * dy)

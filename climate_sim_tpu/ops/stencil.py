@@ -93,21 +93,12 @@ def fused_step(
 ) -> jnp.ndarray:
     """One unsplit forward-Euler step on a padded array -> new interior.
 
-    Algebraically identical to diffusion_step followed by the accumulating
-    advection_step (main.cpp:106-107), with all neighbor reads from the same
-    old ``up``.
+    Exactly diffusion_step followed by the accumulating advection_step
+    (main.cpp:106-107), with all neighbor reads from the same old ``up`` —
+    composed from those helpers so the upwind/laplacian conventions live in
+    one place (everything is jnp-traced, so XLA sees identical code).
     """
-    c, xm, xp, ym, yp = _neighborhood(up)
-    lap = (xp - 2.0 * c + xm) / (dx * dx) + (yp - 2.0 * c + ym) / (dy * dy)
-    out = c + (dt * D) * lap
+    out = diffusion_step(up, D, dt, dx, dy)
     if vx != 0.0 or vy != 0.0:
-        if vx >= 0.0:
-            dudx = (c - xm) / dx
-        else:
-            dudx = (xp - c) / dx
-        if vy >= 0.0:
-            dudy = (c - ym) / dy
-        else:
-            dudy = (yp - c) / dy
-        out = out - dt * (vx * dudx + vy * dudy)
+        out = advection_step(up, out, vx, vy, dt, dx, dy)
     return out

@@ -42,6 +42,17 @@ def _cyclic_perm(n: int, shift: int):
     return [(i, (i + shift) % n) for i in range(n)]
 
 
+def _pshift(x: jnp.ndarray, axis_name: str, n: int, shift: int) -> jnp.ndarray:
+    """Cyclic per-shard shift along a mesh axis: each shard receives its
+    neighbor's slab (wrapping).  On a size-1 axis the cyclic shift is the
+    identity, and we skip the collective — a degenerate self-ppermute
+    still lowers to a CollectivePermute op that some backends round-trip
+    through the interconnect."""
+    if n == 1:
+        return x
+    return lax.ppermute(x, axis_name, _cyclic_perm(n, shift))
+
+
 def exchange_and_pad(
     u: jnp.ndarray,
     cfg: SimConfig,
@@ -65,9 +76,9 @@ def exchange_and_pad(
     right_face = u[:, -1:]
     left_face = u[:, :1]
     # ghost_left[dev i] = right face of dev i-1 (cyclic)  => shift +1
-    ghost_left = lax.ppermute(right_face, "x", _cyclic_perm(px, +1))
+    ghost_left = _pshift(right_face, "x", px, +1)
     # ghost_right[dev i] = left face of dev i+1 (cyclic)  => shift -1
-    ghost_right = lax.ppermute(left_face, "x", _cyclic_perm(px, -1))
+    ghost_right = _pshift(left_face, "x", px, -1)
 
     def bc_face(side: BCType, mirror, wrapped):
         # Single source of truth for the BC->ghost mapping (incl. the
@@ -83,8 +94,8 @@ def exchange_and_pad(
     # --- y direction (rows; 'bottom'/'top'), full padded width incl corners ---
     top_face = mid[-1:, :]
     bottom_face = mid[:1, :]
-    ghost_bottom = lax.ppermute(top_face, "y", _cyclic_perm(py, +1))
-    ghost_top = lax.ppermute(bottom_face, "y", _cyclic_perm(py, -1))
+    ghost_bottom = _pshift(top_face, "y", py, +1)
+    ghost_top = _pshift(bottom_face, "y", py, -1)
 
     ghost_bottom = jnp.where(
         yi == 0, bc_face(bc.bottom, bottom_face, ghost_bottom), ghost_bottom
@@ -100,11 +111,11 @@ def _exchange_parts(u: jnp.ndarray, px: int, py: int, k: int):
     the width-k generalization of the reference's full-row messages,
     halo.cpp:16-18).  Returns (mid, ghost_bottom, ghost_top) where ``mid``
     is the x-ghosted tile (my, mx+2k)."""
-    ghost_left = lax.ppermute(u[:, -k:], "x", _cyclic_perm(px, +1))
-    ghost_right = lax.ppermute(u[:, :k], "x", _cyclic_perm(px, -1))
+    ghost_left = _pshift(u[:, -k:], "x", px, +1)
+    ghost_right = _pshift(u[:, :k], "x", px, -1)
     mid = jnp.concatenate([ghost_left, u, ghost_right], axis=1)
-    ghost_bottom = lax.ppermute(mid[-k:, :], "y", _cyclic_perm(py, +1))
-    ghost_top = lax.ppermute(mid[:k, :], "y", _cyclic_perm(py, -1))
+    ghost_bottom = _pshift(mid[-k:, :], "y", py, +1)
+    ghost_top = _pshift(mid[:k, :], "y", py, -1)
     return mid, ghost_bottom, ghost_top
 
 
@@ -165,16 +176,16 @@ def exchange_halos_slabs(u: jnp.ndarray, px: int, py: int, k: int):
     """
     my, mx = u.shape
     z = jnp.zeros((my, 128 - k), u.dtype)
-    gl = lax.ppermute(u[:, -k:], "x", _cyclic_perm(px, +1))
-    gr = lax.ppermute(u[:, :k], "x", _cyclic_perm(px, -1))
+    gl = _pshift(u[:, -k:], "x", px, +1)
+    gr = _pshift(u[:, :k], "x", px, -1)
     xhalo = jnp.concatenate([z, gl, gr, z], axis=1)
 
     # y slabs travel COMPACT (k, mx+2k) — the 128-k zero alignment columns
     # are concatenated locally after the exchange, not shipped over ICI.
     top = jnp.concatenate([gl[-k:, :], u[-k:, :], gr[-k:, :]], axis=1)
     bottom = jnp.concatenate([gl[:k, :], u[:k, :], gr[:k, :]], axis=1)
-    gb = lax.ppermute(top, "y", _cyclic_perm(py, +1))
-    gt = lax.ppermute(bottom, "y", _cyclic_perm(py, -1))
+    gb = _pshift(top, "y", py, +1)
+    gt = _pshift(bottom, "y", py, -1)
     zrow = jnp.zeros((2 * k, 128 - k), u.dtype)
     yhalo = jnp.concatenate([gb, gt], axis=0)
     return xhalo, jnp.concatenate([zrow, yhalo, zrow], axis=1)

@@ -182,3 +182,33 @@ def test_output_prefix_honored_when_non_default():
     assert cfg.resolved_output_path() == "/tmp/o/snapshots.nc"
     cfg = merged_config(None, ["--output.path=/x/y.nc", "--output.prefix=exp1"])
     assert cfg.resolved_output_path() == "/x/y.nc"
+
+
+def test_config_to_dict_roundtrips_through_loader():
+    """config_to_dict output (the metadata/logging form) must reload to an
+    equal config — flat output keys, string BCs, None mesh axes and all
+    (code-review regression)."""
+    from climate_sim_tpu.config import config_to_dict, load_yaml_dict
+
+    cfg = SimConfig()
+    cfg.nx, cfg.ny = 96, 64
+    cfg.D, cfg.vx = 0.2, -0.5
+    cfg.dt, cfg.steps, cfg.out_every = 0.05, 40, 10
+    cfg.bc.left = cfg.bc.right = BCType.PERIODIC
+    cfg.bc.top = BCType.NEUMANN
+    cfg.output_dir = "/tmp/rt"
+    cfg.output_prefix = "exp2"
+    cfg.output_enable = False
+    cfg.write_final = True
+    cfg.ic.A = 2.5
+    cfg.mesh.x = 4  # y stays None (auto)
+    cfg.precision = "bf16"
+    cfg.kernel = "pallas_multistep"
+    cfg.halo_overlap = True
+    cfg.validate()
+
+    rt = load_yaml_dict(config_to_dict(cfg))
+    assert rt == cfg
+
+    # Defaults round-trip too (None output_path / mesh axes stay None).
+    assert load_yaml_dict(config_to_dict(SimConfig())) == SimConfig()
