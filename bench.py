@@ -37,7 +37,7 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
-    from climate_sim_tpu.config import BCConfig, BCType, SimConfig
+    from climate_sim_tpu.benchproto import aot_compile, bench_config, time_best_of
     from climate_sim_tpu.ops.init import gaussian_hotspot
     from climate_sim_tpu.ops.step import build_single_device_advance, select_kernel
 
@@ -47,18 +47,13 @@ def main() -> int:
     # REPS sizing: through the tunneled TPU, the end-of-trial sync
     # (block_until_ready + a scalar fetch) costs a fixed ~65 ms regardless
     # of work; profiler traces show chained chunk executions run
-    # back-to-back on device (~14 us gaps).  6000 steps/trial (~640 ms
-    # device time at the measured rate) amortizes the sync to ~9%, so the
+    # back-to-back on device (~14 us gaps).  20000 steps/trial (~2.1 s
+    # device time at the measured rate) amortizes the sync to ~3%, so the
     # wall-clock rate converges on the device's sustained rate — the number
     # a non-tunneled deployment would see.  (At the old REPS=10, the sync
     # was ~38% of the trial and the headline underread by a third.)
 
-    cfg = SimConfig(nx=NX, ny=NY, D=0.05, vx=0.5, vy=-0.25, dt=0.1,
-                    steps=CHUNK, out_every=CHUNK)
-    cfg.bc = BCConfig(
-        left=BCType.DIRICHLET, right=BCType.NEUMANN,
-        bottom=BCType.PERIODIC, top=BCType.PERIODIC,
-    )
+    cfg = bench_config(NX, NY, CHUNK)
 
     dev = jax.devices()[0]
     n_chips = len(jax.devices())
@@ -67,27 +62,9 @@ def main() -> int:
 
     advance = build_single_device_advance(cfg, cfg.dt)
     u = jax.device_put(gaussian_hotspot(cfg, jnp.float32), dev)
+    fn = aot_compile(advance(CHUNK), u)
 
-    fn = advance(CHUNK)
-    try:
-        fn = fn.lower(u).compile()
-    except Exception as e:
-        print(f"[bench] AOT compile failed ({e}); falling back to jit", file=sys.stderr)
-
-    # Warm up + force materialization (synchronizes any deferred compile).
-    u = fn(u)
-    _ = np.asarray(jax.device_get(u[:1, :1]))
-
-    # Best of 3 trials: per-trial variance through the tunnel is a few
-    # percent; the max is the honest roofline-fraction estimate.
-    best = float("inf")
-    for _trial in range(3):
-        t0 = time.perf_counter()
-        for _i in range(REPS):
-            u = fn(u)
-        u.block_until_ready()
-        _ = np.asarray(jax.device_get(u[:1, :1]))  # hard sync through the tunnel
-        best = min(best, time.perf_counter() - t0)
+    best, _u = time_best_of(fn, u, REPS, trials=3)
 
     steps = REPS * CHUNK
     pts_per_s = NX * NY * steps / best

@@ -77,19 +77,26 @@ class FieldHandle:
     def read_region(self, y0: int, ny: int, x0: int, nx: int) -> np.ndarray:
         """Rows ``[y0, y0+ny) × cols [x0, x0+nx)`` as float64."""
         gny, gnx = self.shape
-        if y0 < 0 or x0 < 0 or y0 + ny > gny or x0 + nx > gnx:
+        if y0 < 0 or x0 < 0 or ny < 0 or nx < 0 or y0 + ny > gny or x0 + nx > gnx:
             # Explicit bounds check: numpy slice semantics on the HDF5
-            # backends would silently CLIP the region to a smaller block
-            # (the classic codec raises) — surface the same clear error on
-            # every backend.
+            # backends would silently CLIP an out-of-range region — or, for
+            # negative extents, return a wrong-shaped block — while the
+            # classic codec raises.  Surface the same clear error on every
+            # backend.
             raise IndexError(
                 f"{self.path}: region [{y0},{y0 + ny})x[{x0},{x0 + nx}) "
                 f"outside field ({gny}, {gnx})"
             )
         v = self._v
         if self._backend == "classic":
-            irec = v.shape[0] - 1 if self.ndim == 3 else None
-            data = v.read_region((y0, x0), (ny, nx), irec=irec)
+            if self.ndim == 3 and v.isrec:
+                data = v.read_region((y0, x0), (ny, nx), irec=v.shape[0] - 1)
+            elif self.ndim == 3:
+                # time is a FIXED dimension (e.g. `nccopy -u` output):
+                # address the last record through a full-rank region read.
+                data = v.read_region((v.shape[0] - 1, y0, x0), (1, ny, nx))[0]
+            else:
+                data = v.read_region((y0, x0), (ny, nx))
         elif self.ndim == 3:
             data = v[v.shape[0] - 1, y0 : y0 + ny, x0 : x0 + nx]
         else:

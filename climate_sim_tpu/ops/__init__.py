@@ -1,4 +1,4 @@
-from .stability import safe_dt, clamp_dt
+from .stability import safe_dt, clamp_dt, combined_dt_limit
 from .boundary import pad_with_ghosts, apply_boundary
 from .stencil import (
     advection_increment,
@@ -13,6 +13,7 @@ from .step import build_single_device_advance, make_interior_step, reference_ste
 
 __all__ = [
     "safe_dt",
+    "combined_dt_limit",
     "clamp_dt",
     "pad_with_ghosts",
     "apply_boundary",

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from ..config import SimConfig, bc_to_string
 from ..ops.init import apply_initial_condition, device_initial_condition
-from ..ops.stability import clamp_dt
+from ..ops.stability import clamp_dt, combined_dt_limit
 from ..ops.step import (
     PALLAS_KERNELS,
     build_single_device_advance,
@@ -154,6 +154,18 @@ def prepare(cfg: SimConfig, devices=None):
         print(
             f"[warn] dt={cfg.dt:g} exceeds stability limit {limit:g}"
             f" -> clamping to dt={dt:g}",
+            file=sys.stderr,
+            flush=True,
+        )
+    comb = combined_dt_limit(cfg.dx, cfg.dy, cfg.vx, cfg.vy, cfg.D)
+    if dt > comb * (1.0 + 1e-12) and is_controller():
+        # Advisory only — the clamp keeps the reference's envelope
+        # (behavioral parity), but that envelope is insufficient when
+        # advection AND diffusion are active (see ops/stability.py).
+        print(
+            f"[warn] dt={dt:g} exceeds the COMBINED advection+diffusion"
+            f" stability bound {comb:g}; the run may diverge"
+            " (the reference's clamp envelope does not cover this case)",
             file=sys.stderr,
             flush=True,
         )
@@ -334,9 +346,15 @@ def run_simulation(cfg: SimConfig, devices=None, write_output: bool = True) -> R
         else:
             u = advance_compiled(k)(u)
         if cfg.diagnostics_every and (n // cfg.out_every) % max(1, cfg.diagnostics_every) == 0:
-            # Dispatch the reductions now, fetch after the timed loop: the
-            # timing line stays identical with diagnostics on or off
-            # (the reference kept its reductions out of the timed path too).
+            # Dispatch the reductions now, fetch after the timed loop.  The
+            # host sync/transfer cost (the dominant distortion through a
+            # remote tunnel) is fully excluded from the timing line; the
+            # device-side cost — one fused min/max/mean/L2 pass over the
+            # field per diagnostics event, ~1 HBM read — remains in the
+            # timed region, as any in-loop diagnostic must (~1-2% of an
+            # out_every=100 chunk; grows as out_every shrinks).  Keeping
+            # field references to defer the dispatch too would pin one full
+            # field in HBM per pending event.
             diag_pending.append((n + k, stats(u)))
         n += k
     u.block_until_ready()

@@ -32,32 +32,17 @@ import numpy as np, jax, jax.numpy as jnp
 # tests/conftest.py).
 if os.environ.get("CLIMATE_SIM_PLATFORM") == "cpu":
     jax.config.update("jax_platforms", "cpu")
-from climate_sim_tpu.config import BCConfig, BCType, SimConfig
+from climate_sim_tpu.benchproto import aot_compile, bench_config, time_best_of
 from climate_sim_tpu.ops.init import gaussian_hotspot
 from climate_sim_tpu.ops.step import build_single_device_advance
 
 nx, ny, chunk, reps, trials = (int(a) for a in sys.argv[1:6])
 dtype = getattr(jnp, sys.argv[6]) if len(sys.argv) > 6 else jnp.float32
-cfg = SimConfig(nx=nx, ny=ny, D=0.05, vx=0.5, vy=-0.25, dt=0.1,
-                steps=chunk, out_every=chunk)
-cfg.bc = BCConfig(left=BCType.DIRICHLET, right=BCType.NEUMANN,
-                  bottom=BCType.PERIODIC, top=BCType.PERIODIC)
-fn = build_single_device_advance(cfg, cfg.dt)(chunk)
-u = jax.device_put(gaussian_hotspot(cfg, dtype), jax.devices()[0])
-try:
-    fn = fn.lower(u).compile()
-except Exception as e:
-    print("AOT failed:", e, file=sys.stderr)
-u = fn(u)
-_ = np.asarray(jax.device_get(u[:1, :1]))  # sync any deferred compile
-best = float("inf")
-for _t in range(trials):
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        u = fn(u)
-    u.block_until_ready()
-    _ = np.asarray(jax.device_get(u[:1, :1]))
-    best = min(best, time.perf_counter() - t0)
+cfg = bench_config(nx, ny, chunk)
+fn = aot_compile(build_single_device_advance(cfg, cfg.dt)(chunk),
+                 u := jax.device_put(gaussian_hotspot(cfg, dtype), jax.devices()[0]),
+                 label="sweep")
+best, _ = time_best_of(fn, u, reps, trials)
 print(json.dumps({"gpts": nx * ny * chunk * reps / best / 1e9}))
 """
 

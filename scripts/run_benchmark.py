@@ -90,17 +90,38 @@ def run_multiproc(p: int, nx: int, ny: int, steps: int,
     import shutil
 
     pin = shutil.which("taskset") is not None
+    # Each rank's output goes to its own temp file, NOT a pipe: draining p
+    # pipes sequentially can deadlock when a non-zero rank emits more than
+    # the pipe buffer (it blocks on write, never reaches the end-of-run
+    # barrier, and rank 0 never exits).
+    import tempfile
+
+    outfiles = [tempfile.TemporaryFile(mode="w+") for _ in range(p)]
     procs = [
         subprocess.Popen(
             (["taskset", "-c", str(i % ncores)] if pin else [])
             + _sim_args(nx, ny, steps, extra)
             + [f"--distributed=127.0.0.1:{port},{p},{i}"],
-            cwd=REPO_ROOT, env=env, stdout=subprocess.PIPE,
+            cwd=REPO_ROOT, env=env, stdout=outfiles[i],
             stderr=subprocess.STDOUT, text=True,
         )
         for i in range(p)
     ]
-    outs = [pr.communicate(timeout=1800)[0] for pr in procs]
+    try:
+        for pr in procs:
+            pr.wait(timeout=1800)
+    except subprocess.TimeoutExpired:
+        for pr in procs:  # kill the exact PIDs we started, never by pattern
+            if pr.poll() is None:
+                pr.kill()
+        for pr in procs:
+            pr.wait()
+        raise
+    outs = []
+    for f in outfiles:
+        f.seek(0)
+        outs.append(f.read())
+        f.close()
     for i, (pr, o) in enumerate(zip(procs, outs)):
         if pr.returncode != 0:
             raise RuntimeError(
@@ -143,15 +164,22 @@ def run_one(p: int, nx: int, ny: int, steps: int, platform: str,
     return total, total / steps
 
 
-def annotate_strong(rows: list[tuple]) -> list[tuple]:
-    t1 = rows[0][4]
+def annotate_strong(rows: list[tuple]) -> tuple[list[tuple], int]:
+    """Annotate with S=T1/Tp, E=S/p, Karp-Flatt.  The baseline is the
+    SMALLEST rank count in the sweep (not blindly rows[0]); if that is
+    p0 > 1, T1 is extrapolated as p0*T_p0 (ideal-linear at the baseline)
+    so the columns keep their standard meaning — the caller records the
+    extrapolation in a CSV comment.  Returns (annotated_rows, p0)."""
+    base = min(rows, key=lambda r: r[0])
+    p0 = base[0]
+    t1 = base[4] * p0
     ann = []
     for (p, nx, ny, steps, total, perstep) in rows:
         s = t1 / total if total > 0 else 0.0
         e = s / p if p else 0.0
         kf = ((1.0 / s - 1.0 / p) / (1.0 - 1.0 / p)) if (p > 1 and s > 0) else 0.0
         ann.append((p, nx, ny, steps, total, perstep, s, e, kf))
-    return ann
+    return ann, p0
 
 
 def main() -> int:
@@ -216,11 +244,15 @@ def main() -> int:
                 f"steps={args.steps}\n{warn_note}{header}\n")
         for r in rows:
             f.write(plat + "," + ",".join(str(v) for v in r) + "\n")
+    ann, p0 = annotate_strong(rows)
     with open(strong_annot, "w") as f:
         f.write(f"# strong scaling: Nx={args.strong_nx}, Ny={args.strong_ny}, "
-                f"steps={args.steps}\n{warn_note}"
-                f"{header},speedup,efficiency,karp_flatt\n")
-        for r in annotate_strong(rows):
+                f"steps={args.steps}\n{warn_note}")
+        if p0 != 1:
+            f.write(f"# NOTE: sweep has no p=1 row; T1 extrapolated as "
+                    f"{p0}*T_{p0} (ideal-linear baseline at p={p0})\n")
+        f.write(f"{header},speedup,efficiency,karp_flatt\n")
+        for r in ann:
             f.write(plat + "," + ",".join(str(v) for v in r) + "\n")
     print(f"Annotated strong-scaling results written to {strong_annot}")
 

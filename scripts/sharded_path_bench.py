@@ -22,6 +22,9 @@ import sys
 import time
 
 import numpy as np
+# Importable when invoked as `python scripts/<name>.py` from anywhere
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 
 def main() -> int:
@@ -47,7 +50,7 @@ def main() -> int:
     if os.environ.get("CLIMATE_SIM_PLATFORM") == "cpu":
         jax.config.update("jax_platforms", "cpu")
 
-    from climate_sim_tpu.config import BCConfig, BCType, SimConfig
+    from climate_sim_tpu.benchproto import aot_compile, bench_config, time_best_of
     from climate_sim_tpu.ops.init import gaussian_hotspot
     from climate_sim_tpu.ops.step import build_single_device_advance, make_interior_step
     from climate_sim_tpu.parallel.halo import (
@@ -57,10 +60,7 @@ def main() -> int:
     )
     from climate_sim_tpu.parallel.mesh import field_sharding, make_mesh
 
-    cfg = SimConfig(nx=a.nx, ny=a.ny, D=0.05, vx=0.5, vy=-0.25, dt=0.1,
-                    steps=a.chunk, out_every=a.chunk)
-    cfg.bc = BCConfig(left=BCType.DIRICHLET, right=BCType.NEUMANN,
-                      bottom=BCType.PERIODIC, top=BCType.PERIODIC)
+    cfg = bench_config(a.nx, a.ny, a.chunk)
 
     mesh = make_mesh(1, 1)
     u_sharded = jax.device_put(gaussian_hotspot(cfg, jnp.float32),
@@ -90,21 +90,8 @@ def main() -> int:
         if adv is None:
             print(f"{path}: unavailable for this shape", flush=True)
             continue
-        fn = adv(a.chunk)
-        try:
-            fn = fn.lower(u0).compile()
-        except Exception as e:
-            print(f"[bench] {path}: AOT failed ({e}); jit fallback", file=sys.stderr)
-        u = fn(u0)
-        _ = np.asarray(jax.device_get(u[:1, :1]))  # sync deferred compile
-        best = float("inf")
-        for _t in range(a.trials):
-            t0 = time.perf_counter()
-            for _ in range(a.reps):
-                u = fn(u)
-            u.block_until_ready()
-            _ = np.asarray(jax.device_get(u[:1, :1]))
-            best = min(best, time.perf_counter() - t0)
+        fn = aot_compile(adv(a.chunk), u0, label=f"bench:{path}")
+        best, _ = time_best_of(fn, u0, a.reps, a.trials)
         g = a.nx * a.ny * a.chunk * a.reps / best / 1e9
         print(f"{path}: {g:.2f} Gpt/s/shard", flush=True)
     return 0

@@ -22,6 +22,9 @@ import json
 import os
 import sys
 import tempfile
+# Importable when invoked as `python scripts/<name>.py` from anywhere
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 
 def capture(nx: int, ny: int, chunk: int, reps: int, outdir: str) -> None:
@@ -29,25 +32,21 @@ def capture(nx: int, ny: int, chunk: int, reps: int, outdir: str) -> None:
     import jax
     import jax.numpy as jnp
 
-    from climate_sim_tpu.config import BCConfig, BCType, SimConfig
+    from climate_sim_tpu.benchproto import bench_config, sync_fetch
     from climate_sim_tpu.ops.init import gaussian_hotspot
     from climate_sim_tpu.ops.step import build_single_device_advance
 
-    cfg = SimConfig(nx=nx, ny=ny, D=0.05, vx=0.5, vy=-0.25, dt=0.1,
-                    steps=chunk, out_every=chunk)
-    cfg.bc = BCConfig(left=BCType.DIRICHLET, right=BCType.NEUMANN,
-                      bottom=BCType.PERIODIC, top=BCType.PERIODIC)
+    cfg = bench_config(nx, ny, chunk)
     fn = build_single_device_advance(cfg, cfg.dt)(chunk)
     u = jax.device_put(gaussian_hotspot(cfg, jnp.float32), jax.devices()[0])
-    fn = fn.lower(u).compile()
+    fn = fn.lower(u).compile()  # traces must cover only the compiled program
     u = fn(u)
-    _ = np.asarray(jax.device_get(u[:1, :1]))  # sync deferred compile
+    sync_fetch(u)  # flush the deferred remote compile before tracing
 
     jax.profiler.start_trace(outdir)
     for _ in range(reps):
         u = fn(u)
-    u.block_until_ready()
-    _ = np.asarray(jax.device_get(u[:1, :1]))
+    sync_fetch(u)
     jax.profiler.stop_trace()
 
 

@@ -375,3 +375,52 @@ def test_field_handle_bounds_check_all_backends(tmp_path):
                 h.read_region(2, 2, 0, 4)
             with pytest.raises(IndexError, match="outside field"):
                 h.read_region(0, 3, 3, 2)
+
+
+def test_load_field_classic_fixed_time_dim(tmp_path):
+    """A classic file whose 3D time dim is FIXED (not UNLIMITED) — e.g.
+    `nccopy -u` / `ncks --fix_rec_dmn` output — still restarts from the
+    last record (code-review regression: the classic branch used to pass a
+    2D region to a rank-3 variable)."""
+    from climate_sim_tpu.io.datasets import load_field_region, open_field
+    from climate_sim_tpu.io.netcdf import NetCDFWriter
+
+    a = np.arange(24.0).reshape(2, 3, 4)
+    p = str(tmp_path / "fixed_time.nc")
+    w = NetCDFWriter(p, version=5)
+    w.def_dim("time", 2)  # FIXED, not UNLIMITED
+    w.def_dim("y", 3)
+    w.def_dim("x", 4)
+    w.def_var("u", np.float64, ("time", "y", "x"))
+    w.enddef()
+    w.put_var("u", a)
+    w.close()
+
+    np.testing.assert_array_equal(load_field(p), a[-1])
+    np.testing.assert_array_equal(load_field_region(p, "u", 1, 2, 2, 2),
+                                  a[-1, 1:3, 2:4])
+
+
+def test_read_region_rejects_negative_extents(tmp_path):
+    """Negative ny/nx must raise on EVERY backend (the HDF5 slice
+    semantics would silently return a wrong-shaped block)."""
+    from climate_sim_tpu.io.datasets import open_field
+    from climate_sim_tpu.io.netcdf import NetCDFWriter
+
+    pc = str(tmp_path / "c.nc")
+    w = NetCDFWriter(pc, version=5)
+    w.def_dim("y", 4)
+    w.def_dim("x", 4)
+    w.def_var("u", np.float64, ("y", "x"))
+    w.enddef()
+    w.put_var("u", np.zeros((4, 4)))
+    w.close()
+    ph = str(tmp_path / "h.h5")
+    _write_h5(ph, "u", np.zeros((4, 4)))
+
+    for p in (pc, ph):
+        with open_field(p) as h:
+            with pytest.raises(IndexError, match="outside field"):
+                h.read_region(0, -1, 0, 4)
+            with pytest.raises(IndexError, match="outside field"):
+                h.read_region(0, 4, 1, -2)

@@ -196,8 +196,9 @@ def test_clamped_dt_recorded_in_metadata(tmp_path):
 
 def test_diagnostics_printed_outside_timed_loop(tmp_path, capsys):
     """--diagnostics_every emits min/max/mean/l2 lines computed on device and
-    fetched AFTER the timed loop, so the timing line is undistorted (the
-    reference kept its documented reductions out of the timed path too)."""
+    fetched AFTER the timed loop, so no host sync/transfer distorts the
+    timing line (the on-device reduction pass itself stays in the timed
+    region — see the driver comment)."""
     run(tmp_path, ["--nx=32", "--ny=16", "--steps=8", "--out_every=4",
                    "--diagnostics_every=1"])
     out = capsys.readouterr().out
@@ -214,3 +215,22 @@ def test_diagnostics_printed_outside_timed_loop(tmp_path, capsys):
     first = diag[0]
     mx = float(first.split("max=")[1].split()[0])
     assert 0.0 < mx <= 1.0 + 1e-9
+
+
+def test_combined_stability_advisory_warning(tmp_path, capsys):
+    """dt inside the reference's clamp envelope but past the combined
+    advection+diffusion bound: no clamp (reference parity) but an advisory
+    warning (docs/numerics.md §Stability; found by the 400-trial sharded
+    fuzz)."""
+    # dx=dy=1, D=0.15, vy=0.9: safe_dt=1.111, combined=1/1.5=0.667
+    res, _ = run(tmp_path, ["--nx=16", "--ny=16", "--D=0.15", "--vy=0.9",
+                            "--dt=1.0", "--steps=1", "--out_every=1"])
+    err = capsys.readouterr().err
+    assert res.dt == 1.0 and not res.clamped  # parity: NOT clamped
+    assert "COMBINED" in err and "may diverge" in err
+
+    # inside the combined bound: no advisory
+    res, _ = run(tmp_path, ["--nx=16", "--ny=16", "--D=0.15", "--vy=0.9",
+                            "--dt=0.5", "--steps=1", "--out_every=1"])
+    err = capsys.readouterr().err
+    assert "COMBINED" not in err

@@ -204,10 +204,12 @@ def test_seeded_fuzz_matches_oracle():
         vy = rng.choice([0.5, -0.5, 0.9])
         dx = rng.choice([0.5, 1.0, 2.0])
         dy = rng.choice([0.5, 1.0, 2.0])
-        advt = abs(vx) / dx + abs(vy) / dy
-        dift = 2 * D * (1 / dx**2 + 1 / dy**2)
-        lim = min(1 / advt if advt else 9e9, 1 / dift if dift else 9e9)
-        dt = 0.9 * lim if lim < 9e9 else 0.1
+        # Sample inside the COMBINED advection+diffusion bound (positivity
+        # of the update), not the reference's min-of-envelopes safe_dt:
+        # between the two the scheme genuinely diverges and any f32
+        # comparison loses meaning (docs/numerics.md §Stability).
+        denom = abs(vx) / dx + abs(vy) / dy + 2 * D * (1 / dx**2 + 1 / dy**2)
+        dt = 0.9 / denom if denom > 0 else 0.1
         k = rng.choice([2, 5, 8])
         cfg = SimConfig(nx=nx, ny=ny, dx=dx, dy=dy, D=D, vx=vx, vy=vy,
                         dt=dt, steps=8, out_every=8)

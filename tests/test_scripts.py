@@ -28,7 +28,8 @@ def test_annotate_strong_math():
         (2, 1024, 1024, 200, 5.0, 0.025),
         (4, 1024, 1024, 200, 4.0, 0.02),
     ]
-    ann = rb.annotate_strong(rows)
+    ann, p0 = rb.annotate_strong(rows)
+    assert p0 == 1
     # p=1: S=1, E=1, KF=0
     assert ann[0][6:] == (1.0, 1.0, 0.0)
     # p=2: S=1.6, E=0.8, KF=(1/1.6-1/2)/(1-1/2)=0.25
@@ -38,6 +39,24 @@ def test_annotate_strong_math():
     # p=4: S=2, KF=(0.5-0.25)/(0.75)=1/3
     assert ann[2][6] == pytest.approx(2.0)
     assert ann[2][8] == pytest.approx(1.0 / 3.0)
+
+
+def test_annotate_strong_without_p1_baseline():
+    """A sweep that skips p=1 must not treat the first row as T1:
+    the baseline is extrapolated as p0*T_p0 (code-review regression)."""
+    rb = load_script("run_benchmark")
+    rows = [
+        (2, 1024, 1024, 200, 5.0, 0.025),
+        (4, 1024, 1024, 200, 3.0, 0.015),
+    ]
+    ann, p0 = rb.annotate_strong(rows)
+    assert p0 == 2
+    # baseline row: S = (2*5)/5 = 2, E = 1
+    assert ann[0][6] == pytest.approx(2.0)
+    assert ann[0][7] == pytest.approx(1.0)
+    # p=4: S = 10/3, E = 10/12
+    assert ann[1][6] == pytest.approx(10.0 / 3.0)
+    assert ann[1][7] == pytest.approx(10.0 / 12.0)
 
 
 def test_generate_ic_roundtrip(tmp_path):

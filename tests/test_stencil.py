@@ -114,3 +114,21 @@ def test_safe_dt_properties():
     assert safe_dt(1.0, 1.0, 1.0, 1.0, 0.0) == pytest.approx(0.5)
     assert safe_dt(1.0, 1.0, 0.0, 0.0, 1.0) == pytest.approx(0.25)
     assert safe_dt(0.5, 2.0, 0.0, 0.0, 1.0) == pytest.approx(1.0 / (2.0 * (1 / 0.25 + 1 / 4.0)))
+
+
+def test_combined_dt_limit():
+    """The combined advection+diffusion positivity bound: tighter than
+    safe_dt whenever BOTH physics are active, equal when only one is
+    (reference gap documented in docs/numerics.md §Stability)."""
+    from climate_sim_tpu.ops import combined_dt_limit
+
+    assert combined_dt_limit(1.0, 1.0, 0.0, 0.0, 0.0) == math.inf
+    # single-physics: matches safe_dt's active envelope
+    assert combined_dt_limit(1.0, 1.0, 2.0, 0.0, 0.0) == pytest.approx(0.5)
+    assert combined_dt_limit(1.0, 1.0, 0.0, 0.0, 1.0) == pytest.approx(0.25)
+    # both active: strictly tighter than either envelope alone
+    c = combined_dt_limit(1.0, 1.0, 0.0, 0.9, 0.15)
+    assert c == pytest.approx(1.0 / (0.9 + 0.6))
+    assert c < safe_dt(1.0, 1.0, 0.0, 0.9, 0.15)
+    # the documented divergent example sits in the gap
+    assert c < 1.0 < safe_dt(1.0, 1.0, 0.0, 0.9, 0.15) * 1.12

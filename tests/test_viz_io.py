@@ -82,3 +82,27 @@ def test_value_roundtrip_and_steps(tmp_path):
     meta = load_metadata(str(tmp_path))
     assert meta["description"] == "x"
     assert meta["grid"] == "5 x 3"
+
+
+def test_snapshot_reader_contracts(tmp_path):
+    """The one-open-handle frame source the animation exporter holds:
+    values match load_global, same error contracts, idempotent close."""
+    from visualization.io import SnapshotReader
+
+    frames = [np.arange(6.0).reshape(2, 3) * (i + 1) for i in range(3)]
+    make_snapshots(tmp_path, frames)
+    with SnapshotReader(str(tmp_path)) as r:
+        assert r.num_steps == 3
+        for i, f in enumerate(frames):
+            np.testing.assert_array_equal(r.frame(i), f)
+            np.testing.assert_array_equal(r.frame(i), load_global(str(tmp_path), i))
+        with pytest.raises(IndexError, match="out of range"):
+            r.frame(3)
+    r.close()  # idempotent after __exit__
+
+    empty = tmp_path / "empty_subdir"
+    empty.mkdir()
+    with pytest.raises(FileNotFoundError, match="No NetCDF file"):
+        SnapshotReader(str(empty))
+    with pytest.raises(KeyError, match="'v' not found"):
+        SnapshotReader(str(tmp_path), var="v")

@@ -74,12 +74,25 @@ def test_compare_zero_diff_vlim():
 def test_animate_monkeypatched_and_gif(tmp_path, monkeypatch):
     frames = {0: field(), 1: field(scale=0.5), 2: field(scale=0.1)}
     monkeypatch.setattr(plots, "list_available_steps", lambda d: [0, 1, 2])
-    monkeypatch.setattr(plots, "load_global", lambda d, s, var="u": frames[s])
+
+    class FakeReader:  # the one-open-handle frame source animate holds
+        def __init__(self, d, var="u"):
+            self.num_steps = len(frames)
+            self.closed = False
+
+        def frame(self, s):
+            return frames[s]
+
+        def close(self):
+            self.closed = True
+
+    monkeypatch.setattr(plots, "SnapshotReader", FakeReader)
     out = str(tmp_path / "anim.gif")
     anim, fig, ax = animate_from_outputs("fake", save=out, writer="pillow", fps=2)
     import os
 
     assert os.path.getsize(out) > 0
+    assert isinstance(anim._snapshot_reader, FakeReader)
 
 
 def test_animate_no_steps_raises(monkeypatch):

@@ -23,10 +23,12 @@ import numpy as np
 
 
 def _first_nc_path(base_outputs_dir: str) -> str:
-    """Return the first .nc file in the directory, or '' if none."""
+    """Return the alphabetically first .nc file in the directory, or '' if
+    none (sorted so multi-file directories resolve deterministically across
+    filesystems — os.listdir order is arbitrary)."""
     if not os.path.isdir(base_outputs_dir):
         raise FileNotFoundError(f"directory not found: {base_outputs_dir}")
-    for name in os.listdir(base_outputs_dir):
+    for name in sorted(os.listdir(base_outputs_dir)):
         if name.endswith(".nc"):
             return os.path.join(base_outputs_dir, name)
     return ""
@@ -95,3 +97,45 @@ def load_metadata(base_outputs_dir: str) -> Dict[str, str]:
         return {name: getattr(ds, name) for name in ds.ncattrs()}
     finally:
         ds.close()
+
+
+class SnapshotReader:
+    """One open snapshot file serving many frame reads.
+
+    ``load_global`` opens, header-parses and closes the file per call —
+    fine for one-shot reads, wasteful for a consumer touching hundreds of
+    frames (the animation exporter).  Same error contracts as the
+    one-shot functions: FileNotFoundError / KeyError / RuntimeError /
+    IndexError.
+    """
+
+    def __init__(self, base_outputs_dir: str, var: str = "u"):
+        nc_path = _first_nc_path(base_outputs_dir)
+        if not nc_path:
+            raise FileNotFoundError(f"No NetCDF file found in {base_outputs_dir}")
+        self._ds = _open_dataset(nc_path)
+        try:
+            if var not in self._ds.variables:
+                raise KeyError(f"Variable '{var}' not found in {nc_path}")
+            self.num_steps = _time_steps(self._ds, nc_path)
+        except Exception:
+            self._ds.close()
+            raise
+        self._var = self._ds.variables[var]
+        self._closed = False
+
+    def frame(self, step: int) -> np.ndarray:
+        if step < 0 or step >= self.num_steps:
+            raise IndexError(f"Step {step} out of range [0, {self.num_steps - 1}]")
+        return np.asarray(self._var[step, :, :], dtype=float)
+
+    def close(self) -> None:
+        if not self._closed:
+            self._closed = True
+            self._ds.close()
+
+    def __enter__(self) -> "SnapshotReader":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

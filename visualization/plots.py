@@ -23,7 +23,7 @@ import matplotlib.pyplot as plt
 import numpy as np
 from matplotlib.animation import FuncAnimation
 
-from .io import list_available_steps, load_global
+from .io import SnapshotReader, list_available_steps, load_global
 
 # Rendering conventions: index (0,0) at the lower-left (y up), square pixels.
 _PANEL_INCHES = 5.0
@@ -292,8 +292,10 @@ def animate_from_outputs(
     if not steps:
         raise RuntimeError(f"No steps found in {base_outputs_dir}")
 
-    def frame(step: int) -> np.ndarray:
-        return load_global(base_outputs_dir, step, var=var)
+    # One open handle for the animation's lifetime — per-frame load_global
+    # would re-list the directory and re-parse the file header every frame.
+    reader = SnapshotReader(base_outputs_dir, var=var)
+    frame = reader.frame
 
     first = frame(steps[0])
     last = frame(steps[-1])
@@ -330,6 +332,10 @@ def animate_from_outputs(
         blit=False,
         repeat=repeat,
     )
+    # The reader lives as long as the animation can still draw frames:
+    # keep a reference on the anim and close (idempotently) with the figure.
+    anim._snapshot_reader = reader
+    fig.canvas.mpl_connect("close_event", lambda _e: reader.close())
 
     if save:
         if writer is None:
