@@ -69,6 +69,14 @@ from ..config import BCConfig, BCType, SimConfig
 _VMEM_BUDGET_BYTES = 3 * 1024 * 1024
 
 _XPAD = 128  # x pad width in fused-DMA mode (minor-dim DMA alignment unit)
+# MXU-hybrid sub-step matmul precision (CLIMATE_SIM_MXU_PRECISION knob;
+# the By entries are O(1) and each output is a 3-term combination, so even
+# the cheapest pass keeps ~bf16-product accuracy per term).
+_MXU_PRECISION = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}[os.environ.get("CLIMATE_SIM_MXU_PRECISION", "highest").lower()]
 
 # Preferred x-block width (fused-DMA mode).  Narrower blocks measured faster
 # than monolithic rows on v5e (better VMEM locality): 4096-wide rows ran at
@@ -147,6 +155,7 @@ def _build_kernel_body(
     slab_mode: bool,
     compute_dtype,
     fullslab: bool = False,
+    mxu: bool = False,
 ):
     """The kernel function (closure over all static parameters).
 
@@ -423,6 +432,21 @@ def _build_kernel_body(
         # measured slower because it makes every read misaligned.
         view = a_scratch.at[slot]
         bufs = [view, b_scratch]
+        if mxu:
+            # Circulant-tridiagonal y-combination matrix: (By @ a)[r, w] =
+            # wym*a[r-1 mod R, w] + wc*a[r, w] + wyp*a[r+1 mod R, w] —
+            # exactly the wc/wym/wyp roll terms of the full-slab form,
+            # moved onto the MXU.  Built from iota (traced once; the
+            # unrolled sub-steps reuse it).
+            ri = jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
+            ci = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
+            dm = jax.lax.rem(ri - ci + jnp.int32(R), jnp.int32(R))
+            zero = jnp.zeros((R, R), compute_dtype)
+            By = jnp.where(dm == 0, compute_dtype.type(wc), zero)
+            if wym != 0.0:
+                By = By + jnp.where(dm == 1, compute_dtype.type(wym), zero)
+            if wyp != 0.0:
+                By = By + jnp.where(dm == R - 1, compute_dtype.type(wyp), zero)
         for t in range(k):
             src = bufs[t % 2]
             dst = bufs[(t + 1) % 2]
@@ -440,16 +464,21 @@ def _build_kernel_body(
                 # after k sub-steps the output rows [khalo, khalo+BY) and
                 # interior columns are untouched by it.
                 a = src[:, :]
-                new = wc * a
-                # pltpu.roll requires non-negative shifts: -1 == size-1.
+                if mxu:
+                    # y-combination (incl. the wc*a center term) on the MXU.
+                    new = jnp.dot(By, a, preferred_element_type=compute_dtype,
+                                  precision=_MXU_PRECISION)
+                else:
+                    new = wc * a
+                    # pltpu.roll requires non-negative shifts: -1 == size-1.
+                    if wym != 0.0:
+                        new += wym * pltpu.roll(a, 1, 0)
+                    if wyp != 0.0:
+                        new += wyp * pltpu.roll(a, R - 1, 0)
                 if wxm != 0.0:
                     new += wxm * pltpu.roll(a, 1, 1)
                 if wxp != 0.0:
                     new += wxp * pltpu.roll(a, W - 1, 1)
-                if wym != 0.0:
-                    new += wym * pltpu.roll(a, 1, 0)
-                if wyp != 0.0:
-                    new += wyp * pltpu.roll(a, R - 1, 0)
                 dst[:, :] = new
             else:
                 lo, hi = 1 + t, R - 1 - t
@@ -489,9 +518,10 @@ def _build_multistep_call(*args, **kwargs):
 def _substep_override(raw: Optional[str]) -> Optional[str]:
     if not raw:
         return None
-    if raw not in ("trapezoid", "fullslab"):
+    if raw not in ("trapezoid", "fullslab", "mxu"):
         raise ValueError(
-            f"CLIMATE_SIM_SUBSTEP={raw!r}: must be 'trapezoid' or 'fullslab'"
+            f"CLIMATE_SIM_SUBSTEP={raw!r}: must be 'trapezoid', 'fullslab'"
+            " or 'mxu'"
         )
     return raw
 
@@ -592,6 +622,12 @@ def _build_multistep_call_cached(
     # outweighs its ~2k/BY redundant border rows.  Opt out with
     # CLIMATE_SIM_SUBSTEP=trapezoid (perf-sweep A/B knob).
     fullslab = substep_override != "trapezoid" and Rbuf == R and not prepadded
+    # Experimental MXU-hybrid sub-step (opt-in, CLIMATE_SIM_SUBSTEP=mxu):
+    # the y-direction tridiagonal combination runs as an (R, R) circulant
+    # matmul on the MXU, leaving only the two x lane-rolls + FMAs on the
+    # VPU — trades VPU issue slots (the measured bound) for MXU work that
+    # can overlap.  Requires the full-slab form and active y physics.
+    mxu = substep_override == "mxu" and fullslab and not (vy == 0.0 and D == 0.0)
 
     kernel, n_dma = _build_kernel_body(
         k=k, khalo=khalo, R=R, Rbuf=Rbuf, W=W, BY=BY, BX=BX, nx=BX, nxg=nx,
@@ -601,7 +637,7 @@ def _build_multistep_call_cached(
         fix_left=fix_left, fix_right=fix_right,
         fix_bottom=fix_bottom, fix_top=fix_top,
         prepadded=prepadded, sharded=sharded, slab_mode=slab_mode,
-        compute_dtype=compute_dtype, fullslab=fullslab,
+        compute_dtype=compute_dtype, fullslab=fullslab, mxu=mxu,
     )
 
     in_rows = ny if (fused_dma or slab_mode) else ny + 2 * khalo + (Rbuf - R)

@@ -233,11 +233,13 @@ def test_seeded_fuzz_matches_oracle():
                             cfg.strict_reference_compat, err)
 
 
-@pytest.mark.parametrize("form", ["trapezoid", "fullslab"])
+@pytest.mark.parametrize("form", ["trapezoid", "fullslab", "mxu"])
 def test_substep_override_forms_match_oracle(form, monkeypatch):
-    """Both sub-step forms stay live behind CLIMATE_SIM_SUBSTEP and agree
+    """All sub-step forms stay live behind CLIMATE_SIM_SUBSTEP and agree
     with the oracle on the fused-DMA path (the A/B knob docs/performance.md
-    relies on)."""
+    relies on; 'mxu' is the measured-negative MXU-hybrid experiment —
+    interpret mode checks the circulant construction, hardware accuracy
+    is precision-dependent, see docs/performance.md)."""
     monkeypatch.setenv("CLIMATE_SIM_SUBSTEP", form)
     cfg = make_cfg(128, 64, MIX1)
     u = gaussian_hotspot(cfg, jnp.float32)
