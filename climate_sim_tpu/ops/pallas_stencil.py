@@ -564,6 +564,17 @@ def _build_multistep_call_cached(
     compute_dtype = jnp.dtype(dtype_name)
     if khalo < k:
         return None
+    if not interpret:
+        # Mosaic lowers only on TPU; an explicitly-requested Pallas kernel
+        # on any other backend runs in interpret mode (correct, slow) rather
+        # than crashing at trace time with a raw pallas ValueError — the
+        # CPU-parity mode every test uses (found by the driver-level fuzz).
+        try:
+            on_tpu = jax.devices()[0].platform == "tpu"
+        except Exception:
+            on_tpu = False
+        if not on_tpu:
+            interpret = True
     # Mosaic supports f32 vector arithmetic; f64 is unlowerable on TPU and
     # bf16 would need 16-sublane tiles.  Non-f32 dtypes take the jnp/XLA
     # fallback when compiling for hardware (interpret mode keeps them for

@@ -2,10 +2,13 @@
 """Per-shard throughput of the sharded kernel paths on ONE real chip.
 
 A 1x1 mesh engages the full sharded machinery (shard_map, SMEM edge flags,
-slab exchange / overlap band split) with self-ppermutes, so the kernel-side
-cost of each path is measurable without multi-chip hardware — the
-difference vs a real mesh is only ICI transfer time, which the overlap path
-exists to hide (see docs/performance.md).
+slab exchange / overlap band split), so the kernel-side cost of each path
+is measurable without multi-chip hardware — the difference vs a real mesh
+is only ICI transfer time, which the overlap path exists to hide (see
+docs/performance.md).  Size-1 mesh axes skip the degenerate self-ppermute
+entirely (parallel/halo._pshift), so these numbers are pure per-shard
+kernel+exchange-assembly cost; collective lowering is validated separately
+on the multi-device virtual mesh (tests/ + dryrun_multichip).
 
 Paths timed at --nx/--ny per shard (default 4096^2):
   single    — build_single_device_advance (no shard_map): the ceiling

@@ -424,3 +424,29 @@ def test_read_region_rejects_negative_extents(tmp_path):
                 h.read_region(0, -1, 0, 4)
             with pytest.raises(IndexError, match="outside field"):
                 h.read_region(0, 4, 1, -2)
+
+
+def test_explicit_pallas_kernel_on_cpu_runs_interpret(tmp_path):
+    """kernel=pallas_multistep on a non-TPU backend auto-selects interpret
+    mode (correct, slow) instead of crashing at trace time with a raw
+    pallas ValueError (found by the driver-level fuzz)."""
+    from climate_sim_tpu.config import merged_config
+    from climate_sim_tpu.runtime.driver import run_simulation
+
+    cfg = merged_config(None, [
+        "--nx=64", "--ny=48", "--D=0.2", "--vx=1.0", "--vy=0.5",
+        "--dx=0.5", "--dy=2.0", "--dt=0.2", "--steps=2", "--out_every=2",
+        "--kernel=pallas_multistep", "--bc.left=periodic",
+        "--bc.right=neumann", f"--output.dir={tmp_path}/o",
+    ])
+    cfg.mesh.enable = False
+    res = run_simulation(cfg)
+
+    import jax.numpy as jnp
+    from climate_sim_tpu.ops.init import gaussian_hotspot
+    from climate_sim_tpu.ops.step import reference_step
+
+    u = gaussian_hotspot(cfg, jnp.float32)
+    for _ in range(2):
+        u = reference_step(u, cfg, res.dt)
+    np.testing.assert_allclose(np.asarray(res.u), np.asarray(u), atol=1e-5)
