@@ -564,6 +564,19 @@ def _build_multistep_call_cached(
     compute_dtype = jnp.dtype(dtype_name)
     if khalo < k:
         return None
+    # Mosaic supports f32 vector arithmetic; f64 is unlowerable on TPU and
+    # bf16 would need 16-sublane tiles.  Non-f32 dtypes take the jnp/XLA
+    # fallback when compiling for hardware (interpret mode keeps them for
+    # CPU parity tests).  jax_enable_x64 also disqualifies hardware
+    # lowering: index normalization then emits i64 ref indices, which
+    # Mosaic rejects.  The flag is part of the lru_cache key (shim above),
+    # so toggling x64 between builds re-probes instead of serving stale
+    # results.  This guard checks the CALLER's requested mode, before any
+    # backend-driven interpret upgrade below: interpret=False means
+    # "hardware semantics" on every backend, so a bf16/x64 run falls back
+    # to XLA identically on CPU tests and real TPUs.
+    if not interpret and (compute_dtype != jnp.float32 or x64):
+        return None
     if not interpret:
         # Mosaic lowers only on TPU; an explicitly-requested Pallas kernel
         # on any other backend runs in interpret mode (correct, slow) rather
@@ -575,16 +588,6 @@ def _build_multistep_call_cached(
             on_tpu = False
         if not on_tpu:
             interpret = True
-    # Mosaic supports f32 vector arithmetic; f64 is unlowerable on TPU and
-    # bf16 would need 16-sublane tiles.  Non-f32 dtypes take the jnp/XLA
-    # fallback when compiling for hardware (interpret mode keeps them for
-    # CPU parity tests).  jax_enable_x64 also disqualifies hardware
-    # lowering: index normalization then emits i64 ref indices, which
-    # Mosaic rejects.  The flag is part of the lru_cache key (shim above),
-    # so toggling x64 between builds re-probes instead of serving stale
-    # results.
-    if not interpret and (compute_dtype != jnp.float32 or x64):
-        return None
     if fused_dma or slab_mode:
         xoff = _XPAD
         # 2D block grid: x-blocks of BX columns (largest 128-multiple
