@@ -20,6 +20,8 @@ import os, sys
 proc_id = int(sys.argv[1])
 port = sys.argv[2]
 out = sys.argv[3]
+nproc = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+ic_path = sys.argv[5] if len(sys.argv) > 5 else ""
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 import jax
 jax.config.update("jax_platforms", "cpu")
@@ -39,11 +41,14 @@ def _guarded_allgather(x, tiled=False):
     return _orig_allgather(x, tiled=tiled)
 _mhu.process_allgather = _guarded_allgather
 
-cfg = merged_config(None, [
+argv = [
     "--nx=128", "--ny=64", "--steps=8", "--out_every=4",
     "--kernel=jnp", "--output.dir=" + out,
-    "--distributed=127.0.0.1:" + port + ",2," + str(proc_id),
-])
+    "--distributed=127.0.0.1:" + port + "," + str(nproc) + "," + str(proc_id),
+]
+if ic_path:
+    argv += ["--ic.mode=file", "--ic.path=" + ic_path]
+cfg = merged_config(None, argv)
 res = run_simulation(cfg)
 print("MH_OK", proc_id, jax.process_count(), len(jax.devices()), flush=True)
 """.format(repo=REPO)
@@ -61,15 +66,20 @@ def free_port():
     return port
 
 
-def _spawn_pair(port, out):
+def _spawn_group(port, out, nproc=2, ic_path=""):
+    extra = [str(nproc)] + ([ic_path] if ic_path else [])
     procs = [
         subprocess.Popen(
-            [sys.executable, "-c", WORKER, str(i), port, out],
+            [sys.executable, "-c", WORKER, str(i), port, out, *extra],
             cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
-        for i in range(2)
+        for i in range(nproc)
     ]
     return procs, [p.communicate(timeout=300)[0] for p in procs]
+
+
+def _spawn_pair(port, out):
+    return _spawn_group(port, out, nproc=2)
 
 
 @pytest.mark.slow
@@ -113,3 +123,59 @@ def test_two_process_run_matches_single(tmp_path):
     mh_bytes = open(os.path.join(out, "snapshots.nc"), "rb").read()
     single_bytes = open(os.path.join(ref_out, "snapshots.nc"), "rb").read()
     assert mh_bytes == single_bytes
+
+
+@pytest.mark.slow
+def test_four_process_run_and_restart(tmp_path):
+    """The reference's standard test scale (mpirun -np 4,
+    tests/CMakeLists.txt:48-55): four coordinated controllers forming one
+    16-device mesh split in BOTH axes, so the hyperslab snapshot writes are
+    x-fragmented (non-contiguous per record) — a structurally different
+    write pattern than the 2-process y-split.  Then a second 4-process run
+    restarts from the written file (``ic.mode=file``), exercising
+    shard-local region reads under the same no-global-allgather guard."""
+    out = str(tmp_path / "mh4")
+    for attempt in range(2):  # retry once on a lost port race
+        procs, outs = _spawn_group(str(free_port()), out, nproc=4)
+        if all(p.returncode == 0 for p in procs) or attempt == 1:
+            break
+    for i, (p, o) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{o[-3000:]}"
+        assert f"MH_OK {i} 4 16" in o
+    assert "timing: total_max=" in outs[0]
+    for o in outs[1:]:
+        assert "timing: total_max=" not in o
+
+    from climate_sim_tpu.config import merged_config
+    from climate_sim_tpu.runtime.driver import run_simulation
+
+    ref_out = str(tmp_path / "single4")
+    cfg = merged_config(None, [
+        "--nx=128", "--ny=64", "--steps=8", "--out_every=4",
+        "--kernel=jnp", f"--output.dir={ref_out}",
+    ])
+    run_simulation(cfg)
+
+    snap = os.path.join(out, "snapshots.nc")
+    assert open(snap, "rb").read() == \
+        open(os.path.join(ref_out, "snapshots.nc"), "rb").read()
+
+    # Restart leg: 4 processes re-read the last record of the 4-written
+    # file as the IC (each touching only its shard's regions) and advance.
+    out2 = str(tmp_path / "mh4_restart")
+    for attempt in range(2):
+        procs2, outs2 = _spawn_group(str(free_port()), out2, nproc=4, ic_path=snap)
+        if all(p.returncode == 0 for p in procs2) or attempt == 1:
+            break
+    for i, (p, o) in enumerate(zip(procs2, outs2)):
+        assert p.returncode == 0, f"restart proc {i} failed:\n{o[-3000:]}"
+
+    ref_out2 = str(tmp_path / "single4_restart")
+    cfg2 = merged_config(None, [
+        "--nx=128", "--ny=64", "--steps=8", "--out_every=4",
+        "--kernel=jnp", f"--output.dir={ref_out2}",
+        "--ic.mode=file", f"--ic.path={snap}",
+    ])
+    run_simulation(cfg2)
+    assert open(os.path.join(out2, "snapshots.nc"), "rb").read() == \
+        open(os.path.join(ref_out2, "snapshots.nc"), "rb").read()
