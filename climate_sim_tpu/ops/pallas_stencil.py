@@ -342,14 +342,26 @@ def _build_kernel_body(
             return jnp.zeros((n,), compute_dtype)
         return mirror  # neumann
 
-    def apply_fixups(src, bx, by, flags):
+    def apply_fixups(src, bx, by, flags, t=0, sched_ref=None):
         """Re-apply physical-edge BCs at the ghost lines, writing into the
         ``src`` ref in place (the ``apply_boundary`` analogue, every step).
         Each side fires only on blocks at that edge of the (bx, by) grid
         AND, when ``flags`` (a (4,) int32 SMEM ref of physical-edge flags
         [left, right, bottom, top], sharded mode) is present, only on
         shards whose tile side is a physical boundary — interior blocks/
-        shards keep their neighbor-halo data."""
+        shards keep their neighbor-halo data.
+
+        A ``"sched"`` y-side (one-sided periodic; see _ghost_schedule)
+        re-supplies its ghost row from ``sched_ref[t]``: the opposite
+        edge's row evolved ``t`` steps, windowed to this block's columns
+        (schedule column p = global column p - _XPAD, so the window start
+        is exactly the block's main-column start, 128-aligned)."""
+        def sched_row():
+            if nbx == 1:
+                c0 = 0  # single x-block: static window
+            else:
+                c0 = pl.multiple_of(bx * jnp.int32(BX), 128)
+            return sched_ref[t, pl.ds(c0, W)]
         if fix_left is not None:
             col = _bc_line(fix_left, Rbuf, src[:, xoff])
             cond = (bx == 0) if nbx > 1 else True
@@ -368,7 +380,10 @@ def _build_kernel_body(
             src[:, xoff + nx] = col
         # y sides: only the first/last row-blocks touch a physical y edge.
         if fix_bottom is not None:
-            row = _bc_line(fix_bottom, W, src[khalo, :])
+            if fix_bottom == "sched":
+                row = sched_row()
+            else:
+                row = _bc_line(fix_bottom, W, src[khalo, :])
             cond = by == 0
             if flags is not None:
                 cond = jnp.logical_and(cond, flags[2] != 0)
@@ -376,7 +391,10 @@ def _build_kernel_body(
         if fix_top is not None:
             # Physical top edge sits at buffer row R-khalo for the LAST
             # row-block.
-            row = _bc_line(fix_top, W, src[R - khalo - 1, :])
+            if fix_top == "sched":
+                row = sched_row()
+            else:
+                row = _bc_line(fix_top, W, src[R - khalo - 1, :])
             cond = by == nby - 1
             if flags is not None:
                 cond = jnp.logical_and(cond, flags[3] != 0)
@@ -391,7 +409,12 @@ def _build_kernel_body(
                 def _(c=c):
                     getattr(c, action)()
 
+    sched_on = fix_bottom == "sched" or fix_top == "sched"
+
     def kernel(*refs):
+        sched_ref = None
+        if sched_on:
+            sched_ref, refs = refs[0], refs[1:]
         if slab_mode:
             flags_ref, tile_ref, xh_ref, yh_ref, out_ref, a_scratch, b_scratch, sems = refs
             in_refs = (tile_ref, xh_ref, yh_ref)
@@ -451,7 +474,7 @@ def _build_kernel_body(
             src = bufs[t % 2]
             dst = bufs[(t + 1) % 2]
             if not prepadded:
-                apply_fixups(src, bx, by, flags_ref)
+                apply_fixups(src, bx, by, flags_ref, t, sched_ref)
             if fullslab:
                 # Full-slab form: compute ALL (Rbuf, W) points every
                 # sub-step with circular rolls for the four neighbor
@@ -577,6 +600,13 @@ def _build_multistep_call_cached(
     # to XLA identically on CPU tests and real TPUs.
     if not interpret and (compute_dtype != jnp.float32 or x64):
         return None
+    # Scheduled ghost rows (one-sided-periodic y; see _ghost_schedule) are
+    # implemented only in the single-device fused-DMA layout: the schedule
+    # rides a small pipelined VMEM input, which the sharded/slab/assembled
+    # paths do not plumb.
+    sched_on = fix_bottom == "sched" or fix_top == "sched"
+    if sched_on and not (fused_dma and not sharded and not slab_mode and not prepadded):
+        return None
     if not interpret:
         # Mosaic lowers only on TPU; an explicitly-requested Pallas kernel
         # on any other backend runs in interpret mode (correct, slow) rather
@@ -663,6 +693,14 @@ def _build_multistep_call_cached(
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * n_any
     if sharded:
         in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
+    if sched_on:
+        # Ghost-row schedule: (k, nx + 2*_XPAD), whole-array VMEM block for
+        # every program (tiny: k=8 rows), pipelined by pallas itself.
+        in_specs = [
+            pl.BlockSpec(
+                (k, nx + 2 * _XPAD), lambda b: (0, 0), memory_space=pltpu.VMEM
+            )
+        ] + in_specs
     call = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
@@ -726,6 +764,64 @@ def assemble_padded(u: jnp.ndarray, bc: BCConfig, k: int, compat: bool) -> jnp.n
     return jnp.concatenate([bp, m, tp], axis=0)
 
 
+def _ghost_schedule(
+    u: jnp.ndarray, cfg: SimConfig, dt: float, k: int, side: str
+) -> jnp.ndarray:
+    """Per-sub-step ghost rows for a one-sided-periodic Y side.
+
+    With e.g. ``bottom=periodic top=dirichlet`` (the reference's dev.yaml
+    mix), the bottom ghost row must equal the TOP interior row after t
+    steps, for every sub-step t of a fused pass — evolution the kernel
+    cannot do in-slab (the wrap halo's in-buffer neighbor is the wrong
+    row; see :func:`one_sided_periodic`).  Instead, evolve the source edge
+    STRIP (k+1 rows — staleness from the strip's interior cut creeps one
+    row/step, so the edge row stays exact through t = k-1) outside the
+    kernel with the jnp oracle step, recording the padded edge row before
+    each step.  Cost: O(k^2 * nx) vs the pass's O(k * ny * nx) — <1% for
+    any production grid.
+
+    Returns (k, nx + 2*_XPAD): column p holds global column p - _XPAD of
+    the evolved row — wrap columns for two-sided-periodic x, the +-1
+    BC ghost value parked at the pad's inner edge otherwise (deeper pad
+    columns are never read: the in-kernel x fixups stop validity creep at
+    physical x edges).
+    """
+    from .boundary import pad_with_ghosts
+    from .stencil import fused_step
+
+    S = min(cfg.ny, k + 1)
+    if side == "bottom":
+        strip = u[-S:, :]
+        bc = BCConfig(cfg.bc.left, cfg.bc.right, BCType.NEUMANN, cfg.bc.top)
+        ridx = S  # padded row of global row ny-1
+    else:
+        strip = u[:S, :]
+        bc = BCConfig(cfg.bc.left, cfg.bc.right, cfg.bc.bottom, BCType.NEUMANN)
+        ridx = 1  # padded row of global row 0
+    rows = []
+    cur = strip
+    for t in range(k):
+        up = pad_with_ghosts(cur, bc, 0.0, False)
+        rows.append(up[ridx, :])
+        if t + 1 < k:
+            cur = fused_step(up, cfg.D, cfg.vx, cfg.vy, dt, cfg.dx, cfg.dy)
+    rows = jnp.stack(rows)            # (k, nx + 2) incl. +-1 ghosts
+    interior = rows[:, 1:-1]
+    wrap_x = (
+        not cfg.strict_reference_compat
+        and cfg.bc.left == BCType.PERIODIC
+        and cfg.bc.right == BCType.PERIODIC
+    )
+    if wrap_x:
+        left = interior[:, -_XPAD:]
+        right = interior[:, :_XPAD]
+    else:
+        z = jnp.zeros((k, _XPAD - 1), u.dtype)
+        left = jnp.concatenate([z, rows[:, :1]], axis=1)
+        right = jnp.concatenate([rows[:, -1:], z], axis=1)
+    return jnp.concatenate([left, interior, right], axis=1)
+
+
 def multistep_kernel_step(
     u: jnp.ndarray,
     cfg: SimConfig,
@@ -739,9 +835,9 @@ def multistep_kernel_step(
     (up to f32 re-association).  Returns None if no kernel layout fits
     (caller falls back to jnp).
     """
-    if k > 1 and one_sided_periodic(cfg):
-        # Multi-step fusion cannot honor one-sided-periodic semantics
-        # (see one_sided_periodic); advance with k single-step passes.
+    def stepwise():
+        # k single-step passes: each pass rebuilds the wrap ghosts from
+        # the just-updated opposite edge (the oracle's semantics).
         out = u
         for _ in range(k):
             nxt = multistep_kernel_step(out, cfg, dt, 1, interpret)
@@ -749,16 +845,28 @@ def multistep_kernel_step(
                 return None
             out = nxt
         return out
+
+    if k > 1 and one_sided_periodic_x(cfg):
+        # Multi-step fusion cannot honor one-sided-periodic-x semantics
+        # (ghost COLUMNS have no schedule path; see one_sided_periodic).
+        return stepwise()
+    osy = k > 1 and one_sided_periodic_y(cfg)
     ny, nx = u.shape
     compat = cfg.strict_reference_compat
     wrap_x = (
         not compat
         and (cfg.bc.left == BCType.PERIODIC or cfg.bc.right == BCType.PERIODIC)
     )
-    fixes = (
+    fixes = [
         _fixup_side(cfg.bc.left, compat), _fixup_side(cfg.bc.right, compat),
         _fixup_side(cfg.bc.bottom, compat), _fixup_side(cfg.bc.top, compat),
-    )
+    ]
+    side = None
+    if osy:
+        # The periodic side's ghost row is re-supplied per sub-step from a
+        # precomputed schedule of the opposite edge's evolution.
+        side = "bottom" if cfg.bc.bottom == BCType.PERIODIC else "top"
+        fixes[2 if side == "bottom" else 3] = "sched"
     rest = (
         float(dt), float(cfg.D), float(cfg.vx), float(cfg.vy),
         float(cfg.dx), float(cfg.dy), 0.0, *fixes, wrap_x,
@@ -769,7 +877,13 @@ def multistep_kernel_step(
         jnp.dtype(u.dtype).name, interpret,
     )
     if call is not None:
+        if side is not None:
+            return call(_ghost_schedule(u, cfg, dt, k, side), u)
         return call(u)
+    if osy:
+        # Scheduled ghosts exist only in the fused-DMA layout; grids it
+        # cannot fit fall back to exact single-step passes.
+        return stepwise()
     call = _build_multistep_call(
         ny, nx, k, k, *rest, False, False, False, False,
         jnp.dtype(u.dtype).name, interpret,
@@ -947,6 +1061,22 @@ def make_pallas_interior_step(
     return step
 
 
+def one_sided_periodic_x(cfg: SimConfig) -> bool:
+    """Exactly one of left/right periodic (wrap live, i.e. not compat)."""
+    if cfg.strict_reference_compat:
+        return False
+    P = BCType.PERIODIC
+    return (cfg.bc.left == P) != (cfg.bc.right == P)
+
+
+def one_sided_periodic_y(cfg: SimConfig) -> bool:
+    """Exactly one of bottom/top periodic (wrap live, i.e. not compat)."""
+    if cfg.strict_reference_compat:
+        return False
+    P = BCType.PERIODIC
+    return (cfg.bc.bottom == P) != (cfg.bc.top == P)
+
+
 def one_sided_periodic(cfg: SimConfig) -> bool:
     """True when exactly one side of an axis is periodic (and wrap is live,
     i.e. not reference-compat) — e.g. the reference's own dev.yaml mixes
@@ -954,22 +1084,23 @@ def one_sided_periodic(cfg: SimConfig) -> bool:
 
     The oracle's convention (ops/boundary.py::_ghost_line) re-pins the wrap
     ghost from the opposite edge's CURRENT line every step.  A multi-step
-    kernel pass cannot honor that: the wrapped halo copies evolve in-slab
-    as if the axis were a full torus, missing the other edge's BC, and the
-    contamination reaches the periodic-edge output rows from the second
-    sub-step on.  Both-sides-periodic (a true torus axis) and compat mode
-    (periodic == stale zeros, re-suppliable per sub-step) fuse fine.
+    kernel pass cannot honor that with wrap DATA in the pads: the wrapped
+    halo copies evolve in-slab as if the axis were a full torus, missing the
+    other edge's BC, and the contamination reaches the periodic-edge output
+    rows from the second sub-step on.  Both-sides-periodic (a true torus
+    axis) and compat mode (periodic == stale zeros, re-suppliable per
+    sub-step) fuse fine.
+
+    For the Y axis the single-device fused-DMA path lifts this cap with a
+    **ghost-row schedule** (see :func:`_ghost_schedule`): the periodic side
+    is treated like a physical edge whose ghost row at sub-step t is the
+    opposite edge's row evolved t steps, precomputed outside the kernel.
+    The sharded paths and the X axis keep the k=1 cap.
     """
-    if cfg.strict_reference_compat:
-        return False
-    bc = cfg.bc
-    P = BCType.PERIODIC
-    return ((bc.left == P) != (bc.right == P)) or (
-        (bc.bottom == P) != (bc.top == P)
-    )
+    return one_sided_periodic_x(cfg) or one_sided_periodic_y(cfg)
 
 
-def pick_steps_per_pass(cfg: SimConfig, chunk: int) -> int:
+def pick_steps_per_pass(cfg: SimConfig, chunk: int, y_sched: bool = False) -> int:
     """Choose k (steps fused per HBM pass) for a ``chunk``-step program.
 
     Larger k amortizes HBM traffic but grows the halo (2k rows of redundant
@@ -977,8 +1108,12 @@ def pick_steps_per_pass(cfg: SimConfig, chunk: int) -> int:
     One-sided-periodic configs are capped at k=1 (see
     :func:`one_sided_periodic`) — each pass then rebuilds the wrap ghosts
     from the just-updated opposite edge, which is the oracle's semantics.
+    ``y_sched=True`` (the single-device fused-DMA caller) lifts the cap for
+    one-sided-periodic-in-y configs, which that path handles with a
+    per-sub-step ghost-row schedule; if no fused layout fits the grid,
+    :func:`multistep_kernel_step` falls back to k=1 passes by itself.
     """
-    if one_sided_periodic(cfg):
+    if one_sided_periodic_x(cfg) or (one_sided_periodic_y(cfg) and not y_sched):
         return 1
     k = min(8, chunk, max(1, cfg.nx // 32), max(1, cfg.ny // 32))
     return max(1, k)
@@ -1002,7 +1137,7 @@ def build_multistep_advance(
 
     @functools.lru_cache(maxsize=None)
     def advance(chunk: int):
-        k = pick_steps_per_pass(cfg, chunk)
+        k = pick_steps_per_pass(cfg, chunk, y_sched=True)
 
         def body(u):
             n = 0

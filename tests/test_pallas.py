@@ -270,10 +270,11 @@ ONE_SIDED = [
 def test_one_sided_periodic_matches_oracle(bcs, axis):
     """Exactly one side of an axis periodic (the reference's own dev.yaml
     mixes bottom=periodic top=dirichlet): the wrap ghost must track the
-    opposite edge's CURRENT line every step, which multi-step fusion cannot
-    do — the dispatcher must cap passes at one step and stay exact.
-    (Regression: k=8 fusion contaminated the periodic-edge rows/cols at
-    ~1e-3 for hotspots near the edge.)"""
+    opposite edge's CURRENT line every step.  One-sided-x caps passes at
+    one step; one-sided-y takes the fused ghost-row-schedule path at full
+    k — both must stay oracle-exact.  (Regression: naive k=8 fusion
+    contaminated the periodic-edge rows/cols at ~1e-3 for hotspots near
+    the edge.)"""
     cfg = make_cfg(128, 64, bcs, vx=1.0, vy=0.5)
     u = gaussian_hotspot(cfg, jnp.float32)
     # park mass against the periodic edge so contamination is visible
@@ -284,15 +285,63 @@ def test_one_sided_periodic_matches_oracle(bcs, axis):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+def test_one_sided_periodic_y_schedule_fuses_k8():
+    """One-sided-periodic-y configs fuse at full k via the ghost-row
+    schedule (2.65x measured on hardware vs the old k=1 cap,
+    docs/performance.md).  Covers both orientations, the x-blocked grid
+    (nbx > 1: dynamic schedule windows), a remainder pass, and x-wrap
+    corners; mass parked against the periodic edge."""
+    from climate_sim_tpu.ops.pallas_stencil import build_multistep_advance
+
+    cases = [
+        # (nx, ny, bcs): full-width blocks, both orientations
+        (256, 256, (BCType.DIRICHLET, BCType.DIRICHLET, BCType.PERIODIC, BCType.NEUMANN)),
+        (256, 256, (BCType.DIRICHLET, BCType.DIRICHLET, BCType.NEUMANN, BCType.PERIODIC)),
+        # x both-periodic (wrap corners in the schedule) + x-blocked grid
+        (4096, 64, (BCType.PERIODIC, BCType.PERIODIC, BCType.DIRICHLET, BCType.PERIODIC)),
+    ]
+    for nx, ny, bcs in cases:
+        cfg = make_cfg(nx, ny, bcs, vx=0.3, vy=-0.5)
+        u = gaussian_hotspot(cfg, jnp.float32)
+        u = u + 0.5 * jnp.roll(u, ny // 2 - 2, axis=0)
+        ref = oracle(u, cfg, 19)
+        adv = build_multistep_advance(cfg, cfg.dt, interpret=True)
+        out = adv(19)(u)  # 2 x k=8 passes + a kk=3 remainder
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=5e-5,
+            err_msg=f"{nx}x{ny} {bcs}",
+        )
+
+
+def test_one_sided_periodic_y_odd_grid_falls_back_stepwise():
+    """Grids the fused-DMA layout cannot fit (nx not a 128-multiple) fall
+    back to exact single-step passes for one-sided-y configs."""
+    bcs = (BCType.DIRICHLET, BCType.NEUMANN, BCType.PERIODIC, BCType.DIRICHLET)
+    cfg = make_cfg(120, 48, bcs, vx=0.3, vy=-0.5)
+    u = gaussian_hotspot(cfg, jnp.float32)
+    ref = oracle(u, cfg, 8)
+    out = multistep_kernel_step(u, cfg, cfg.dt, 8, interpret=True)
+    assert out is not None
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
+
+
 def test_one_sided_periodic_caps_pass_size():
     from climate_sim_tpu.ops.pallas_stencil import (
         one_sided_periodic,
+        one_sided_periodic_x,
+        one_sided_periodic_y,
         pick_steps_per_pass,
     )
 
-    cfg = make_cfg(128, 64, ONE_SIDED[0][0])
-    assert one_sided_periodic(cfg)
+    cfg = make_cfg(128, 64, ONE_SIDED[0][0])  # one-sided in x
+    assert one_sided_periodic(cfg) and one_sided_periodic_x(cfg)
     assert pick_steps_per_pass(cfg, 100) == 1
+    assert pick_steps_per_pass(cfg, 100, y_sched=True) == 1  # x has no schedule
+    # one-sided in y: capped by default (sharded paths), fused with y_sched
+    cfgy = make_cfg(256, 256, ONE_SIDED[2][0])
+    assert one_sided_periodic_y(cfgy) and not one_sided_periodic_x(cfgy)
+    assert pick_steps_per_pass(cfgy, 100) == 1
+    assert pick_steps_per_pass(cfgy, 100, y_sched=True) == 8
     # both-sides-periodic and compat mixes fuse normally
     cfg2 = make_cfg(256, 256, P4)
     assert not one_sided_periodic(cfg2)
