@@ -600,12 +600,12 @@ def _build_multistep_call_cached(
     # to XLA identically on CPU tests and real TPUs.
     if not interpret and (compute_dtype != jnp.float32 or x64):
         return None
-    # Scheduled ghost rows (one-sided-periodic y; see _ghost_schedule) are
-    # implemented only in the single-device fused-DMA layout: the schedule
-    # rides a small pipelined VMEM input, which the sharded/slab/assembled
-    # paths do not plumb.
+    # Scheduled ghost rows (one-sided-periodic y; see _ghost_schedule /
+    # slab_ghost_schedule) ride a small pipelined VMEM input.  Implemented
+    # in the single-device fused-DMA layout and the sharded slab layout;
+    # the assembled and pre-padded paths do not plumb it.
     sched_on = fix_bottom == "sched" or fix_top == "sched"
-    if sched_on and not (fused_dma and not sharded and not slab_mode and not prepadded):
+    if sched_on and not (slab_mode or (fused_dma and not sharded)):
         return None
     if not interpret:
         # Mosaic lowers only on TPU; an explicitly-requested Pallas kernel
@@ -987,6 +987,98 @@ def tile_region_multistep(
     return call(padded)
 
 
+def slab_ghost_schedule(
+    yhalo: jnp.ndarray,
+    edge_flags: jnp.ndarray,
+    cfg: SimConfig,
+    dt: float,
+    k: int,
+    khalo: int,
+    side: str,
+) -> jnp.ndarray:
+    """Sharded ghost-row schedule from the exchanged y slab (shard-local).
+
+    For one-sided-periodic-y meshes the cyclic y ppermute already delivers
+    the OPPOSITE edge's khalo-row strip (with diagonal x context) to the
+    periodic-edge shards — exactly the evolution source the ghost schedule
+    needs (see :func:`_ghost_schedule`).  Evolve it k steps here with the
+    kernel's own 5-FMA weights, re-pinning the strip's physical ghosts per
+    step (the far y side with the REAL opposite BC, the x edges gated on
+    ``edge_flags``), recording the edge row before each step.
+
+    Runs inside shard_map on every shard; the result is only meaningful on
+    shards whose ``side`` is the physical edge — elsewhere the kernel's
+    flag gating ignores it.  Staleness creeps one row/column per step from
+    the strip's cut edge and the zero-padded slab columns: khalo >= k rows
+    and 128-wide pads keep the recorded rows exact through t = k-1.
+
+    Returns (k, mx + 2*_XPAD), same column convention as the slab.
+    """
+    W = yhalo.shape[1]
+    mx = W - 2 * _XPAD
+    strip = yhalo[:khalo] if side == "bottom" else yhalo[khalo:]
+    ax = dt * cfg.D / (cfg.dx * cfg.dx)
+    ay = dt * cfg.D / (cfg.dy * cfg.dy)
+    cx = dt * cfg.vx / cfg.dx
+    cy = dt * cfg.vy / cfg.dy
+    wc = 1.0 - 2.0 * ax - 2.0 * ay - abs(cx) - abs(cy)
+    wxm = ax + (cx if cfg.vx >= 0.0 else 0.0)
+    wxp = ax + (-cx if cfg.vx < 0.0 else 0.0)
+    wym = ay + (cy if cfg.vy >= 0.0 else 0.0)
+    wyp = ay + (-cy if cfg.vy < 0.0 else 0.0)
+    dtype = yhalo.dtype
+
+    def bc_line(kind, mirror):
+        if kind == "dirichlet":
+            return jnp.zeros_like(mirror)  # bc_value is 0.0 throughout
+        if kind == "zero":
+            return jnp.zeros_like(mirror)
+        return mirror  # neumann
+
+    fix_l = _fixup_side(cfg.bc.left, False)
+    fix_r = _fixup_side(cfg.bc.right, False)
+    far_kind = _fixup_side(
+        cfg.bc.top if side == "bottom" else cfg.bc.bottom, False
+    )
+
+    def x_fix(a):
+        # physical x edges re-pinned per step (flag-gated, like the kernel)
+        if fix_l is not None:
+            col = bc_line(fix_l, a[:, _XPAD])
+            a = a.at[:, _XPAD - 1].set(
+                jnp.where(edge_flags[0] != 0, col, a[:, _XPAD - 1])
+            )
+        if fix_r is not None:
+            col = bc_line(fix_r, a[:, _XPAD + mx - 1])
+            a = a.at[:, _XPAD + mx].set(
+                jnp.where(edge_flags[1] != 0, col, a[:, _XPAD + mx])
+            )
+        return a
+
+    rows = []
+    cur = strip
+    zrow = jnp.zeros((1, W), dtype)
+    for t in range(k):
+        cur = x_fix(cur)
+        if side == "bottom":
+            edge = cur[-1]
+            far = bc_line(far_kind, edge) if far_kind is not None else edge
+            padded = jnp.concatenate([zrow, cur, far[None, :]], axis=0)
+        else:
+            edge = cur[0]
+            far = bc_line(far_kind, edge) if far_kind is not None else edge
+            padded = jnp.concatenate([far[None, :], cur, zrow], axis=0)
+        rows.append(edge)
+        if t + 1 < k:
+            c = padded[1:-1]
+            ym = padded[:-2]
+            yp = padded[2:]
+            xm = jnp.roll(c, 1, axis=1)
+            xp = jnp.roll(c, -1, axis=1)
+            cur = wc * c + wym * ym + wyp * yp + wxm * xm + wxp * xp
+    return jnp.stack(rows)
+
+
 def sharded_tile_slab_multistep(
     tile,
     xhalo,
@@ -999,32 +1091,50 @@ def sharded_tile_slab_multistep(
     probe: bool = False,
     probe_shape=None,
     probe_dtype: str = "float32",
+    sched=None,
 ):
     """Sharded-tile FAST path: advance one shard's (my, mx) tile k steps
     straight from the tile + compact halo slabs (no padded-tile
     materialization; see parallel/halo.py::exchange_halos_slabs for the slab
     layout).  ``probe=True`` (with ``probe_shape=(my, mx)``) reports layout
     availability.  Returns the updated interior, or None if no layout.
+
+    One-sided-periodic-y configs fuse at full k here too: pass ``sched``
+    (from :func:`slab_ghost_schedule`) and the periodic side's ghost row is
+    re-supplied per sub-step, flag-gated to physical-edge shards.
+    One-sided-x keeps the k=1 cap.
     """
-    if k > 1 and one_sided_periodic(cfg):
-        # No multi-step layout for one-sided-periodic semantics (see
+    if k > 1 and one_sided_periodic_x(cfg):
+        # No multi-step layout for one-sided-periodic-x semantics (see
         # one_sided_periodic); callers use k=1 passes instead.
         return None
     my, mx = probe_shape if probe else tile.shape
     compat = cfg.strict_reference_compat
+    fixes = [
+        _fixup_side(cfg.bc.left, compat), _fixup_side(cfg.bc.right, compat),
+        _fixup_side(cfg.bc.bottom, compat), _fixup_side(cfg.bc.top, compat),
+    ]
+    side = None
+    if k > 1 and one_sided_periodic_y(cfg):
+        side = "bottom" if cfg.bc.bottom == BCType.PERIODIC else "top"
+        fixes[2 if side == "bottom" else 3] = "sched"
     # khalo is k rounded up to a sublane tile: remainder passes (k < 8)
     # exchange 8-wide slabs and simply use fewer sub-steps.
     khalo8 = -(-k // 8) * 8
     call = _build_multistep_call(
         my, mx, k, khalo8, float(dt), float(cfg.D), float(cfg.vx), float(cfg.vy),
-        float(cfg.dx), float(cfg.dy), 0.0,
-        _fixup_side(cfg.bc.left, compat), _fixup_side(cfg.bc.right, compat),
-        _fixup_side(cfg.bc.bottom, compat), _fixup_side(cfg.bc.top, compat),
+        float(cfg.dx), float(cfg.dy), 0.0, *fixes,
         False, False, False, True, True,
         probe_dtype if probe else jnp.dtype(tile.dtype).name, interpret,
     )
     if probe or call is None:
         return call
+    if side is not None:
+        if sched is None:
+            sched = slab_ghost_schedule(
+                yhalo, edge_flags, cfg, dt, k, khalo8, side
+            )
+        return call(sched, edge_flags.astype(jnp.int32), tile, xhalo, yhalo)
     return call(edge_flags.astype(jnp.int32), tile, xhalo, yhalo)
 
 

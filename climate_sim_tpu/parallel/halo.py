@@ -223,22 +223,32 @@ def build_sharded_multistep_advance(
     spec = PartitionSpec("y", "x")
 
     tile_cfg = dataclasses.replace(cfg, nx=mx, ny=my)
-    k = pick_steps_per_pass(tile_cfg, cfg.out_every or 8)
+    # y_sched: the slab path fuses one-sided-periodic-y configs at full k
+    # via the shard-local ghost-row schedule (slab_ghost_schedule).
+    k = pick_steps_per_pass(tile_cfg, cfg.out_every or 8, y_sched=True)
     # Static layout probes for every pass size that can occur (k and the
     # chunk remainders) — all shapes are static, so this decides up front.
     # Prefer the slab-input fast path (tile + compact halo slabs, no padded
     # -tile materialization); fall back to the assembled-tile kernel.
-    passes = range(1, k + 1)
-    use_slabs = all(
-        sharded_tile_slab_multistep(
-            None, None, None, None, cfg, dt, kk, interpret,
-            probe=True, probe_shape=(my, mx), probe_dtype=dtype_name,
-        ) is not None
-        for kk in passes
-    )
+    def slabs_fit(kmax):
+        return all(
+            sharded_tile_slab_multistep(
+                None, None, None, None, cfg, dt, kk, interpret,
+                probe=True, probe_shape=(my, mx), probe_dtype=dtype_name,
+            ) is not None
+            for kk in range(1, kmax + 1)
+        )
+
+    use_slabs = slabs_fit(k)
+    k_capped = pick_steps_per_pass(tile_cfg, cfg.out_every or 8)
+    if not use_slabs and k != k_capped:
+        # The slab layout (the only sched-capable sharded path) does not
+        # fit this tile: drop to the capped pass size for the fallbacks.
+        k = k_capped
+        use_slabs = slabs_fit(k)
     if not use_slabs and not all(
         sharded_layout_available(cfg, dt, kk, mx, my, interpret, dtype_name)
-        for kk in passes
+        for kk in range(1, k + 1)
     ):
         return None
 

@@ -238,15 +238,13 @@ def test_exchange_halos_slabs_layout():
 
 
 def test_sharded_one_sided_periodic_matches_oracle():
-    """One side of an axis periodic (the reference dev.yaml's BC mix):
-    the sharded dispatcher must drop to one-step passes (the k-slab
-    fusion cannot track the opposite edge's current wrap line) and stay
-    exact, with extra mass parked against the periodic edge."""
-    from climate_sim_tpu.ops.pallas_stencil import pick_steps_per_pass
-
+    """One side of the y axis periodic (the reference dev.yaml's BC mix)
+    on tiles too narrow for the slab layout (64 wide): the dispatcher
+    drops to capped one-step assembled passes and stays exact, with extra
+    mass parked against the periodic edge.  (Slab-layout tiles fuse at
+    full k instead — test_sharded_one_sided_y_schedule.)"""
     bcs = (BCType.DIRICHLET, BCType.NEUMANN, BCType.PERIODIC, BCType.DIRICHLET)
     cfg = make_cfg(256, 128, bcs)
-    assert pick_steps_per_pass(cfg, 16) == 1
     mesh = make_mesh(4, 2)
     u = gaussian_hotspot(cfg, jnp.float32)
     u = u + 0.5 * jnp.roll(u, u.shape[0] // 2 - 2, axis=0)
@@ -254,5 +252,29 @@ def test_sharded_one_sided_periodic_matches_oracle():
     us = jax.device_put(u, field_sharding(mesh))
     adv = build_sharded_multistep_advance(cfg, mesh, cfg.dt, interpret=True)
     assert adv is not None
+    assert not adv.uses_slabs  # 64-wide tiles: assembled k=1 fallback
     out = adv(16)(us)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
+
+
+@pytest.mark.parametrize("mesh_shape,bcs", [
+    ((2, 4), (BCType.DIRICHLET, BCType.NEUMANN, BCType.PERIODIC, BCType.DIRICHLET)),
+    ((4, 2), (BCType.DIRICHLET, BCType.DIRICHLET, BCType.NEUMANN, BCType.PERIODIC)),
+    ((1, 8), (BCType.PERIODIC, BCType.PERIODIC, BCType.PERIODIC, BCType.DIRICHLET)),
+    ((8, 1), (BCType.DIRICHLET, BCType.NEUMANN, BCType.PERIODIC, BCType.NEUMANN)),
+])
+def test_sharded_one_sided_y_schedule(mesh_shape, bcs):
+    """Sharded ghost-row schedule across mesh shapes: both orientations,
+    x-wrap corners, a py=1 self-wrap axis, and an 8-wide x split; 19 steps
+    include k=8 passes plus a kk=3 remainder."""
+    px, py = mesh_shape
+    mx, my = 128, 64
+    cfg = make_cfg(mx * px, my * py, bcs)
+    u = gaussian_hotspot(cfg, jnp.float32)
+    u = u + 0.5 * jnp.roll(u, cfg.ny // 2 - 2, axis=0)
+    ref = oracle(u, cfg, 19)
+    mesh = make_mesh(px, py)
+    adv = build_sharded_multistep_advance(cfg, mesh, cfg.dt, interpret=True)
+    assert adv is not None and adv.uses_slabs
+    out = adv(19)(jax.device_put(u, field_sharding(mesh)))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
