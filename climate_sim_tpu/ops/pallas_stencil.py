@@ -1229,15 +1229,70 @@ def pick_steps_per_pass(cfg: SimConfig, chunk: int, y_sched: bool = False) -> in
     return max(1, k)
 
 
+def transposed_config(cfg: SimConfig) -> SimConfig:
+    """The same physics on the transposed (x, y) array: swap grid extents,
+    spacings, velocities, and BC sides (left/right <-> bottom/top).  The
+    stencil is symmetric under the swap, so advancing the transposed field
+    with the transposed config and transposing back is exact."""
+    import dataclasses
+
+    out = dataclasses.replace(
+        cfg, nx=cfg.ny, ny=cfg.nx, dx=cfg.dy, dy=cfg.dx, vx=cfg.vy, vy=cfg.vx
+    )
+    out.bc = BCConfig(
+        left=cfg.bc.bottom, right=cfg.bc.top,
+        bottom=cfg.bc.left, top=cfg.bc.right,
+    )
+    return out
+
+
 def build_multistep_advance(
     cfg: SimConfig, dt: float, interpret: bool = False
 ) -> Callable[[int], Callable]:
     """``advance(chunk)`` -> jitted fn advancing the global field ``chunk``
-    steps via multi-step kernel passes (single-device / GSPMD path)."""
+    steps via multi-step kernel passes (single-device / GSPMD path).
+
+    One-sided-periodic-**x** configs (no ghost-COLUMN schedule exists) are
+    advanced on the TRANSPOSED field when the transposed grid fits the
+    fused ghost-row-schedule layout: two transposes per chunk (~2/chunk
+    extra HBM passes, <2% at the driver's chunk sizes) buy the full k=8
+    fusion of the y-schedule path instead of the k=1 cap.
+    """
     from .boundary import pad_with_ghosts
     from .stencil import fused_step
 
     compat = cfg.strict_reference_compat
+
+    if one_sided_periodic_x(cfg) and not one_sided_periodic_y(cfg):
+        tcfg = transposed_config(cfg)
+        # Only worth it when the transposed grid actually takes the fused
+        # scheduled layout (probe one k=8 build); otherwise the transposes
+        # buy nothing over the untransposed k=1 passes.
+        tfix = [
+            _fixup_side(tcfg.bc.left, compat), _fixup_side(tcfg.bc.right, compat),
+            "sched" if tcfg.bc.bottom == BCType.PERIODIC else _fixup_side(tcfg.bc.bottom, compat),
+            "sched" if tcfg.bc.top == BCType.PERIODIC else _fixup_side(tcfg.bc.top, compat),
+        ]
+        twrap = tcfg.bc.left == BCType.PERIODIC or tcfg.bc.right == BCType.PERIODIC
+        probe = _build_multistep_call(
+            tcfg.ny, tcfg.nx, 8, 8,
+            float(dt), float(cfg.D), float(tcfg.vx), float(tcfg.vy),
+            float(tcfg.dx), float(tcfg.dy), 0.0, *tfix, twrap,
+            True, False, False, False, "float32", interpret,
+        )
+        if probe is not None:
+            t_advance = build_multistep_advance(tcfg, dt, interpret)
+
+            @functools.lru_cache(maxsize=None)
+            def advance_t(chunk: int):
+                inner = t_advance(chunk)
+
+                def body(u):
+                    return jnp.transpose(inner(jnp.transpose(u)))
+
+                return jax.jit(body)
+
+            return advance_t
 
     def jnp_step(u):
         return fused_step(

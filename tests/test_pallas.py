@@ -313,6 +313,46 @@ def test_one_sided_periodic_y_schedule_fuses_k8():
         )
 
 
+def test_one_sided_periodic_x_transposes_onto_schedule():
+    """One-sided-periodic-x has no ghost-COLUMN schedule; the advance
+    instead runs the y-schedule machinery on the TRANSPOSED field (two
+    transposes per chunk; 2.5x measured on hardware vs the k=1 cap).
+    Orientations, y-wrap corners, and a remainder pass; mass parked at
+    the periodic x edge."""
+    from climate_sim_tpu.ops.pallas_stencil import build_multistep_advance
+
+    for bcs in [
+        (BCType.PERIODIC, BCType.NEUMANN, BCType.DIRICHLET, BCType.DIRICHLET),
+        (BCType.NEUMANN, BCType.PERIODIC, BCType.DIRICHLET, BCType.DIRICHLET),
+        (BCType.DIRICHLET, BCType.PERIODIC, BCType.PERIODIC, BCType.PERIODIC),
+    ]:
+        cfg = make_cfg(256, 384, bcs, vx=-0.7, vy=0.9)
+        u = gaussian_hotspot(cfg, jnp.float32)
+        u = u + 0.5 * jnp.roll(u, cfg.nx // 2 - 2, axis=1)
+        ref = oracle(u, cfg, 19)
+        adv = build_multistep_advance(cfg, cfg.dt, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(adv(19)(u)), np.asarray(ref), atol=5e-5,
+            err_msg=str(bcs),
+        )
+
+
+def test_transposed_config_round_trip():
+    from climate_sim_tpu.ops.pallas_stencil import transposed_config
+
+    cfg = make_cfg(128, 64, MIX1, vx=1.0, vy=0.5)
+    cfg.dx, cfg.dy = 0.5, 2.0
+    t = transposed_config(cfg)
+    assert (t.nx, t.ny, t.dx, t.dy, t.vx, t.vy) == (64, 128, 2.0, 0.5, 0.5, 1.0)
+    assert (t.bc.left, t.bc.right, t.bc.bottom, t.bc.top) == (
+        cfg.bc.bottom, cfg.bc.top, cfg.bc.left, cfg.bc.right,
+    )
+    tt = transposed_config(t)
+    assert (tt.nx, tt.ny, tt.dx, tt.dy, tt.vx, tt.vy, tt.bc) == (
+        cfg.nx, cfg.ny, cfg.dx, cfg.dy, cfg.vx, cfg.vy, cfg.bc,
+    )
+
+
 def test_one_sided_periodic_y_odd_grid_falls_back_stepwise():
     """Grids the fused-DMA layout cannot fit (nx not a 128-multiple) fall
     back to exact single-step passes for one-sided-y configs."""
