@@ -102,6 +102,33 @@ def _pick_block_rows(n_rows: int, row_bytes: int, halo: int) -> Optional[int]:
     return None
 
 
+def _stencil_weights(dt, D, vx, vy, dx, dy):
+    """The unsplit Euler update collapsed to a 5-point weighted stencil:
+    u' = wc*c + wxm*xm + wxp*xp + wym*ym + wyp*yp (upwind signs resolved
+    statically).  Single source of truth for the kernel and the ghost-row
+    schedule evolutions."""
+    ax = dt * D / (dx * dx)
+    ay = dt * D / (dy * dy)
+    cx = dt * vx / dx
+    cy = dt * vy / dy
+    wc = 1.0 - 2.0 * ax - 2.0 * ay - abs(cx) - abs(cy)
+    wxm = ax + (cx if vx >= 0.0 else 0.0)
+    wxp = ax + (-cx if vx < 0.0 else 0.0)
+    wym = ay + (cy if vy >= 0.0 else 0.0)
+    wyp = ay + (-cy if vy < 0.0 else 0.0)
+    return wc, wxm, wxp, wym, wyp
+
+
+def _bc_ghost_line(kind: str, mirror, value: float = 0.0):
+    """Ghost-line value for a physical side: Dirichlet fill / compat zero /
+    Neumann mirror.  ``mirror`` is the adjacent interior line."""
+    if kind == "dirichlet":
+        return jnp.full_like(mirror, value)
+    if kind == "zero":
+        return jnp.zeros_like(mirror)
+    return mirror  # neumann
+
+
 def _fixup_side(bc: BCType, compat: bool) -> Optional[str]:
     """What the per-sub-step in-kernel BC fixup must do for a physical side.
 
@@ -171,19 +198,11 @@ def _build_kernel_body(
     """
     # The unsplit Euler update is LINEAR in u with config-constant
     # coefficients, so fold diffusion + upwind advection into one 5-point
-    # weighted stencil: u' = wc*c + wxm*xm + wxp*xp + wym*ym + wyp*yp.
-    # (5 FMAs/point on the VPU vs ~17 ops for the naive form — the kernel is
-    # VPU-bound once the multi-step scheme has amortized HBM traffic.)
-    # Upwind signs (advection.cpp:16-27) are resolved at trace time.
-    ax = dt * D / (dx * dx)
-    ay = dt * D / (dy * dy)
-    cx = dt * vx / dx
-    cy = dt * vy / dy
-    wc = 1.0 - 2.0 * ax - 2.0 * ay - abs(cx) - abs(cy)
-    wxm = ax + (cx if vx >= 0.0 else 0.0)
-    wxp = ax + (-cx if vx < 0.0 else 0.0)
-    wym = ay + (cy if vy >= 0.0 else 0.0)
-    wyp = ay + (-cy if vy < 0.0 else 0.0)
+    # weighted stencil (5 FMAs/point on the VPU vs ~17 ops for the naive
+    # form — the kernel is VPU-bound once the multi-step scheme has
+    # amortized HBM traffic).  Upwind signs (advection.cpp:16-27) are
+    # resolved at trace time.
+    wc, wxm, wxp, wym, wyp = _stencil_weights(dt, D, vx, vy, dx, dy)
 
     def make_loads(refs, a_scratch, sems, block, slot):
         """(condition, async_copy) pairs filling window ``block`` into
@@ -336,11 +355,8 @@ def _build_kernel_body(
         n_dma = 1
 
     def _bc_line(kind, n, mirror):
-        if kind == "dirichlet":
-            return jnp.full((n,), bc_value, compute_dtype)
-        if kind == "zero":
-            return jnp.zeros((n,), compute_dtype)
-        return mirror  # neumann
+        del n  # shape comes from the mirror line
+        return _bc_ghost_line(kind, mirror, bc_value)
 
     def apply_fixups(src, bx, by, flags, t=0, sched_ref=None):
         """Re-apply physical-edge BCs at the ghost lines, writing into the
@@ -822,6 +838,28 @@ def _ghost_schedule(
     return jnp.concatenate([left, interior, right], axis=1)
 
 
+def _fixes_and_side(cfg: SimConfig, k: int):
+    """The kernel-build BC parameters for a config at pass size k:
+    (fixes 4-list, scheduled_side, wrap_x).  One-sided-periodic-y at k>1
+    marks the periodic side "sched" (ghost-row schedule).  Single source
+    for the build sites and the transpose-path probe — they must agree
+    byte-for-byte or a probe would stop matching the runtime build."""
+    compat = cfg.strict_reference_compat
+    fixes = [
+        _fixup_side(cfg.bc.left, compat), _fixup_side(cfg.bc.right, compat),
+        _fixup_side(cfg.bc.bottom, compat), _fixup_side(cfg.bc.top, compat),
+    ]
+    side = None
+    if k > 1 and one_sided_periodic_y(cfg):
+        side = "bottom" if cfg.bc.bottom == BCType.PERIODIC else "top"
+        fixes[2 if side == "bottom" else 3] = "sched"
+    wrap_x = (
+        not compat
+        and (cfg.bc.left == BCType.PERIODIC or cfg.bc.right == BCType.PERIODIC)
+    )
+    return fixes, side, wrap_x
+
+
 def multistep_kernel_step(
     u: jnp.ndarray,
     cfg: SimConfig,
@@ -850,23 +888,12 @@ def multistep_kernel_step(
         # Multi-step fusion cannot honor one-sided-periodic-x semantics
         # (ghost COLUMNS have no schedule path; see one_sided_periodic).
         return stepwise()
-    osy = k > 1 and one_sided_periodic_y(cfg)
     ny, nx = u.shape
     compat = cfg.strict_reference_compat
-    wrap_x = (
-        not compat
-        and (cfg.bc.left == BCType.PERIODIC or cfg.bc.right == BCType.PERIODIC)
-    )
-    fixes = [
-        _fixup_side(cfg.bc.left, compat), _fixup_side(cfg.bc.right, compat),
-        _fixup_side(cfg.bc.bottom, compat), _fixup_side(cfg.bc.top, compat),
-    ]
-    side = None
-    if osy:
-        # The periodic side's ghost row is re-supplied per sub-step from a
-        # precomputed schedule of the opposite edge's evolution.
-        side = "bottom" if cfg.bc.bottom == BCType.PERIODIC else "top"
-        fixes[2 if side == "bottom" else 3] = "sched"
+    # One-sided-y: the periodic side's ghost row is re-supplied per
+    # sub-step from a precomputed schedule of the opposite edge's
+    # evolution (side is not None).
+    fixes, side, wrap_x = _fixes_and_side(cfg, k)
     rest = (
         float(dt), float(cfg.D), float(cfg.vx), float(cfg.vy),
         float(cfg.dx), float(cfg.dy), 0.0, *fixes, wrap_x,
@@ -880,7 +907,7 @@ def multistep_kernel_step(
         if side is not None:
             return call(_ghost_schedule(u, cfg, dt, k, side), u)
         return call(u)
-    if osy:
+    if side is not None:
         # Scheduled ghosts exist only in the fused-DMA layout; grids it
         # cannot fit fall back to exact single-step passes.
         return stepwise()
@@ -1017,23 +1044,11 @@ def slab_ghost_schedule(
     W = yhalo.shape[1]
     mx = W - 2 * _XPAD
     strip = yhalo[:khalo] if side == "bottom" else yhalo[khalo:]
-    ax = dt * cfg.D / (cfg.dx * cfg.dx)
-    ay = dt * cfg.D / (cfg.dy * cfg.dy)
-    cx = dt * cfg.vx / cfg.dx
-    cy = dt * cfg.vy / cfg.dy
-    wc = 1.0 - 2.0 * ax - 2.0 * ay - abs(cx) - abs(cy)
-    wxm = ax + (cx if cfg.vx >= 0.0 else 0.0)
-    wxp = ax + (-cx if cfg.vx < 0.0 else 0.0)
-    wym = ay + (cy if cfg.vy >= 0.0 else 0.0)
-    wyp = ay + (-cy if cfg.vy < 0.0 else 0.0)
+    wc, wxm, wxp, wym, wyp = _stencil_weights(
+        dt, cfg.D, cfg.vx, cfg.vy, cfg.dx, cfg.dy
+    )
     dtype = yhalo.dtype
-
-    def bc_line(kind, mirror):
-        if kind == "dirichlet":
-            return jnp.zeros_like(mirror)  # bc_value is 0.0 throughout
-        if kind == "zero":
-            return jnp.zeros_like(mirror)
-        return mirror  # neumann
+    bc_line = _bc_ghost_line  # bc_value is 0.0 throughout
 
     fix_l = _fixup_side(cfg.bc.left, False)
     fix_r = _fixup_side(cfg.bc.right, False)
@@ -1091,7 +1106,6 @@ def sharded_tile_slab_multistep(
     probe: bool = False,
     probe_shape=None,
     probe_dtype: str = "float32",
-    sched=None,
 ):
     """Sharded-tile FAST path: advance one shard's (my, mx) tile k steps
     straight from the tile + compact halo slabs (no padded-tile
@@ -1099,9 +1113,9 @@ def sharded_tile_slab_multistep(
     layout).  ``probe=True`` (with ``probe_shape=(my, mx)``) reports layout
     availability.  Returns the updated interior, or None if no layout.
 
-    One-sided-periodic-y configs fuse at full k here too: pass ``sched``
-    (from :func:`slab_ghost_schedule`) and the periodic side's ghost row is
-    re-supplied per sub-step, flag-gated to physical-edge shards.
+    One-sided-periodic-y configs fuse at full k here too: the periodic
+    side's ghost row is re-supplied per sub-step from the shard-local
+    :func:`slab_ghost_schedule`, flag-gated to physical-edge shards.
     One-sided-x keeps the k=1 cap.
     """
     if k > 1 and one_sided_periodic_x(cfg):
@@ -1109,15 +1123,7 @@ def sharded_tile_slab_multistep(
         # one_sided_periodic); callers use k=1 passes instead.
         return None
     my, mx = probe_shape if probe else tile.shape
-    compat = cfg.strict_reference_compat
-    fixes = [
-        _fixup_side(cfg.bc.left, compat), _fixup_side(cfg.bc.right, compat),
-        _fixup_side(cfg.bc.bottom, compat), _fixup_side(cfg.bc.top, compat),
-    ]
-    side = None
-    if k > 1 and one_sided_periodic_y(cfg):
-        side = "bottom" if cfg.bc.bottom == BCType.PERIODIC else "top"
-        fixes[2 if side == "bottom" else 3] = "sched"
+    fixes, side, _ = _fixes_and_side(cfg, k)
     # khalo is k rounded up to a sublane tile: remainder passes (k < 8)
     # exchange 8-wide slabs and simply use fewer sub-steps.
     khalo8 = -(-k // 8) * 8
@@ -1130,10 +1136,7 @@ def sharded_tile_slab_multistep(
     if probe or call is None:
         return call
     if side is not None:
-        if sched is None:
-            sched = slab_ghost_schedule(
-                yhalo, edge_flags, cfg, dt, k, khalo8, side
-            )
+        sched = slab_ghost_schedule(yhalo, edge_flags, cfg, dt, k, khalo8, side)
         return call(sched, edge_flags.astype(jnp.int32), tile, xhalo, yhalo)
     return call(edge_flags.astype(jnp.int32), tile, xhalo, yhalo)
 
@@ -1201,11 +1204,16 @@ def one_sided_periodic(cfg: SimConfig) -> bool:
     axis) and compat mode (periodic == stale zeros, re-suppliable per
     sub-step) fuse fine.
 
-    For the Y axis the single-device fused-DMA path lifts this cap with a
-    **ghost-row schedule** (see :func:`_ghost_schedule`): the periodic side
-    is treated like a physical edge whose ghost row at sub-step t is the
-    opposite edge's row evolved t steps, precomputed outside the kernel.
-    The sharded paths and the X axis keep the k=1 cap.
+    For the Y axis the cap is lifted with a **ghost-row schedule**: the
+    periodic side is treated like a physical edge whose ghost row at
+    sub-step t is the opposite edge's row evolved t steps, precomputed
+    outside the kernel (:func:`_ghost_schedule` single-device,
+    :func:`slab_ghost_schedule` shard-local on the sharded slab path).
+    One-sided-X is handled single-device by advancing the TRANSPOSED
+    field through the same machinery (:func:`transposed_config`).  The
+    remaining cases — sharded one-sided-x, the assembled/overlap sharded
+    fallbacks, and grids the fused layout cannot fit — keep the exact
+    k=1 cap.
     """
     return one_sided_periodic_x(cfg) or one_sided_periodic_y(cfg)
 
@@ -1218,10 +1226,11 @@ def pick_steps_per_pass(cfg: SimConfig, chunk: int, y_sched: bool = False) -> in
     One-sided-periodic configs are capped at k=1 (see
     :func:`one_sided_periodic`) — each pass then rebuilds the wrap ghosts
     from the just-updated opposite edge, which is the oracle's semantics.
-    ``y_sched=True`` (the single-device fused-DMA caller) lifts the cap for
-    one-sided-periodic-in-y configs, which that path handles with a
-    per-sub-step ghost-row schedule; if no fused layout fits the grid,
-    :func:`multistep_kernel_step` falls back to k=1 passes by itself.
+    ``y_sched=True`` (callers whose layout supports the ghost-row
+    schedule: the single-device fused-DMA advance and the sharded slab
+    path) lifts the cap for one-sided-periodic-in-y configs; when no
+    schedule-capable layout fits the grid those callers fall back to k=1
+    passes themselves.
     """
     if one_sided_periodic_x(cfg) or (one_sided_periodic_y(cfg) and not y_sched):
         return 1
@@ -1266,19 +1275,19 @@ def build_multistep_advance(
     if one_sided_periodic_x(cfg) and not one_sided_periodic_y(cfg):
         tcfg = transposed_config(cfg)
         # Only worth it when the transposed grid actually takes the fused
-        # scheduled layout (probe one k=8 build); otherwise the transposes
-        # buy nothing over the untransposed k=1 passes.
-        tfix = [
-            _fixup_side(tcfg.bc.left, compat), _fixup_side(tcfg.bc.right, compat),
-            "sched" if tcfg.bc.bottom == BCType.PERIODIC else _fixup_side(tcfg.bc.bottom, compat),
-            "sched" if tcfg.bc.top == BCType.PERIODIC else _fixup_side(tcfg.bc.top, compat),
-        ]
-        twrap = tcfg.bc.left == BCType.PERIODIC or tcfg.bc.right == BCType.PERIODIC
+        # scheduled layout AT THE RUN'S DTYPE (probe one k=8 build, the
+        # exact parameters multistep_kernel_step would use — shared via
+        # _fixes_and_side); otherwise the transposes buy nothing over the
+        # untransposed k=1 passes (e.g. bf16 on hardware never lowers).
+        tfix, _tside, twrap = _fixes_and_side(tcfg, 8)
+        dtype_name = {"f32": "float32", "f64": "float64", "bf16": "bfloat16"}.get(
+            getattr(cfg, "precision", "f32"), "float32"
+        )
         probe = _build_multistep_call(
             tcfg.ny, tcfg.nx, 8, 8,
             float(dt), float(cfg.D), float(tcfg.vx), float(tcfg.vy),
             float(tcfg.dx), float(tcfg.dy), 0.0, *tfix, twrap,
-            True, False, False, False, "float32", interpret,
+            True, False, False, False, dtype_name, interpret,
         )
         if probe is not None:
             t_advance = build_multistep_advance(tcfg, dt, interpret)
