@@ -305,6 +305,24 @@ def run_simulation(cfg: SimConfig, devices=None, write_output: bool = True) -> R
         elif writer is not None:
             writer.write(fetch_global(frame_src))
 
+    # Chunk programs python-unroll their kernel passes (a fori_loop was
+    # measured 13% slower — docs/performance.md), so an unbounded span
+    # would compile an out_every-step program: at production cadences
+    # (snapshot-rarely runs, e.g. out_every=60000) that is thousands of
+    # unrolled passes and a compile-time explosion.  Cap each dispatched
+    # program and loop host-side instead — chained dispatches run
+    # back-to-back on device (11-14 us gaps measured), so the split costs
+    # nothing while keeping compile time O(cap).
+    max_dispatch = 256
+
+    def span_pieces(k: int):
+        pieces = []
+        while k > 0:
+            kk = min(k, max_dispatch)
+            pieces.append(kk)
+            k -= kk
+        return pieces
+
     # Warm-up: AOT-compile every distinct chunk program outside the timed
     # region (the reference pays no JIT cost; and through a remote-compile
     # TPU tunnel the first execution would otherwise absorb ~seconds of
@@ -313,7 +331,7 @@ def run_simulation(cfg: SimConfig, devices=None, write_output: bool = True) -> R
     n = 0
     while n < cfg.steps:
         k = min(cfg.out_every - (n % cfg.out_every), cfg.steps - n)
-        chunk_sizes.add(k)
+        chunk_sizes.update(span_pieces(k))
         n += k
     compiled = {}
     for k in chunk_sizes:
@@ -325,6 +343,12 @@ def run_simulation(cfg: SimConfig, devices=None, write_output: bool = True) -> R
 
     def advance_compiled(k):
         return compiled.get(k) or advance(k)
+
+    def dispatch_span(u, k):
+        # All pieces dispatch asynchronously (no host sync between them).
+        for kk in span_pieces(k):
+            u = advance_compiled(kk)(u)
+        return u
 
     profiling = bool(cfg.profile_dir)
     if profiling:
@@ -340,11 +364,11 @@ def run_simulation(cfg: SimConfig, devices=None, write_output: bool = True) -> R
         k = min(cfg.out_every - (n % cfg.out_every), cfg.steps - n)
         if n % cfg.out_every == 0 and any_writer:
             u_snap = u
-            u = advance_compiled(k)(u)  # dispatch next chunk before the host transfer
+            u = dispatch_span(u, k)  # dispatch next chunk before the host transfer
             emit_snapshot(u_snap)
             snapshots += 1
         else:
-            u = advance_compiled(k)(u)
+            u = dispatch_span(u, k)
         if cfg.diagnostics_every and (n // cfg.out_every) % max(1, cfg.diagnostics_every) == 0:
             # Dispatch the reductions now, fetch after the timed loop.  The
             # host sync/transfer cost (the dominant distortion through a

@@ -234,3 +234,43 @@ def test_combined_stability_advisory_warning(tmp_path, capsys):
                             "--dt=0.5", "--steps=1", "--out_every=1"])
     err = capsys.readouterr().err
     assert "COMBINED" not in err
+
+
+def test_large_out_every_caps_dispatch_program_size(tmp_path, monkeypatch):
+    """Snapshot-rarely production cadences (huge out_every) must not
+    compile one giant unrolled program per span: the driver splits each
+    span into bounded dispatches (found by a 60000-step soak run whose
+    single 60000-step program never finished compiling).  520 steps with
+    out_every=520 must request only capped program sizes and stay exact."""
+    import climate_sim_tpu.runtime.driver as drv
+
+    requested = []
+    orig = drv.build_single_device_advance
+
+    def spy(cfg, dt):
+        advance = orig(cfg, dt)
+
+        def wrapped(k):
+            requested.append(k)
+            return advance(k)
+
+        return wrapped
+
+    monkeypatch.setattr(drv, "build_single_device_advance", spy)
+    res, nc = run(tmp_path, ["--nx=32", "--ny=24", "--D=0.1", "--vx=0.4",
+                             "--dt=0.2", "--steps=520", "--out_every=520",
+                             "--mesh.enable=false"])
+    assert requested and max(requested) <= 256
+    assert sum(set(requested)) >= 520 - 256  # cap + remainder both built
+
+    from climate_sim_tpu.ops.step import reference_step
+    import jax.numpy as jnp
+    from climate_sim_tpu.ops.init import gaussian_hotspot
+
+    cfg = merged_config(None, ["--precision=f64", "--nx=32", "--ny=24",
+                               "--D=0.1", "--vx=0.4", "--dt=0.2",
+                               "--steps=520", "--out_every=520"])
+    u = gaussian_hotspot(cfg, jnp.float64)
+    for _ in range(520):
+        u = reference_step(u, cfg, cfg.dt)
+    np.testing.assert_allclose(np.asarray(res.u), np.asarray(u), atol=1e-12)
