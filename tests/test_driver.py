@@ -274,3 +274,23 @@ def test_large_out_every_caps_dispatch_program_size(tmp_path, monkeypatch):
     for _ in range(520):
         u = reference_step(u, cfg, cfg.dt)
     np.testing.assert_allclose(np.asarray(res.u), np.asarray(u), atol=1e-12)
+
+
+def test_restart_chain_bit_exact_vs_continuous(tmp_path):
+    """Checkpoint/resume round trip: run N steps with write_final, restart
+    from the snapshot for N more, and the final state is BIT-exact to one
+    continuous 2N-step run (snapshots store the state losslessly in f64;
+    restart reads it back exactly).  Hardware-validated at 1024^2 on the
+    real chip; this is the CPU gate."""
+    args = ["--nx=64", "--ny=48", "--D=0.05", "--vx=0.5", "--vy=-0.25",
+            "--dt=0.1", "--bc.left=periodic", "--bc.right=periodic",
+            "--bc.bottom=periodic", "--bc.top=dirichlet",
+            "--out_every=400", "--write_final=true"]
+    _, nc_a = run(tmp_path / "a", args + ["--steps=8"])
+    _, nc_b = run(tmp_path / "b", args + ["--steps=8", "--ic.mode=file",
+                                          f"--ic.path={nc_a}"])
+    _, nc_c = run(tmp_path / "c", args + ["--steps=16"])
+    with NetCDFFile(nc_b) as b, NetCDFFile(nc_c) as c:
+        ub = b.variables["u"][-1, :, :]
+        uc = c.variables["u"][-1, :, :]
+        assert np.array_equal(ub, uc)
