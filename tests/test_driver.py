@@ -294,3 +294,35 @@ def test_restart_chain_bit_exact_vs_continuous(tmp_path):
         ub = b.variables["u"][-1, :, :]
         uc = c.variables["u"][-1, :, :]
         assert np.array_equal(ub, uc)
+
+
+@pytest.mark.parametrize("mesh_on", [False, True])
+def test_one_sided_scheduled_paths_through_driver(tmp_path, mesh_on):
+    """run_simulation end-to-end with the dev.yaml BC mix
+    (bottom=periodic top=dirichlet) and the Pallas kernel: single-device
+    takes the ghost-row-schedule fused path, the 8-device virtual mesh the
+    sharded slab schedule — both must match the oracle (deterministic gate
+    on top of the randomized driver fuzz)."""
+    import jax.numpy as jnp
+
+    from climate_sim_tpu.ops import gaussian_hotspot
+    from climate_sim_tpu.ops.step import reference_step
+
+    out = str(tmp_path / "outputs")
+    cfg = merged_config(None, [
+        "--nx=256", "--ny=128", "--D=0.05", "--vx=0.5", "--vy=-0.25",
+        "--dt=0.1", "--steps=19", "--out_every=19",
+        "--kernel=pallas_multistep",
+        "--bc.left=periodic", "--bc.right=periodic",
+        "--bc.bottom=periodic", "--bc.top=dirichlet",
+        "--output.dir", out,
+    ])
+    cfg.mesh.enable = mesh_on
+    res = run_simulation(cfg)
+
+    u = gaussian_hotspot(cfg, jnp.float32)
+    for _ in range(19):
+        u = reference_step(u, cfg, res.dt)
+    np.testing.assert_allclose(
+        np.asarray(res.u), np.asarray(u), atol=5e-5
+    )
