@@ -371,15 +371,29 @@ def _build_kernel_body(
         re-supplies its ghost row from ``sched_ref[t]``: the opposite
         edge's row evolved ``t`` steps, windowed to this block's columns
         (schedule column p = global column p - _XPAD, so the window start
-        is exactly the block's main-column start, 128-aligned)."""
+        is exactly the block's main-column start, 128-aligned).  A
+        ``"sched"`` x-side reads lane ``t`` of the column schedule
+        instead, windowed to this block's rows (schedule row p = tile row
+        p - khalo, so the window start is the block's row start,
+        8-aligned)."""
         def sched_row():
             if nbx == 1:
                 c0 = 0  # single x-block: static window
             else:
                 c0 = pl.multiple_of(bx * jnp.int32(BX), 128)
             return sched_ref[t, pl.ds(c0, W)]
+
+        def sched_col():
+            if nby == 1:
+                r0 = 0  # single row-block: static window
+            else:
+                r0 = pl.multiple_of(by * jnp.int32(BY), 8)
+            return sched_ref[pl.ds(r0, Rbuf), t]
         if fix_left is not None:
-            col = _bc_line(fix_left, Rbuf, src[:, xoff])
+            if fix_left == "sched":
+                col = sched_col()
+            else:
+                col = _bc_line(fix_left, Rbuf, src[:, xoff])
             cond = (bx == 0) if nbx > 1 else True
             if flags is not None:
                 cond = jnp.logical_and(cond, flags[0] != 0)
@@ -387,7 +401,10 @@ def _build_kernel_body(
                 col = jnp.where(cond, col, src[:, xoff - 1])
             src[:, xoff - 1] = col
         if fix_right is not None:
-            col = _bc_line(fix_right, Rbuf, src[:, xoff + nx - 1])
+            if fix_right == "sched":
+                col = sched_col()
+            else:
+                col = _bc_line(fix_right, Rbuf, src[:, xoff + nx - 1])
             cond = (bx == nbx - 1) if nbx > 1 else True
             if flags is not None:
                 cond = jnp.logical_and(cond, flags[1] != 0)
@@ -425,7 +442,7 @@ def _build_kernel_body(
                 def _(c=c):
                     getattr(c, action)()
 
-    sched_on = fix_bottom == "sched" or fix_top == "sched"
+    sched_on = "sched" in (fix_left, fix_right, fix_bottom, fix_top)
 
     def kernel(*refs):
         sched_ref = None
@@ -616,12 +633,18 @@ def _build_multistep_call_cached(
     # to XLA identically on CPU tests and real TPUs.
     if not interpret and (compute_dtype != jnp.float32 or x64):
         return None
-    # Scheduled ghost rows (one-sided-periodic y; see _ghost_schedule /
-    # slab_ghost_schedule) ride a small pipelined VMEM input.  Implemented
-    # in the single-device fused-DMA layout and the sharded slab layout;
-    # the assembled and pre-padded paths do not plumb it.
-    sched_on = fix_bottom == "sched" or fix_top == "sched"
-    if sched_on and not (slab_mode or (fused_dma and not sharded)):
+    # Scheduled ghost rows/columns (one-sided periodic; see
+    # _ghost_schedule / slab_ghost_schedule / slab_ghost_schedule_x) ride
+    # a small pipelined VMEM input.  Row schedules: single-device
+    # fused-DMA and sharded slab layouts; column schedules: slab only
+    # (single-device handles one-sided-x by transposing).  The assembled
+    # and pre-padded paths do not plumb either.
+    sched_y = fix_bottom == "sched" or fix_top == "sched"
+    sched_x = fix_left == "sched" or fix_right == "sched"
+    sched_on = sched_y or sched_x
+    if sched_y and not (slab_mode or (fused_dma and not sharded)):
+        return None
+    if sched_x and not slab_mode:
         return None
     if not interpret:
         # Mosaic lowers only on TPU; an explicitly-requested Pallas kernel
@@ -710,12 +733,16 @@ def _build_multistep_call_cached(
     if sharded:
         in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
     if sched_on:
-        # Ghost-row schedule: (k, nx + 2*_XPAD), whole-array VMEM block for
-        # every program (tiny: k=8 rows), pipelined by pallas itself.
+        # Ghost schedule, whole-array VMEM block for every program
+        # (tiny), pipelined by pallas itself.  Row schedule (one-sided y):
+        # (k, nx + 2*_XPAD).  Column schedule (one-sided x, slab mode):
+        # (ny + 2*khalo, 128) — lane t holds sub-step t's ghost column,
+        # so the in-kernel read is a plain column slice.
+        sched_shape = (
+            (k, nx + 2 * _XPAD) if sched_y else (ny + 2 * khalo, 128)
+        )
         in_specs = [
-            pl.BlockSpec(
-                (k, nx + 2 * _XPAD), lambda b: (0, 0), memory_space=pltpu.VMEM
-            )
+            pl.BlockSpec(sched_shape, lambda b: (0, 0), memory_space=pltpu.VMEM)
         ] + in_specs
     call = pl.pallas_call(
         kernel,
@@ -838,12 +865,15 @@ def _ghost_schedule(
     return jnp.concatenate([left, interior, right], axis=1)
 
 
-def _fixes_and_side(cfg: SimConfig, k: int):
+def _fixes_and_side(cfg: SimConfig, k: int, x_sched: bool = False):
     """The kernel-build BC parameters for a config at pass size k:
     (fixes 4-list, scheduled_side, wrap_x).  One-sided-periodic-y at k>1
-    marks the periodic side "sched" (ghost-row schedule).  Single source
-    for the build sites and the transpose-path probe — they must agree
-    byte-for-byte or a probe would stop matching the runtime build."""
+    marks the periodic side "sched" (ghost-row schedule); with
+    ``x_sched=True`` (slab path only) one-sided-periodic-x likewise marks
+    its side (ghost-COLUMN schedule) — never both (pick_steps_per_pass
+    caps double-one-sided configs at k=1).  Single source for the build
+    sites and the transpose-path probe — they must agree byte-for-byte
+    or a probe would stop matching the runtime build."""
     compat = cfg.strict_reference_compat
     fixes = [
         _fixup_side(cfg.bc.left, compat), _fixup_side(cfg.bc.right, compat),
@@ -853,6 +883,9 @@ def _fixes_and_side(cfg: SimConfig, k: int):
     if k > 1 and one_sided_periodic_y(cfg):
         side = "bottom" if cfg.bc.bottom == BCType.PERIODIC else "top"
         fixes[2 if side == "bottom" else 3] = "sched"
+    elif k > 1 and x_sched and one_sided_periodic_x(cfg):
+        side = "left" if cfg.bc.left == BCType.PERIODIC else "right"
+        fixes[0 if side == "left" else 1] = "sched"
     wrap_x = (
         not compat
         and (cfg.bc.left == BCType.PERIODIC or cfg.bc.right == BCType.PERIODIC)
@@ -1094,6 +1127,104 @@ def slab_ghost_schedule(
     return jnp.stack(rows)
 
 
+def slab_ghost_schedule_x(
+    xhalo: jnp.ndarray,
+    yhalo: jnp.ndarray,
+    edge_flags: jnp.ndarray,
+    cfg: SimConfig,
+    dt: float,
+    k: int,
+    khalo: int,
+    side: str,
+) -> jnp.ndarray:
+    """Sharded ghost-COLUMN schedule for one-sided-periodic-x meshes.
+
+    The cyclic x ppermute delivers the opposite x edge's khalo-column
+    strip to the periodic-edge shards (``xhalo``), and the y slabs' x-pad
+    columns carry the SAME strip's y-neighbor extension (``yhalo`` is
+    exchanged after x, so its pads hold the neighbors' received x ghosts)
+    — together a (my + 2*khalo, khalo) strip with y context.  Evolve it
+    k steps with the kernel's weights, re-pinning the strip's physical
+    ghosts per step (the far x side with the REAL opposite BC; the y
+    ghost rows flag-gated like the kernel; periodic-y wrap rows evolve by
+    creep, margin khalo >= k), recording the edge column before each
+    step.
+
+    Returns (my + 2*khalo, 128): lane t holds sub-step t's ghost column
+    (schedule row p = tile row p - khalo), so the kernel reads it as a
+    plain column slice.  Meaningful only on shards whose ``side`` is the
+    physical edge — elsewhere flag-gated garbage.
+    """
+    W = yhalo.shape[1]
+    mx = W - 2 * _XPAD
+    my = xhalo.shape[0]
+    if side == "left":
+        # wrap source = global RIGHT edge strip, delivered into the left
+        # ghost block: xhalo cols [XPAD-khalo, XPAD); the y-extension
+        # sits at the same columns of the y slabs (their x pads carry the
+        # y-neighbors' received x ghosts).
+        x_cols = slice(_XPAD - khalo, _XPAD)
+        y_cols = slice(_XPAD - khalo, _XPAD)
+        far_kind = _fixup_side(cfg.bc.right, False)
+        edge_col = -1  # global col nx-1
+    else:
+        # wrap source = global LEFT edge strip, in the right ghost block:
+        # xhalo cols [XPAD, XPAD+khalo); yhalo cols [XPAD+mx, XPAD+mx+khalo)
+        # (the y slabs are mx+2k wide before their zero alignment pads).
+        x_cols = slice(_XPAD, _XPAD + khalo)
+        y_cols = slice(_XPAD + mx, _XPAD + mx + khalo)
+        far_kind = _fixup_side(cfg.bc.left, False)
+        edge_col = 0  # global col 0
+    strip = jnp.concatenate(
+        [yhalo[:khalo, y_cols], xhalo[:, x_cols], yhalo[khalo:, y_cols]],
+        axis=0,
+    )  # (my + 2*khalo, khalo)
+    H = my + 2 * khalo
+    wc, wxm, wxp, wym, wyp = _stencil_weights(
+        dt, cfg.D, cfg.vx, cfg.vy, cfg.dx, cfg.dy
+    )
+    dtype = xhalo.dtype
+    fix_b = _fixup_side(cfg.bc.bottom, False)
+    fix_t = _fixup_side(cfg.bc.top, False)
+
+    def y_fix(a):
+        # the strip's physical y ghost rows, flag-gated like the kernel;
+        # periodic y sides keep their exchanged wrap rows (creep-exact)
+        if fix_b is not None:
+            row = _bc_ghost_line(fix_b, a[khalo])
+            a = a.at[khalo - 1].set(
+                jnp.where(edge_flags[2] != 0, row, a[khalo - 1])
+            )
+        if fix_t is not None:
+            row = _bc_ghost_line(fix_t, a[khalo + my - 1])
+            a = a.at[khalo + my].set(
+                jnp.where(edge_flags[3] != 0, row, a[khalo + my])
+            )
+        return a
+
+    cols = []
+    cur = strip
+    zcol = jnp.zeros((H, 1), dtype)
+    for t in range(k):
+        cur = y_fix(cur)
+        edge = cur[:, edge_col]
+        far = _bc_ghost_line(far_kind, edge) if far_kind is not None else edge
+        if side == "left":
+            padded = jnp.concatenate([zcol, cur, far[:, None]], axis=1)
+        else:
+            padded = jnp.concatenate([far[:, None], cur, zcol], axis=1)
+        cols.append(edge)
+        if t + 1 < k:
+            c = padded[:, 1:-1]
+            xm = padded[:, :-2]
+            xp = padded[:, 2:]
+            ym = jnp.roll(c, 1, axis=0)
+            yp = jnp.roll(c, -1, axis=0)
+            cur = wc * c + wym * ym + wyp * yp + wxm * xm + wxp * xp
+    sched = jnp.stack(cols, axis=1)  # (H, k)
+    return jnp.concatenate([sched, jnp.zeros((H, 128 - k), dtype)], axis=1)
+
+
 def sharded_tile_slab_multistep(
     tile,
     xhalo,
@@ -1113,17 +1244,19 @@ def sharded_tile_slab_multistep(
     layout).  ``probe=True`` (with ``probe_shape=(my, mx)``) reports layout
     availability.  Returns the updated interior, or None if no layout.
 
-    One-sided-periodic-y configs fuse at full k here too: the periodic
-    side's ghost row is re-supplied per sub-step from the shard-local
-    :func:`slab_ghost_schedule`, flag-gated to physical-edge shards.
-    One-sided-x keeps the k=1 cap.
+    One-sided-periodic configs fuse at full k here too: the periodic
+    side's ghost line is re-supplied per sub-step from the shard-local
+    :func:`slab_ghost_schedule` (y sides) or
+    :func:`slab_ghost_schedule_x` (x sides), flag-gated to physical-edge
+    shards.  Both axes one-sided at once keeps the k=1 cap (the two
+    schedules would need each other's output).
     """
-    if k > 1 and one_sided_periodic_x(cfg):
-        # No multi-step layout for one-sided-periodic-x semantics (see
-        # one_sided_periodic); callers use k=1 passes instead.
+    if k > 1 and one_sided_periodic_x(cfg) and one_sided_periodic_y(cfg):
+        # No multi-step layout when BOTH axes are one-sided-periodic;
+        # callers use k=1 passes instead.
         return None
     my, mx = probe_shape if probe else tile.shape
-    fixes, side, _ = _fixes_and_side(cfg, k)
+    fixes, side, _ = _fixes_and_side(cfg, k, x_sched=True)
     # khalo is k rounded up to a sublane tile: remainder passes (k < 8)
     # exchange 8-wide slabs and simply use fewer sub-steps.
     khalo8 = -(-k // 8) * 8
@@ -1135,8 +1268,13 @@ def sharded_tile_slab_multistep(
     )
     if probe or call is None:
         return call
-    if side is not None:
+    if side in ("bottom", "top"):
         sched = slab_ghost_schedule(yhalo, edge_flags, cfg, dt, k, khalo8, side)
+        return call(sched, edge_flags.astype(jnp.int32), tile, xhalo, yhalo)
+    if side in ("left", "right"):
+        sched = slab_ghost_schedule_x(
+            xhalo, yhalo, edge_flags, cfg, dt, k, khalo8, side
+        )
         return call(sched, edge_flags.astype(jnp.int32), tile, xhalo, yhalo)
     return call(edge_flags.astype(jnp.int32), tile, xhalo, yhalo)
 
@@ -1218,7 +1356,9 @@ def one_sided_periodic(cfg: SimConfig) -> bool:
     return one_sided_periodic_x(cfg) or one_sided_periodic_y(cfg)
 
 
-def pick_steps_per_pass(cfg: SimConfig, chunk: int, y_sched: bool = False) -> int:
+def pick_steps_per_pass(
+    cfg: SimConfig, chunk: int, y_sched: bool = False, x_sched: bool = False
+) -> int:
     """Choose k (steps fused per HBM pass) for a ``chunk``-step program.
 
     Larger k amortizes HBM traffic but grows the halo (2k rows of redundant
@@ -1228,11 +1368,18 @@ def pick_steps_per_pass(cfg: SimConfig, chunk: int, y_sched: bool = False) -> in
     from the just-updated opposite edge, which is the oracle's semantics.
     ``y_sched=True`` (callers whose layout supports the ghost-row
     schedule: the single-device fused-DMA advance and the sharded slab
-    path) lifts the cap for one-sided-periodic-in-y configs; when no
+    path) lifts the cap for one-sided-periodic-in-y configs;
+    ``x_sched=True`` (the sharded slab path only — single-device handles
+    one-sided-x by transposing onto the y machinery) likewise for
+    one-sided-periodic-in-x.  Both axes one-sided at once always caps
+    (the two schedules would need each other's output).  When no
     schedule-capable layout fits the grid those callers fall back to k=1
     passes themselves.
     """
-    if one_sided_periodic_x(cfg) or (one_sided_periodic_y(cfg) and not y_sched):
+    osx, osy = one_sided_periodic_x(cfg), one_sided_periodic_y(cfg)
+    if osx and osy:
+        return 1
+    if (osx and not x_sched) or (osy and not y_sched):
         return 1
     k = min(8, chunk, max(1, cfg.nx // 32), max(1, cfg.ny // 32))
     return max(1, k)

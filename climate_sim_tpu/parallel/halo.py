@@ -223,9 +223,12 @@ def build_sharded_multistep_advance(
     spec = PartitionSpec("y", "x")
 
     tile_cfg = dataclasses.replace(cfg, nx=mx, ny=my)
-    # y_sched: the slab path fuses one-sided-periodic-y configs at full k
-    # via the shard-local ghost-row schedule (slab_ghost_schedule).
-    k = pick_steps_per_pass(tile_cfg, cfg.out_every or 8, y_sched=True)
+    # y_sched/x_sched: the slab path fuses one-sided-periodic configs at
+    # full k via the shard-local ghost schedules (slab_ghost_schedule /
+    # slab_ghost_schedule_x); both-axes-one-sided stays capped.
+    k = pick_steps_per_pass(
+        tile_cfg, cfg.out_every or 8, y_sched=True, x_sched=True
+    )
     # Static layout probes for every pass size that can occur (k and the
     # chunk remainders) — all shapes are static, so this decides up front.
     # Prefer the slab-input fast path (tile + compact halo slabs, no padded

@@ -278,3 +278,42 @@ def test_sharded_one_sided_y_schedule(mesh_shape, bcs):
     assert adv is not None and adv.uses_slabs
     out = adv(19)(jax.device_put(u, field_sharding(mesh)))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
+
+
+@pytest.mark.parametrize("mesh_shape,bcs", [
+    ((2, 4), (BCType.PERIODIC, BCType.DIRICHLET, BCType.NEUMANN, BCType.DIRICHLET)),
+    ((4, 2), (BCType.NEUMANN, BCType.PERIODIC, BCType.DIRICHLET, BCType.DIRICHLET)),
+    ((1, 8), (BCType.PERIODIC, BCType.NEUMANN, BCType.PERIODIC, BCType.PERIODIC)),
+    ((8, 1), (BCType.DIRICHLET, BCType.PERIODIC, BCType.PERIODIC, BCType.PERIODIC)),
+])
+def test_sharded_one_sided_x_schedule(mesh_shape, bcs):
+    """Sharded ghost-COLUMN schedule (slab_ghost_schedule_x) across mesh
+    shapes: both orientations, y-wrap extensions, a px=1 self-wrap axis,
+    and an 8-tall y split; mass parked at the periodic x edge; remainder
+    pass included."""
+    px, py = mesh_shape
+    mx, my = 128, 64
+    cfg = make_cfg(mx * px, my * py, bcs)
+    u = gaussian_hotspot(cfg, jnp.float32)
+    u = u + 0.5 * jnp.roll(u, cfg.nx // 2 - 2, axis=1)
+    ref = oracle(u, cfg, 19)
+    mesh = make_mesh(px, py)
+    adv = build_sharded_multistep_advance(cfg, mesh, cfg.dt, interpret=True)
+    assert adv is not None and adv.uses_slabs
+    out = adv(19)(jax.device_put(u, field_sharding(mesh)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
+
+
+def test_sharded_both_axes_one_sided_caps_and_stays_exact():
+    """Both axes one-sided-periodic: no schedule path exists (each would
+    need the other's output), so the dispatcher caps at k=1 and must stay
+    oracle-exact."""
+    bcs = (BCType.PERIODIC, BCType.DIRICHLET, BCType.PERIODIC, BCType.NEUMANN)
+    cfg = make_cfg(256, 128, bcs)
+    u = gaussian_hotspot(cfg, jnp.float32)
+    ref = oracle(u, cfg, 8)
+    mesh = make_mesh(2, 2)
+    adv = build_sharded_multistep_advance(cfg, mesh, cfg.dt, interpret=True)
+    assert adv is not None
+    out = adv(8)(jax.device_put(u, field_sharding(mesh)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
