@@ -1154,6 +1154,12 @@ def slab_ghost_schedule_x(
     (schedule row p = tile row p - khalo), so the kernel reads it as a
     plain column slice.  Meaningful only on shards whose ``side`` is the
     physical edge — elsewhere flag-gated garbage.
+
+    NOTE: axis-swapped sibling of :func:`slab_ghost_schedule` (same
+    evolve-and-record structure, pad/fixup positions transposed); both
+    share :func:`_stencil_weights` / :func:`_bc_ghost_line`, and the
+    k = khalo tightest-margin tests pin each against the oracle — change
+    them together.
     """
     W = yhalo.shape[1]
     mx = W - 2 * _XPAD
@@ -1342,16 +1348,17 @@ def one_sided_periodic(cfg: SimConfig) -> bool:
     axis) and compat mode (periodic == stale zeros, re-suppliable per
     sub-step) fuse fine.
 
-    For the Y axis the cap is lifted with a **ghost-row schedule**: the
-    periodic side is treated like a physical edge whose ghost row at
-    sub-step t is the opposite edge's row evolved t steps, precomputed
-    outside the kernel (:func:`_ghost_schedule` single-device,
-    :func:`slab_ghost_schedule` shard-local on the sharded slab path).
-    One-sided-X is handled single-device by advancing the TRANSPOSED
-    field through the same machinery (:func:`transposed_config`).  The
-    remaining cases — sharded one-sided-x, the assembled/overlap sharded
-    fallbacks, and grids the fused layout cannot fit — keep the exact
-    k=1 cap.
+    The cap is lifted per axis with a **ghost schedule**: the periodic
+    side is treated like a physical edge whose ghost line at sub-step t
+    is the opposite edge's line evolved t steps, precomputed outside the
+    kernel (Y: :func:`_ghost_schedule` single-device,
+    :func:`slab_ghost_schedule` shard-local on the slab path.  X:
+    :func:`transposed_config` transposes single-device runs onto the y
+    machinery; :func:`slab_ghost_schedule_x` is the sharded column
+    analogue).  The remaining cases — BOTH axes one-sided at once (each
+    schedule would need the other's output), the assembled/overlap
+    sharded fallbacks, and grids the fused/slab layouts cannot fit —
+    keep the exact k=1 cap.
     """
     return one_sided_periodic_x(cfg) or one_sided_periodic_y(cfg)
 

@@ -302,7 +302,10 @@ def test_one_sided_scheduled_paths_through_driver(tmp_path, mesh_on):
     (bottom=periodic top=dirichlet) and the Pallas kernel: single-device
     takes the ghost-row-schedule fused path, the 8-device virtual mesh the
     sharded slab schedule — both must match the oracle (deterministic gate
-    on top of the randomized driver fuzz)."""
+    on top of the randomized driver fuzz).  512x128 so the mesh resolves
+    to 128x64 tiles where the SLAB layout (the scheduled one) actually
+    engages — 256x128 would give 64-wide tiles and silently gate the
+    k=1 assembled fallback instead (review finding)."""
     import jax.numpy as jnp
 
     from climate_sim_tpu.ops import gaussian_hotspot
@@ -310,7 +313,7 @@ def test_one_sided_scheduled_paths_through_driver(tmp_path, mesh_on):
 
     out = str(tmp_path / "outputs")
     cfg = merged_config(None, [
-        "--nx=256", "--ny=128", "--D=0.05", "--vx=0.5", "--vy=-0.25",
+        "--nx=512", "--ny=128", "--D=0.05", "--vx=0.5", "--vy=-0.25",
         "--dt=0.1", "--steps=19", "--out_every=19",
         "--kernel=pallas_multistep",
         "--bc.left=periodic", "--bc.right=periodic",
@@ -318,6 +321,16 @@ def test_one_sided_scheduled_paths_through_driver(tmp_path, mesh_on):
         "--output.dir", out,
     ])
     cfg.mesh.enable = mesh_on
+    if mesh_on:
+        # the gate is only meaningful if the slab schedule can engage
+        from climate_sim_tpu.ops.pallas_stencil import (
+            sharded_tile_slab_multistep,
+        )
+
+        assert sharded_tile_slab_multistep(
+            None, None, None, None, cfg, cfg.dt, 2, True,
+            probe=True, probe_shape=(64, 128),
+        ) is not None
     res = run_simulation(cfg)
 
     u = gaussian_hotspot(cfg, jnp.float32)

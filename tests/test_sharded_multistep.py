@@ -304,6 +304,35 @@ def test_sharded_one_sided_x_schedule(mesh_shape, bcs):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
 
 
+@pytest.mark.parametrize("bcs,axis,mesh_shape", [
+    # y schedule at k=khalo=8 (zero creep slack), 1x2 mesh
+    ((BCType.DIRICHLET, BCType.NEUMANN, BCType.PERIODIC, BCType.DIRICHLET), 0, (1, 2)),
+    # x schedule at k=khalo=8, 2x1 mesh
+    ((BCType.PERIODIC, BCType.DIRICHLET, BCType.NEUMANN, BCType.DIRICHLET), 1, (2, 1)),
+])
+def test_sharded_schedule_full_k8_tightest_margin(bcs, axis, mesh_shape):
+    """256x256 tiles let pick_steps_per_pass reach k=8 = khalo: the
+    schedules' creep margins (strip rows/columns, zero-pad x columns,
+    roll-wrapped extremes) run with ZERO slack — an off-by-one that only
+    holds for k < khalo would pass every smaller-tile test and fail only
+    at production pass sizes (review finding)."""
+    from climate_sim_tpu.ops.pallas_stencil import pick_steps_per_pass
+
+    px, py = mesh_shape
+    cfg = make_cfg(256 * px, 256 * py, bcs, out_every=16)
+    tile_cfg = make_cfg(256, 256, bcs, out_every=16)
+    assert pick_steps_per_pass(tile_cfg, 16, y_sched=True, x_sched=True) == 8
+    u = gaussian_hotspot(cfg, jnp.float32)
+    roll_ax = 0 if axis == 0 else 1
+    u = u + 0.5 * jnp.roll(u, u.shape[roll_ax] // 2 - 2, axis=roll_ax)
+    ref = oracle(u, cfg, 16)
+    mesh = make_mesh(px, py)
+    adv = build_sharded_multistep_advance(cfg, mesh, cfg.dt, interpret=True)
+    assert adv is not None and adv.uses_slabs
+    out = adv(16)(jax.device_put(u, field_sharding(mesh)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
+
+
 def test_sharded_both_axes_one_sided_caps_and_stays_exact():
     """Both axes one-sided-periodic: no schedule path exists (each would
     need the other's output), so the dispatcher caps at k=1 and must stay
