@@ -1,0 +1,125 @@
+#!/usr/bin/env python3
+"""Hardware conformance sweep: every kernel path x BC class on the real chip.
+
+CPU interpret-mode tests cannot catch Mosaic lowering/layout bugs, so this
+runs the full path matrix on actual TPU hardware and compares each result
+against the float64 CPU oracle computed in-process:
+
+  paths:  single-device fused multi-step | sharded slab (1x1 mesh) |
+          sharded overlap | sharded per-step fallback
+  BCs:    all-dirichlet | all-neumann | torus | mixed |
+          one-sided-y (ghost-row schedule / transposed) |
+          one-sided-x (transpose / ghost-column schedule) |
+          reference-compat
+  plus a non-128-multiple grid (assembled fallback) per path.
+
+Prints one line per case and exits nonzero on any mismatch.  Runtime:
+~2-4 min through the tunneled TPU (compiles dominate).
+
+Usage:  python scripts/hw_conformance.py [--nx 512 --ny 256 --steps 16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--nx", type=int, default=512)
+    ap.add_argument("--ny", type=int, default=256)
+    ap.add_argument("--steps", type=int, default=16)
+    ap.add_argument("--tol", type=float, default=5e-5)
+    args = ap.parse_args()
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from climate_sim_tpu.config import BCConfig, BCType, SimConfig
+    from climate_sim_tpu.ops.init import gaussian_hotspot
+    from climate_sim_tpu.ops.step import build_single_device_advance, reference_step
+    from climate_sim_tpu.parallel.halo import (
+        build_sharded_advance,
+        build_sharded_multistep_advance,
+        build_sharded_overlap_advance,
+    )
+    from climate_sim_tpu.ops.step import make_interior_step
+    from climate_sim_tpu.parallel.mesh import field_sharding, make_mesh
+
+    if jax.devices()[0].platform == "cpu":
+        print("[hw_conformance] WARNING: running on CPU — this validates "
+              "interpret mode, not Mosaic lowering", file=sys.stderr)
+
+    D, N, P = BCType.DIRICHLET, BCType.NEUMANN, BCType.PERIODIC
+    BCS = {
+        "dirichlet4": (D, D, D, D),
+        "neumann4": (N, N, N, N),
+        "torus": (P, P, P, P),
+        "mixed": (D, N, P, P),
+        "one_sided_y": (P, P, P, D),
+        "one_sided_x": (P, D, N, D),
+        "both_one_sided": (P, D, P, N),
+    }
+
+    def cfg_for(bcs, nx, ny, compat=False):
+        cfg = SimConfig(nx=nx, ny=ny, D=0.05, vx=0.5, vy=-0.25, dt=0.1,
+                        steps=args.steps, out_every=args.steps)
+        cfg.bc = BCConfig(*bcs)
+        cfg.strict_reference_compat = compat
+        return cfg
+
+    def oracle(u, cfg):
+        r = u
+        for _ in range(args.steps):
+            r = reference_step(r, cfg, cfg.dt)
+        return np.asarray(r, np.float64)
+
+    mesh = make_mesh(1, 1)
+    failures = 0
+    cases = [(name, bcs, args.nx, args.ny, False) for name, bcs in BCS.items()]
+    cases.append(("compat_mixed", BCS["mixed"], args.nx, args.ny, True))
+    cases.append(("odd_grid_mixed", BCS["mixed"], 120, 72, False))
+
+    for name, bcs, nx, ny, compat in cases:
+        cfg = cfg_for(bcs, nx, ny, compat)
+        u = gaussian_hotspot(cfg, jnp.float32)
+        # park mass against edges so edge handling is visible
+        u = u + 0.4 * jnp.roll(u, ny // 2 - 2, 0) + 0.4 * jnp.roll(u, nx // 2 - 2, 1)
+        ref = oracle(u, cfg)
+        scale = max(1.0, np.abs(ref).max())
+
+        runs = {"single": lambda: build_single_device_advance(cfg, cfg.dt)(args.steps)(
+            jax.device_put(u))}
+        us = jax.device_put(u, field_sharding(mesh))
+        adv = build_sharded_multistep_advance(cfg, mesh, cfg.dt)
+        if adv is not None:
+            runs["sharded_multistep"] = lambda adv=adv: adv(args.steps)(us)
+        runs["sharded_perstep"] = lambda: build_sharded_advance(
+            cfg, mesh, cfg.dt, make_interior_step(cfg, cfg.dt))(args.steps)(us)
+        ov = build_sharded_overlap_advance(cfg, mesh, cfg.dt)
+        if ov is not None:
+            runs["sharded_overlap"] = lambda ov=ov: ov(args.steps)(us)
+
+        for path, fn in runs.items():
+            try:
+                out = np.asarray(jax.device_get(fn()), np.float64)
+                err = np.abs(out - ref).max() / scale
+                ok = np.isfinite(err) and err <= args.tol
+            except Exception as e:  # pragma: no cover - hardware-dependent
+                err, ok = float("nan"), False
+                print(f"EXC  {name:16s} {path:18s} {e}", file=sys.stderr)
+            status = "ok  " if ok else "FAIL"
+            print(f"{status} {name:16s} {path:18s} rel_err={err:.2e}")
+            failures += 0 if ok else 1
+
+    print(f"hw_conformance: {'ALL OK' if not failures else f'{failures} FAILURES'}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
