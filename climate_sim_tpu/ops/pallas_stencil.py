@@ -358,7 +358,7 @@ def _build_kernel_body(
         del n  # shape comes from the mirror line
         return _bc_ghost_line(kind, mirror, bc_value)
 
-    def apply_fixups(src, bx, by, flags, t=0, sched_ref=None):
+    def apply_fixups(src, bx, by, flags, t=0, sched_y_ref=None, sched_x_ref=None):
         """Re-apply physical-edge BCs at the ghost lines, writing into the
         ``src`` ref in place (the ``apply_boundary`` analogue, every step).
         Each side fires only on blocks at that edge of the (bx, by) grid
@@ -368,27 +368,28 @@ def _build_kernel_body(
         shards keep their neighbor-halo data.
 
         A ``"sched"`` y-side (one-sided periodic; see _ghost_schedule)
-        re-supplies its ghost row from ``sched_ref[t]``: the opposite
+        re-supplies its ghost row from ``sched_y_ref[t]``: the opposite
         edge's row evolved ``t`` steps, windowed to this block's columns
         (schedule column p = global column p - _XPAD, so the window start
         is exactly the block's main-column start, 128-aligned).  A
         ``"sched"`` x-side reads lane ``t`` of the column schedule
-        instead, windowed to this block's rows (schedule row p = tile row
-        p - khalo, so the window start is the block's row start,
-        8-aligned)."""
+        (``sched_x_ref``) instead, windowed to this block's rows
+        (schedule row p = tile row p - khalo, so the window start is the
+        block's row start, 8-aligned).  Both may be active at once
+        (both-axes one-sided): each side reads its own ref."""
         def sched_row():
             if nbx == 1:
                 c0 = 0  # single x-block: static window
             else:
                 c0 = pl.multiple_of(bx * jnp.int32(BX), 128)
-            return sched_ref[t, pl.ds(c0, W)]
+            return sched_y_ref[t, pl.ds(c0, W)]
 
         def sched_col():
             if nby == 1:
                 r0 = 0  # single row-block: static window
             else:
                 r0 = pl.multiple_of(by * jnp.int32(BY), 8)
-            return sched_ref[pl.ds(r0, Rbuf), t]
+            return sched_x_ref[pl.ds(r0, Rbuf), t]
         if fix_left is not None:
             if fix_left == "sched":
                 col = sched_col()
@@ -442,12 +443,15 @@ def _build_kernel_body(
                 def _(c=c):
                     getattr(c, action)()
 
-    sched_on = "sched" in (fix_left, fix_right, fix_bottom, fix_top)
+    sched_y_on = "sched" in (fix_bottom, fix_top)
+    sched_x_on = "sched" in (fix_left, fix_right)
 
     def kernel(*refs):
-        sched_ref = None
-        if sched_on:
-            sched_ref, refs = refs[0], refs[1:]
+        sched_y_ref = sched_x_ref = None
+        if sched_y_on:
+            sched_y_ref, refs = refs[0], refs[1:]
+        if sched_x_on:
+            sched_x_ref, refs = refs[0], refs[1:]
         if slab_mode:
             flags_ref, tile_ref, xh_ref, yh_ref, out_ref, a_scratch, b_scratch, sems = refs
             in_refs = (tile_ref, xh_ref, yh_ref)
@@ -507,7 +511,7 @@ def _build_kernel_body(
             src = bufs[t % 2]
             dst = bufs[(t + 1) % 2]
             if not prepadded:
-                apply_fixups(src, bx, by, flags_ref, t, sched_ref)
+                apply_fixups(src, bx, by, flags_ref, t, sched_y_ref, sched_x_ref)
             if fullslab:
                 # Full-slab form: compute ALL (Rbuf, W) points every
                 # sub-step with circular rolls for the four neighbor
@@ -634,17 +638,15 @@ def _build_multistep_call_cached(
     if not interpret and (compute_dtype != jnp.float32 or x64):
         return None
     # Scheduled ghost rows/columns (one-sided periodic; see
-    # _ghost_schedule / slab_ghost_schedule / slab_ghost_schedule_x) ride
-    # a small pipelined VMEM input.  Row schedules: single-device
-    # fused-DMA and sharded slab layouts; column schedules: slab only
-    # (single-device handles one-sided-x by transposing).  The assembled
-    # and pre-padded paths do not plumb either.
+    # _ghost_schedule / _ghost_schedule_x / slab_ghost_schedule /
+    # slab_ghost_schedule_x) ride small pipelined VMEM inputs.  Both the
+    # single-device fused-DMA and the sharded slab layouts plumb row AND
+    # column schedules (both at once for both-axes-one-sided configs);
+    # the assembled and pre-padded paths plumb neither.
     sched_y = fix_bottom == "sched" or fix_top == "sched"
     sched_x = fix_left == "sched" or fix_right == "sched"
     sched_on = sched_y or sched_x
-    if sched_y and not (slab_mode or (fused_dma and not sharded)):
-        return None
-    if sched_x and not slab_mode:
+    if sched_on and not (slab_mode or (fused_dma and not sharded)):
         return None
     if not interpret:
         # Mosaic lowers only on TPU; an explicitly-requested Pallas kernel
@@ -733,17 +735,22 @@ def _build_multistep_call_cached(
     if sharded:
         in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
     if sched_on:
-        # Ghost schedule, whole-array VMEM block for every program
+        # Ghost schedules, whole-array VMEM blocks for every program
         # (tiny), pipelined by pallas itself.  Row schedule (one-sided y):
-        # (k, nx + 2*_XPAD).  Column schedule (one-sided x, slab mode):
+        # (k, nx + 2*_XPAD).  Column schedule (one-sided x):
         # (ny + 2*khalo, 128) — lane t holds sub-step t's ghost column,
-        # so the in-kernel read is a plain column slice.
-        sched_shape = (
-            (k, nx + 2 * _XPAD) if sched_y else (ny + 2 * khalo, 128)
-        )
-        in_specs = [
-            pl.BlockSpec(sched_shape, lambda b: (0, 0), memory_space=pltpu.VMEM)
-        ] + in_specs
+        # so the in-kernel read is a plain column slice.  Input order when
+        # both are active: [row schedule, column schedule, ...].
+        sched_specs = []
+        if sched_y:
+            sched_specs.append(pl.BlockSpec(
+                (k, nx + 2 * _XPAD), lambda b: (0, 0), memory_space=pltpu.VMEM
+            ))
+        if sched_x:
+            sched_specs.append(pl.BlockSpec(
+                (ny + 2 * khalo, 128), lambda b: (0, 0), memory_space=pltpu.VMEM
+            ))
+        in_specs = sched_specs + in_specs
     call = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
@@ -865,32 +872,88 @@ def _ghost_schedule(
     return jnp.concatenate([left, interior, right], axis=1)
 
 
-def _fixes_and_side(cfg: SimConfig, k: int, x_sched: bool = False):
+def _ghost_schedule_x(
+    u: jnp.ndarray, cfg: SimConfig, dt: float, k: int, khalo: int, side: str
+) -> jnp.ndarray:
+    """Per-sub-step ghost COLUMNS for a one-sided-periodic X side
+    (single-device fused-DMA layout) — the column sibling of
+    :func:`_ghost_schedule`.
+
+    Evolve the opposite x edge's strip (full height, k+1 columns —
+    staleness creeps one column/step from the interior cut) with the jnp
+    oracle step, re-pinning ALL other ghosts per sub-step via
+    ``pad_with_ghosts``: the far x side gets its real BC, and the y sides
+    get the config's real BCs — including a one-sided-periodic y wrap,
+    which re-pins from the strip's own opposite row (the strip is full
+    height, so it contains its own wrap source).  That makes this exact
+    for both-axes-one-sided configs with no cross-schedule coupling.
+
+    Returns (ny + 2*khalo, 128): lane t holds sub-step t's ghost column at
+    schedule row p = global row p - khalo, vertically wrap-tiled so the
+    kernel's per-block window (buffer rows are global rows mod ny in
+    fused-DMA mode) reads the right values at every block; rows behind the
+    physical-y fixup barriers are never consumed.
+    """
+    from .boundary import pad_with_ghosts
+    from .stencil import fused_step
+
+    S = min(cfg.nx, k + 1)
+    if side == "left":
+        strip = u[:, -S:]
+        bc = BCConfig(BCType.NEUMANN, cfg.bc.right, cfg.bc.bottom, cfg.bc.top)
+        cidx = S  # padded col of global col nx-1
+    else:
+        strip = u[:, :S]
+        bc = BCConfig(cfg.bc.left, BCType.NEUMANN, cfg.bc.bottom, cfg.bc.top)
+        cidx = 1  # padded col of global col 0
+    cols = []
+    cur = strip
+    for t in range(k):
+        up = pad_with_ghosts(cur, bc, 0.0, False)
+        cols.append(up[1:-1, cidx])
+        if t + 1 < k:
+            cur = fused_step(up, cfg.D, cfg.vx, cfg.vy, dt, cfg.dx, cfg.dy)
+    cols = jnp.stack(cols, axis=1)  # (ny, k)
+    idx = jnp.arange(-khalo, cfg.ny + khalo) % cfg.ny  # mod-ny wrap tiling
+    ext = cols[idx]
+    pad = jnp.zeros((ext.shape[0], 128 - k), u.dtype)
+    return jnp.concatenate([ext, pad], axis=1)
+
+
+def _fixes_and_sides(cfg: SimConfig, k: int, x_sched: bool = False):
     """The kernel-build BC parameters for a config at pass size k:
-    (fixes 4-list, scheduled_side, wrap_x).  One-sided-periodic-y at k>1
-    marks the periodic side "sched" (ghost-row schedule); with
-    ``x_sched=True`` (slab path only) one-sided-periodic-x likewise marks
-    its side (ghost-COLUMN schedule) — never both (pick_steps_per_pass
-    caps double-one-sided configs at k=1).  Single source for the build
-    sites and the transpose-path probe — they must agree byte-for-byte
-    or a probe would stop matching the runtime build."""
+    (fixes 4-list, scheduled y side, scheduled x side, wrap_x).
+    One-sided-periodic-y at k>1 marks the periodic side "sched"
+    (ghost-row schedule); with ``x_sched=True`` (layouts that plumb a
+    column schedule: the sharded slab path and the single-device
+    fused-DMA path) one-sided-periodic-x likewise marks its side
+    (ghost-COLUMN schedule).  BOTH may be set at once — a both-axes
+    one-sided config takes a row schedule and a column schedule
+    together.  ``wrap_x`` requests wrap data in the x pads; a scheduled
+    x side re-pins its ghost column per sub-step instead (the pads
+    behind that barrier are never consumed), so it suppresses the wrap
+    strips.  Single source for the build sites and the transpose-path
+    probe — they must agree byte-for-byte or a probe would stop
+    matching the runtime build."""
     compat = cfg.strict_reference_compat
     fixes = [
         _fixup_side(cfg.bc.left, compat), _fixup_side(cfg.bc.right, compat),
         _fixup_side(cfg.bc.bottom, compat), _fixup_side(cfg.bc.top, compat),
     ]
-    side = None
+    side_y = None
+    side_x = None
     if k > 1 and one_sided_periodic_y(cfg):
-        side = "bottom" if cfg.bc.bottom == BCType.PERIODIC else "top"
-        fixes[2 if side == "bottom" else 3] = "sched"
-    elif k > 1 and x_sched and one_sided_periodic_x(cfg):
-        side = "left" if cfg.bc.left == BCType.PERIODIC else "right"
-        fixes[0 if side == "left" else 1] = "sched"
+        side_y = "bottom" if cfg.bc.bottom == BCType.PERIODIC else "top"
+        fixes[2 if side_y == "bottom" else 3] = "sched"
+    if k > 1 and x_sched and one_sided_periodic_x(cfg):
+        side_x = "left" if cfg.bc.left == BCType.PERIODIC else "right"
+        fixes[0 if side_x == "left" else 1] = "sched"
     wrap_x = (
         not compat
         and (cfg.bc.left == BCType.PERIODIC or cfg.bc.right == BCType.PERIODIC)
+        and side_x is None
     )
-    return fixes, side, wrap_x
+    return fixes, side_y, side_x, wrap_x
 
 
 def multistep_kernel_step(
@@ -917,16 +980,15 @@ def multistep_kernel_step(
             out = nxt
         return out
 
-    if k > 1 and one_sided_periodic_x(cfg):
-        # Multi-step fusion cannot honor one-sided-periodic-x semantics
-        # (ghost COLUMNS have no schedule path; see one_sided_periodic).
-        return stepwise()
     ny, nx = u.shape
     compat = cfg.strict_reference_compat
-    # One-sided-y: the periodic side's ghost row is re-supplied per
-    # sub-step from a precomputed schedule of the opposite edge's
-    # evolution (side is not None).
-    fixes, side, wrap_x = _fixes_and_side(cfg, k)
+    # One-sided periodic sides are re-supplied per sub-step from
+    # precomputed schedules of the opposite edge's evolution: a ghost-row
+    # schedule for a y side, a ghost-column schedule for an x side — both
+    # at once for both-axes-one-sided configs (the schedules are
+    # independent: each strip is full-extent along the other axis, so it
+    # contains its own wrap source; see _ghost_schedule / _ghost_schedule_x).
+    fixes, side_y, side_x, wrap_x = _fixes_and_sides(cfg, k, x_sched=True)
     rest = (
         float(dt), float(cfg.D), float(cfg.vx), float(cfg.vy),
         float(cfg.dx), float(cfg.dy), 0.0, *fixes, wrap_x,
@@ -937,10 +999,13 @@ def multistep_kernel_step(
         jnp.dtype(u.dtype).name, interpret,
     )
     if call is not None:
-        if side is not None:
-            return call(_ghost_schedule(u, cfg, dt, k, side), u)
-        return call(u)
-    if side is not None:
+        args = []
+        if side_y is not None:
+            args.append(_ghost_schedule(u, cfg, dt, k, side_y))
+        if side_x is not None:
+            args.append(_ghost_schedule_x(u, cfg, dt, k, khalo8, side_x))
+        return call(*args, u)
+    if side_y is not None or side_x is not None:
         # Scheduled ghosts exist only in the fused-DMA layout; grids it
         # cannot fit fall back to exact single-step passes.
         return stepwise()
@@ -1262,7 +1327,7 @@ def sharded_tile_slab_multistep(
         # callers use k=1 passes instead.
         return None
     my, mx = probe_shape if probe else tile.shape
-    fixes, side, _ = _fixes_and_side(cfg, k, x_sched=True)
+    fixes, side_y, side_x, _ = _fixes_and_sides(cfg, k, x_sched=True)
     # khalo is k rounded up to a sublane tile: remainder passes (k < 8)
     # exchange 8-wide slabs and simply use fewer sub-steps.
     khalo8 = -(-k // 8) * 8
@@ -1274,15 +1339,16 @@ def sharded_tile_slab_multistep(
     )
     if probe or call is None:
         return call
-    if side in ("bottom", "top"):
-        sched = slab_ghost_schedule(yhalo, edge_flags, cfg, dt, k, khalo8, side)
-        return call(sched, edge_flags.astype(jnp.int32), tile, xhalo, yhalo)
-    if side in ("left", "right"):
-        sched = slab_ghost_schedule_x(
-            xhalo, yhalo, edge_flags, cfg, dt, k, khalo8, side
+    scheds = []
+    if side_y is not None:
+        scheds.append(
+            slab_ghost_schedule(yhalo, edge_flags, cfg, dt, k, khalo8, side_y)
         )
-        return call(sched, edge_flags.astype(jnp.int32), tile, xhalo, yhalo)
-    return call(edge_flags.astype(jnp.int32), tile, xhalo, yhalo)
+    if side_x is not None:
+        scheds.append(slab_ghost_schedule_x(
+            xhalo, yhalo, edge_flags, cfg, dt, k, khalo8, side_x
+        ))
+    return call(*scheds, edge_flags.astype(jnp.int32), tile, xhalo, yhalo)
 
 
 def sharded_layout_available(
@@ -1376,16 +1442,13 @@ def pick_steps_per_pass(
     ``y_sched=True`` (callers whose layout supports the ghost-row
     schedule: the single-device fused-DMA advance and the sharded slab
     path) lifts the cap for one-sided-periodic-in-y configs;
-    ``x_sched=True`` (the sharded slab path only — single-device handles
-    one-sided-x by transposing onto the y machinery) likewise for
-    one-sided-periodic-in-x.  Both axes one-sided at once always caps
-    (the two schedules would need each other's output).  When no
-    schedule-capable layout fits the grid those callers fall back to k=1
-    passes themselves.
+    ``x_sched=True`` (the same two layouts, via a ghost-COLUMN schedule)
+    likewise for one-sided-periodic-in-x — including BOTH axes one-sided
+    at once (row + column schedules together).  When no schedule-capable
+    layout fits the grid those callers fall back to k=1 passes
+    themselves.
     """
     osx, osy = one_sided_periodic_x(cfg), one_sided_periodic_y(cfg)
-    if osx and osy:
-        return 1
     if (osx and not x_sched) or (osy and not y_sched):
         return 1
     k = min(8, chunk, max(1, cfg.nx // 32), max(1, cfg.ny // 32))
@@ -1433,7 +1496,7 @@ def build_multistep_advance(
         # exact parameters multistep_kernel_step would use — shared via
         # _fixes_and_side); otherwise the transposes buy nothing over the
         # untransposed k=1 passes (e.g. bf16 on hardware never lowers).
-        tfix, _tside, twrap = _fixes_and_side(tcfg, 8)
+        tfix, _tside_y, _tside_x, twrap = _fixes_and_sides(tcfg, 8)
         dtype_name = {"f32": "float32", "f64": "float64", "bf16": "bfloat16"}.get(
             getattr(cfg, "precision", "f32"), "float32"
         )
@@ -1465,7 +1528,7 @@ def build_multistep_advance(
 
     @functools.lru_cache(maxsize=None)
     def advance(chunk: int):
-        k = pick_steps_per_pass(cfg, chunk, y_sched=True)
+        k = pick_steps_per_pass(cfg, chunk, y_sched=True, x_sched=True)
 
         def body(u):
             n = 0

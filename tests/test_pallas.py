@@ -270,11 +270,11 @@ ONE_SIDED = [
 def test_one_sided_periodic_matches_oracle(bcs, axis):
     """Exactly one side of an axis periodic (the reference's own dev.yaml
     mixes bottom=periodic top=dirichlet): the wrap ghost must track the
-    opposite edge's CURRENT line every step.  One-sided-x caps passes at
-    one step; one-sided-y takes the fused ghost-row-schedule path at full
-    k — both must stay oracle-exact.  (Regression: naive k=8 fusion
-    contaminated the periodic-edge rows/cols at ~1e-3 for hotspots near
-    the edge.)"""
+    opposite edge's CURRENT line every step.  One-sided-y takes the fused
+    ghost-row schedule, one-sided-x the fused ghost-COLUMN schedule —
+    both at full k, both must stay oracle-exact.  (Regression: naive k=8
+    fusion contaminated the periodic-edge rows/cols at ~1e-3 for hotspots
+    near the edge.)"""
     cfg = make_cfg(128, 64, bcs, vx=1.0, vy=0.5)
     u = gaussian_hotspot(cfg, jnp.float32)
     # park mass against the periodic edge so contamination is visible
@@ -376,15 +376,110 @@ def test_one_sided_periodic_caps_pass_size():
     cfg = make_cfg(128, 64, ONE_SIDED[0][0])  # one-sided in x
     assert one_sided_periodic(cfg) and one_sided_periodic_x(cfg)
     assert pick_steps_per_pass(cfg, 100) == 1
-    assert pick_steps_per_pass(cfg, 100, y_sched=True) == 1  # x has no schedule
-    # one-sided in y: capped by default (sharded paths), fused with y_sched
+    assert pick_steps_per_pass(cfg, 100, y_sched=True) == 1  # x needs x_sched
+    assert pick_steps_per_pass(cfg, 100, x_sched=True) == 2  # 64 // 32
+    # one-sided in y: capped by default (non-sched paths), fused with y_sched
     cfgy = make_cfg(256, 256, ONE_SIDED[2][0])
     assert one_sided_periodic_y(cfgy) and not one_sided_periodic_x(cfgy)
     assert pick_steps_per_pass(cfgy, 100) == 1
     assert pick_steps_per_pass(cfgy, 100, y_sched=True) == 8
+    # both axes one-sided: fuses only when BOTH schedule layouts exist
+    cfgb = make_cfg(256, 256, BOTH_AXES[0])
+    assert one_sided_periodic_x(cfgb) and one_sided_periodic_y(cfgb)
+    assert pick_steps_per_pass(cfgb, 100) == 1
+    assert pick_steps_per_pass(cfgb, 100, y_sched=True) == 1
+    assert pick_steps_per_pass(cfgb, 100, x_sched=True) == 1
+    assert pick_steps_per_pass(cfgb, 100, y_sched=True, x_sched=True) == 8
     # both-sides-periodic and compat mixes fuse normally
     cfg2 = make_cfg(256, 256, P4)
     assert not one_sided_periodic(cfg2)
     assert pick_steps_per_pass(cfg2, 100) == 8
     cfg3 = make_cfg(128, 64, ONE_SIDED[0][0], compat=True)
     assert not one_sided_periodic(cfg3)
+
+
+BOTH_AXES = [
+    # all four corner orientations (periodic side of y x periodic side of x)
+    (BCType.PERIODIC, BCType.DIRICHLET, BCType.PERIODIC, BCType.NEUMANN),
+    (BCType.PERIODIC, BCType.NEUMANN, BCType.NEUMANN, BCType.PERIODIC),
+    (BCType.DIRICHLET, BCType.PERIODIC, BCType.PERIODIC, BCType.DIRICHLET),
+    (BCType.NEUMANN, BCType.PERIODIC, BCType.DIRICHLET, BCType.PERIODIC),
+]
+
+
+@pytest.mark.parametrize("bcs", BOTH_AXES)
+def test_both_axes_one_sided_fuses_full_k(bcs):
+    """BOTH axes one-sided-periodic fuse at full k: the ghost-row and
+    ghost-COLUMN schedules run together (each strip is full-extent along
+    the other axis, so each evolves standalone — no cross-schedule
+    coupling).  k = 8 = khalo runs the creep margins at zero slack; mass
+    is parked against every edge so corner contamination is visible."""
+    cfg = make_cfg(256, 256, bcs, vx=0.3, vy=-0.5)
+    assert pick_steps_per_pass(cfg, 16, y_sched=True, x_sched=True) == 8
+    u = gaussian_hotspot(cfg, jnp.float32)
+    u = (
+        u
+        + 0.5 * jnp.roll(u, cfg.ny // 2 - 2, axis=0)
+        + 0.5 * jnp.roll(u, cfg.nx // 2 - 2, axis=1)
+    )
+    ref = oracle(u, cfg, 8)
+    out = multistep_kernel_step(u, cfg, cfg.dt, 8, interpret=True)
+    assert out is not None
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_both_axes_one_sided_chunk_and_blocked_grids():
+    """Both-axes scheduled fusion through the chunk advance (k=8 passes +
+    a kk=3 remainder) and on multi-block grids (nbx > 1 wide: dynamic
+    row-schedule windows; nby > 1 tall: dynamic column-schedule
+    windows)."""
+    cases = [
+        (256, 256, 19),   # single block, remainder pass
+        (2560, 64, 4),    # nbx = 2 (BX = 1280)
+        (128, 2048, 4),   # nby = 4 (BY = 512)
+    ]
+    for nx, ny, steps in cases:
+        cfg = make_cfg(nx, ny, BOTH_AXES[0], vx=-0.7, vy=0.9)
+        u = gaussian_hotspot(cfg, jnp.float32)
+        u = (
+            u
+            + 0.5 * jnp.roll(u, ny // 2 - 2, axis=0)
+            + 0.5 * jnp.roll(u, nx // 2 - 2, axis=1)
+        )
+        ref = oracle(u, cfg, steps)
+        adv = build_multistep_advance(cfg, cfg.dt, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(adv(steps)(u)), np.asarray(ref), atol=5e-5,
+            err_msg=f"{nx}x{ny}",
+        )
+
+
+def test_both_axes_one_sided_odd_grid_falls_back_stepwise():
+    """Grids the fused-DMA layout cannot fit fall back to exact
+    single-step passes for both-axes-one-sided configs."""
+    cfg = make_cfg(120, 48, BOTH_AXES[2], vx=0.3, vy=-0.5)
+    u = gaussian_hotspot(cfg, jnp.float32)
+    ref = oracle(u, cfg, 8)
+    out = multistep_kernel_step(u, cfg, cfg.dt, 8, interpret=True)
+    assert out is not None
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
+
+
+def test_one_sided_x_direct_column_schedule_kernel():
+    """One-sided-periodic-x alone also fuses at the KERNEL level via the
+    ghost-COLUMN schedule (no transpose; the chunk advance may still
+    prefer the transposed layout), including with a two-sided-periodic y
+    axis (wrap rows in the column schedule's strip evolution)."""
+    for bcs in [
+        (BCType.PERIODIC, BCType.DIRICHLET, BCType.NEUMANN, BCType.DIRICHLET),
+        (BCType.DIRICHLET, BCType.PERIODIC, BCType.PERIODIC, BCType.PERIODIC),
+    ]:
+        cfg = make_cfg(256, 128, bcs, vx=-0.7, vy=0.9)
+        u = gaussian_hotspot(cfg, jnp.float32)
+        u = u + 0.5 * jnp.roll(u, cfg.nx // 2 - 2, axis=1)
+        ref = oracle(u, cfg, 4)
+        out = multistep_kernel_step(u, cfg, cfg.dt, 4, interpret=True)
+        assert out is not None
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5, err_msg=str(bcs)
+        )
