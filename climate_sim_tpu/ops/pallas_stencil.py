@@ -1112,6 +1112,59 @@ def tile_region_multistep(
     return call(padded)
 
 
+def _corner_patch_states(
+    patch: jnp.ndarray,
+    cfg: SimConfig,
+    dt: float,
+    k: int,
+    far_x_kind: str,
+    far_y_kind: str,
+    x_far_high: bool,
+    y_far_high: bool,
+):
+    """Evolve the (khalo, khalo) corner wrap block standalone, returning
+    its state before each sub-step ``[P_0 .. P_{k-1}]``.
+
+    For both-axes one-sided-periodic meshes, each slab schedule's strip
+    contains a wrap block copied from the opposite corner of the global
+    field (delivered by the slab exchanges).  That block's correct
+    evolution needs the OPPOSITE edges' BCs at its two outer sides — and
+    both of those are the axes' NON-periodic sides, so the patch evolves
+    with no wrap inputs at all: re-pin the far-x/far-y ghost lines per
+    sub-step, let staleness creep from the two cut sides (khalo >= k
+    keeps the rows/columns the schedules read exact through t = k-1).
+    The schedules overwrite their strip's wrap block with ``P_t`` before
+    sub-step t, flag-gated to the shards whose block actually holds wrap
+    data."""
+    wc, wxm, wxp, wym, wyp = _stencil_weights(
+        dt, cfg.D, cfg.vx, cfg.vy, cfg.dx, cfg.dy
+    )
+    states = [patch]
+    cur = patch
+    for _ in range(k - 1):
+        h = cur.shape[0]
+        gx = _bc_ghost_line(far_x_kind, cur[:, -1] if x_far_high else cur[:, 0])
+        zx = jnp.zeros((h, 1), cur.dtype)
+        if x_far_high:
+            p = jnp.concatenate([zx, cur, gx[:, None]], axis=1)
+        else:
+            p = jnp.concatenate([gx[:, None], cur, zx], axis=1)
+        gy = _bc_ghost_line(far_y_kind, p[-1] if y_far_high else p[0])
+        zy = jnp.zeros((1, p.shape[1]), cur.dtype)
+        if y_far_high:
+            p = jnp.concatenate([zy, p, gy[None, :]], axis=0)
+        else:
+            p = jnp.concatenate([gy[None, :], p, zy], axis=0)
+        c = p[1:-1, 1:-1]
+        cur = (
+            wc * c
+            + wym * p[:-2, 1:-1] + wyp * p[2:, 1:-1]
+            + wxm * p[1:-1, :-2] + wxp * p[1:-1, 2:]
+        )
+        states.append(cur)
+    return states
+
+
 def slab_ghost_schedule(
     yhalo: jnp.ndarray,
     edge_flags: jnp.ndarray,
@@ -1154,6 +1207,27 @@ def slab_ghost_schedule(
         cfg.bc.top if side == "bottom" else cfg.bc.bottom, False
     )
 
+    # Both-axes one-sided: the strip's x pad on the periodic-x side holds
+    # a wrap block from the opposite CORNER, whose evolution needs the
+    # far x BC (torus-roll evolution would contaminate the strip's edge
+    # interior columns from t = 2 on).  Evolve it standalone
+    # (_corner_patch_states) and re-supply it before each sub-step,
+    # flag-gated to the physical-x-edge shards that actually received
+    # wrap data there.
+    patch_states = None
+    if one_sided_periodic_x(cfg):
+        x_left = cfg.bc.left == BCType.PERIODIC
+        pad_cols = (
+            slice(_XPAD - khalo, _XPAD) if x_left
+            else slice(_XPAD + mx, _XPAD + mx + khalo)
+        )
+        x_flag = edge_flags[0] if x_left else edge_flags[1]
+        far_x = _fixup_side(cfg.bc.right if x_left else cfg.bc.left, False)
+        patch_states = _corner_patch_states(
+            strip[:, pad_cols], cfg, dt, k, far_x, far_kind,
+            x_far_high=x_left, y_far_high=(side == "bottom"),
+        )
+
     def x_fix(a):
         # physical x edges re-pinned per step (flag-gated, like the kernel)
         if fix_l is not None:
@@ -1172,6 +1246,9 @@ def slab_ghost_schedule(
     cur = strip
     zrow = jnp.zeros((1, W), dtype)
     for t in range(k):
+        if patch_states is not None and t > 0:
+            blk = jnp.where(x_flag != 0, patch_states[t], cur[:, pad_cols])
+            cur = cur.at[:, pad_cols].set(blk)
         cur = x_fix(cur)
         if side == "bottom":
             edge = cur[-1]
@@ -1211,9 +1288,10 @@ def slab_ghost_schedule_x(
     — together a (my + 2*khalo, khalo) strip with y context.  Evolve it
     k steps with the kernel's weights, re-pinning the strip's physical
     ghosts per step (the far x side with the REAL opposite BC; the y
-    ghost rows flag-gated like the kernel; periodic-y wrap rows evolve by
-    creep, margin khalo >= k), recording the edge column before each
-    step.
+    ghost rows flag-gated like the kernel; two-sided-periodic-y wrap rows
+    evolve by creep, margin khalo >= k; ONE-sided-periodic-y wrap rows
+    are re-supplied per sub-step from :func:`_corner_patch_states`),
+    recording the edge column before each step.
 
     Returns (my + 2*khalo, 128): lane t holds sub-step t's ghost column
     (schedule row p = tile row p - khalo), so the kernel reads it as a
@@ -1258,6 +1336,21 @@ def slab_ghost_schedule_x(
     fix_b = _fixup_side(cfg.bc.bottom, False)
     fix_t = _fixup_side(cfg.bc.top, False)
 
+    # Both-axes one-sided: the strip's y extension on the periodic-y side
+    # holds a wrap block from the opposite CORNER — evolve it standalone
+    # with the far y BC and re-supply per sub-step (see
+    # _corner_patch_states), flag-gated to physical-y-edge shards.
+    patch_states = None
+    if one_sided_periodic_y(cfg):
+        y_bottom = cfg.bc.bottom == BCType.PERIODIC
+        pad_rows = slice(0, khalo) if y_bottom else slice(my + khalo, H)
+        y_flag = edge_flags[2] if y_bottom else edge_flags[3]
+        far_y = _fixup_side(cfg.bc.top if y_bottom else cfg.bc.bottom, False)
+        patch_states = _corner_patch_states(
+            strip[pad_rows], cfg, dt, k, far_kind, far_y,
+            x_far_high=(side == "left"), y_far_high=y_bottom,
+        )
+
     def y_fix(a):
         # the strip's physical y ghost rows, flag-gated like the kernel;
         # periodic y sides keep their exchanged wrap rows (creep-exact)
@@ -1277,6 +1370,9 @@ def slab_ghost_schedule_x(
     cur = strip
     zcol = jnp.zeros((H, 1), dtype)
     for t in range(k):
+        if patch_states is not None and t > 0:
+            blk = jnp.where(y_flag != 0, patch_states[t], cur[pad_rows])
+            cur = cur.at[pad_rows].set(blk)
         cur = y_fix(cur)
         edge = cur[:, edge_col]
         far = _bc_ghost_line(far_kind, edge) if far_kind is not None else edge
@@ -1319,13 +1415,9 @@ def sharded_tile_slab_multistep(
     side's ghost line is re-supplied per sub-step from the shard-local
     :func:`slab_ghost_schedule` (y sides) or
     :func:`slab_ghost_schedule_x` (x sides), flag-gated to physical-edge
-    shards.  Both axes one-sided at once keeps the k=1 cap (the two
-    schedules would need each other's output).
+    shards — both at once for both-axes-one-sided configs (the
+    cross-corner coupling is resolved by :func:`_corner_patch_states`).
     """
-    if k > 1 and one_sided_periodic_x(cfg) and one_sided_periodic_y(cfg):
-        # No multi-step layout when BOTH axes are one-sided-periodic;
-        # callers use k=1 passes instead.
-        return None
     my, mx = probe_shape if probe else tile.shape
     fixes, side_y, side_x, _ = _fixes_and_sides(cfg, k, x_sched=True)
     # khalo is k rounded up to a sublane tile: remainder passes (k < 8)
@@ -1419,12 +1511,15 @@ def one_sided_periodic(cfg: SimConfig) -> bool:
     is the opposite edge's line evolved t steps, precomputed outside the
     kernel (Y: :func:`_ghost_schedule` single-device,
     :func:`slab_ghost_schedule` shard-local on the slab path.  X:
-    :func:`transposed_config` transposes single-device runs onto the y
-    machinery; :func:`slab_ghost_schedule_x` is the sharded column
-    analogue).  The remaining cases — BOTH axes one-sided at once (each
-    schedule would need the other's output), the assembled/overlap
-    sharded fallbacks, and grids the fused/slab layouts cannot fit —
-    keep the exact k=1 cap.
+    :func:`_ghost_schedule_x` single-device — :func:`transposed_config`
+    can alternatively transpose onto the y machinery —
+    :func:`slab_ghost_schedule_x` sharded).  BOTH axes one-sided at once
+    run a row and a column schedule together: each strip evolves
+    standalone (single-device strips are full-extent along the other
+    axis; the slab strips' corner wrap blocks are re-supplied from the
+    standalone :func:`_corner_patch_states` evolution).  Only the
+    assembled/overlap sharded fallbacks and grids the fused/slab layouts
+    cannot fit keep the exact k=1 cap.
     """
     return one_sided_periodic_x(cfg) or one_sided_periodic_y(cfg)
 

@@ -225,7 +225,9 @@ def build_sharded_multistep_advance(
     tile_cfg = dataclasses.replace(cfg, nx=mx, ny=my)
     # y_sched/x_sched: the slab path fuses one-sided-periodic configs at
     # full k via the shard-local ghost schedules (slab_ghost_schedule /
-    # slab_ghost_schedule_x); both-axes-one-sided stays capped.
+    # slab_ghost_schedule_x) — including both axes one-sided at once
+    # (row + column schedules together, corner coupling resolved by
+    # _corner_patch_states).
     k = pick_steps_per_pass(
         tile_cfg, cfg.out_every or 8, y_sched=True, x_sched=True
     )

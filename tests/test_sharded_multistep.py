@@ -333,16 +333,56 @@ def test_sharded_schedule_full_k8_tightest_margin(bcs, axis, mesh_shape):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
 
 
-def test_sharded_both_axes_one_sided_caps_and_stays_exact():
-    """Both axes one-sided-periodic: no schedule path exists (each would
-    need the other's output), so the dispatcher caps at k=1 and must stay
-    oracle-exact."""
-    bcs = (BCType.PERIODIC, BCType.DIRICHLET, BCType.PERIODIC, BCType.NEUMANN)
-    cfg = make_cfg(256, 128, bcs)
+@pytest.mark.parametrize("mesh_shape,bcs", [
+    ((2, 4), (BCType.PERIODIC, BCType.DIRICHLET, BCType.PERIODIC, BCType.NEUMANN)),
+    ((4, 2), (BCType.PERIODIC, BCType.NEUMANN, BCType.NEUMANN, BCType.PERIODIC)),
+    ((2, 2), (BCType.DIRICHLET, BCType.PERIODIC, BCType.PERIODIC, BCType.DIRICHLET)),
+    ((1, 8), (BCType.NEUMANN, BCType.PERIODIC, BCType.DIRICHLET, BCType.PERIODIC)),
+    ((8, 1), (BCType.PERIODIC, BCType.DIRICHLET, BCType.NEUMANN, BCType.PERIODIC)),
+])
+def test_sharded_both_axes_one_sided_schedules(mesh_shape, bcs):
+    """BOTH axes one-sided-periodic fuse at full k on the slab path: the
+    ghost-row and ghost-COLUMN schedules run together, with each strip's
+    corner wrap block re-supplied from the standalone corner-patch
+    evolution (_corner_patch_states).  All four corner orientations,
+    self-wrap axes (1x8 / 8x1), and a remainder pass; mass parked against
+    both periodic edges."""
+    px, py = mesh_shape
+    mx, my = 128, 64
+    cfg = make_cfg(mx * px, my * py, bcs)
     u = gaussian_hotspot(cfg, jnp.float32)
-    ref = oracle(u, cfg, 8)
+    u = (
+        u
+        + 0.5 * jnp.roll(u, cfg.ny // 2 - 2, axis=0)
+        + 0.5 * jnp.roll(u, cfg.nx // 2 - 2, axis=1)
+    )
+    ref = oracle(u, cfg, 19)
+    mesh = make_mesh(px, py)
+    adv = build_sharded_multistep_advance(cfg, mesh, cfg.dt, interpret=True)
+    assert adv is not None and adv.uses_slabs
+    out = adv(19)(jax.device_put(u, field_sharding(mesh)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
+
+
+def test_sharded_both_axes_corner_mass_full_k8():
+    """Both-axes schedules at k = khalo = 8 (zero creep slack in the
+    strips AND the corner patch) with mass parked at the wrap-source
+    CORNER — the exact region a stale/torus-evolved corner block
+    contaminates (verified load-bearing: a frozen patch fails this at
+    ~1e-5 by step 16)."""
+    bcs = (BCType.PERIODIC, BCType.DIRICHLET, BCType.PERIODIC, BCType.NEUMANN)
+    cfg = make_cfg(512, 512, bcs, out_every=16)
+    tile_cfg = make_cfg(256, 256, bcs, out_every=16)
+    from climate_sim_tpu.ops.pallas_stencil import pick_steps_per_pass
+
+    assert pick_steps_per_pass(tile_cfg, 16, y_sched=True, x_sched=True) == 8
+    u = gaussian_hotspot(cfg, jnp.float32)
+    u = u + jnp.roll(
+        jnp.roll(u, cfg.ny // 2 - 4, axis=0), cfg.nx // 2 - 4, axis=1
+    )
+    ref = oracle(u, cfg, 16)
     mesh = make_mesh(2, 2)
     adv = build_sharded_multistep_advance(cfg, mesh, cfg.dt, interpret=True)
-    assert adv is not None
-    out = adv(8)(jax.device_put(u, field_sharding(mesh)))
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
+    assert adv is not None and adv.uses_slabs
+    out = adv(16)(jax.device_put(u, field_sharding(mesh)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
