@@ -8,9 +8,10 @@ against the float64 CPU oracle computed in-process:
   paths:  single-device fused multi-step | sharded slab (1x1 mesh) |
           sharded overlap | sharded per-step fallback
   BCs:    all-dirichlet | all-neumann | torus | mixed |
-          one-sided-y (ghost-row schedule / transposed) |
+          one-sided-y (ghost-row schedule) |
           one-sided-x (transpose / ghost-column schedule) |
-          reference-compat
+          both-axes one-sided (row + column schedules + corner patch,
+          both corner orientations) | reference-compat
   plus a non-128-multiple grid (assembled fallback) per path.
 
 Prints one line per case and exits nonzero on any mismatch.  Runtime:
@@ -64,6 +65,7 @@ def main() -> int:
         "one_sided_y": (P, P, P, D),
         "one_sided_x": (P, D, N, D),
         "both_one_sided": (P, D, P, N),
+        "both_one_sided2": (D, P, N, P),
     }
 
     def cfg_for(bcs, nx, ny, compat=False):
