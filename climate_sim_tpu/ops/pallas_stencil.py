@@ -1173,6 +1173,7 @@ def slab_ghost_schedule(
     k: int,
     khalo: int,
     side: str,
+    corner_states=None,
 ) -> jnp.ndarray:
     """Sharded ghost-row schedule from the exchanged y slab (shard-local).
 
@@ -1222,11 +1223,14 @@ def slab_ghost_schedule(
             else slice(_XPAD + mx, _XPAD + mx + khalo)
         )
         x_flag = edge_flags[0] if x_left else edge_flags[1]
-        far_x = _fixup_side(cfg.bc.right if x_left else cfg.bc.left, False)
-        patch_states = _corner_patch_states(
-            strip[:, pad_cols], cfg, dt, k, far_x, far_kind,
-            x_far_high=x_left, y_far_high=(side == "bottom"),
-        )
+        if corner_states is not None:
+            patch_states = corner_states
+        else:
+            far_x = _fixup_side(cfg.bc.right if x_left else cfg.bc.left, False)
+            patch_states = _corner_patch_states(
+                strip[:, pad_cols], cfg, dt, k, far_x, far_kind,
+                x_far_high=x_left, y_far_high=(side == "bottom"),
+            )
 
     def x_fix(a):
         # physical x edges re-pinned per step (flag-gated, like the kernel)
@@ -1278,6 +1282,7 @@ def slab_ghost_schedule_x(
     k: int,
     khalo: int,
     side: str,
+    corner_states=None,
 ) -> jnp.ndarray:
     """Sharded ghost-COLUMN schedule for one-sided-periodic-x meshes.
 
@@ -1345,11 +1350,14 @@ def slab_ghost_schedule_x(
         y_bottom = cfg.bc.bottom == BCType.PERIODIC
         pad_rows = slice(0, khalo) if y_bottom else slice(my + khalo, H)
         y_flag = edge_flags[2] if y_bottom else edge_flags[3]
-        far_y = _fixup_side(cfg.bc.top if y_bottom else cfg.bc.bottom, False)
-        patch_states = _corner_patch_states(
-            strip[pad_rows], cfg, dt, k, far_kind, far_y,
-            x_far_high=(side == "left"), y_far_high=y_bottom,
-        )
+        if corner_states is not None:
+            patch_states = corner_states
+        else:
+            far_y = _fixup_side(cfg.bc.top if y_bottom else cfg.bc.bottom, False)
+            patch_states = _corner_patch_states(
+                strip[pad_rows], cfg, dt, k, far_kind, far_y,
+                x_far_high=(side == "left"), y_far_high=y_bottom,
+            )
 
     def y_fix(a):
         # the strip's physical y ghost rows, flag-gated like the kernel;
@@ -1431,14 +1439,39 @@ def sharded_tile_slab_multistep(
     )
     if probe or call is None:
         return call
+    # Both-axes: the two schedules' strips share ONE corner wrap block
+    # (identical source data, far BCs, and orientation) — evolve it once
+    # and hand the states to both builders, which keeps their corner data
+    # identical by construction and avoids a duplicate evolution.
+    corner = None
+    if side_y is not None and side_x is not None:
+        y_rows = (
+            slice(0, khalo8) if side_y == "bottom"
+            else slice(khalo8, 2 * khalo8)
+        )
+        x_cols = (
+            slice(_XPAD - khalo8, _XPAD) if side_x == "left"
+            else slice(_XPAD + mx, _XPAD + mx + khalo8)
+        )
+        far_x = _fixup_side(
+            cfg.bc.right if side_x == "left" else cfg.bc.left, False
+        )
+        far_y = _fixup_side(
+            cfg.bc.top if side_y == "bottom" else cfg.bc.bottom, False
+        )
+        corner = _corner_patch_states(
+            yhalo[y_rows, x_cols], cfg, dt, k, far_x, far_y,
+            x_far_high=(side_x == "left"), y_far_high=(side_y == "bottom"),
+        )
     scheds = []
     if side_y is not None:
-        scheds.append(
-            slab_ghost_schedule(yhalo, edge_flags, cfg, dt, k, khalo8, side_y)
-        )
+        scheds.append(slab_ghost_schedule(
+            yhalo, edge_flags, cfg, dt, k, khalo8, side_y, corner_states=corner
+        ))
     if side_x is not None:
         scheds.append(slab_ghost_schedule_x(
-            xhalo, yhalo, edge_flags, cfg, dt, k, khalo8, side_x
+            xhalo, yhalo, edge_flags, cfg, dt, k, khalo8, side_x,
+            corner_states=corner,
         ))
     return call(*scheds, edge_flags.astype(jnp.int32), tile, xhalo, yhalo)
 
@@ -1573,11 +1606,15 @@ def build_multistep_advance(
     """``advance(chunk)`` -> jitted fn advancing the global field ``chunk``
     steps via multi-step kernel passes (single-device / GSPMD path).
 
-    One-sided-periodic-**x** configs (no ghost-COLUMN schedule exists) are
-    advanced on the TRANSPOSED field when the transposed grid fits the
-    fused ghost-row-schedule layout: two transposes per chunk (~2/chunk
-    extra HBM passes, <2% at the driver's chunk sizes) buy the full k=8
-    fusion of the y-schedule path instead of the k=1 cap.
+    One-sided-periodic-**x**-only configs are advanced on the TRANSPOSED
+    field when the transposed grid fits the fused ghost-row-schedule
+    layout: two transposes per chunk (~2/chunk extra HBM passes) keep the
+    row-schedule kernel, measured faster than the direct ghost-COLUMN
+    schedule (172.2 vs 142.0 Gpt/s at 4096² — the column fixup's strided
+    stores cost more than the transposes).  Where the transposed layout
+    does not fit, multistep_kernel_step's direct ``_ghost_schedule_x``
+    path still fuses at full k; both-axes-one-sided configs always take
+    the direct row+column-schedule path (transposing cannot help there).
     """
     from .boundary import pad_with_ghosts
     from .stencil import fused_step
@@ -1589,8 +1626,8 @@ def build_multistep_advance(
         # Only worth it when the transposed grid actually takes the fused
         # scheduled layout AT THE RUN'S DTYPE (probe one k=8 build, the
         # exact parameters multistep_kernel_step would use — shared via
-        # _fixes_and_side); otherwise the transposes buy nothing over the
-        # untransposed k=1 passes (e.g. bf16 on hardware never lowers).
+        # _fixes_and_sides); otherwise the transposes buy nothing over the
+        # untransposed passes (e.g. bf16 on hardware never lowers).
         tfix, _tside_y, _tside_x, twrap = _fixes_and_sides(tcfg, 8)
         dtype_name = {"f32": "float32", "f64": "float64", "bf16": "bfloat16"}.get(
             getattr(cfg, "precision", "f32"), "float32"

@@ -64,8 +64,13 @@ def main() -> int:
         "mixed": (D, N, P, P),
         "one_sided_y": (P, P, P, D),
         "one_sided_x": (P, D, N, D),
-        "both_one_sided": (P, D, P, N),
-        "both_one_sided2": (D, P, N, P),
+        # all four corner orientations: the sched fixups differ per side
+        # (left/right column writes, bottom/top ghost rows, four distinct
+        # corner-patch orientations), so every pair must lower on hardware
+        "both_os_lb": (P, D, P, N),
+        "both_os_rt": (D, P, N, P),
+        "both_os_lt": (P, N, D, P),
+        "both_os_rb": (N, P, P, D),
     }
 
     def cfg_for(bcs, nx, ny, compat=False):
