@@ -43,6 +43,12 @@ def main() -> int:
     ap.add_argument("--paths", nargs="+",
                     default=["single", "slab", "overlap"],
                     choices=["single", "slab", "overlap", "perstep"])
+    ap.add_argument("--bc", default="bench",
+                    choices=["bench", "dirichlet", "one_sided_y",
+                             "one_sided_x", "both_one_sided"],
+                    help="BC class (bench = the canonical mixed workload; "
+                         "the one-sided classes time the ghost-schedule "
+                         "paths)")
     a = ap.parse_args()
 
     import jax
@@ -64,6 +70,16 @@ def main() -> int:
     from climate_sim_tpu.parallel.mesh import field_sharding, make_mesh
 
     cfg = bench_config(a.nx, a.ny, a.chunk)
+    if a.bc != "bench":
+        from climate_sim_tpu.config import BCConfig, BCType
+
+        D, N, P = BCType.DIRICHLET, BCType.NEUMANN, BCType.PERIODIC
+        cfg.bc = BCConfig(*{
+            "dirichlet": (D, D, D, D),
+            "one_sided_y": (D, N, P, D),
+            "one_sided_x": (P, D, N, D),
+            "both_one_sided": (P, D, P, N),
+        }[a.bc])
 
     mesh = make_mesh(1, 1)
     u_sharded = jax.device_put(gaussian_hotspot(cfg, jnp.float32),
