@@ -48,6 +48,7 @@ argv = [
 ]
 if ic_path:
     argv += ["--ic.mode=file", "--ic.path=" + ic_path]
+argv += sys.argv[6:]  # per-test overrides (later flags win in merged_config)
 cfg = merged_config(None, argv)
 res = run_simulation(cfg)
 print("MH_OK", proc_id, jax.process_count(), len(jax.devices()), flush=True)
@@ -66,8 +67,9 @@ def free_port():
     return port
 
 
-def _spawn_group(port, out, nproc=2, ic_path=""):
-    extra = [str(nproc)] + ([ic_path] if ic_path else [])
+def _spawn_group(port, out, nproc=2, ic_path="", extra_args=()):
+    extra = [str(nproc), ic_path, *extra_args] if (ic_path or extra_args) \
+        else [str(nproc)]
     procs = [
         subprocess.Popen(
             [sys.executable, "-c", WORKER, str(i), port, out, *extra],
@@ -179,3 +181,45 @@ def test_four_process_run_and_restart(tmp_path):
     run_simulation(cfg2)
     assert open(os.path.join(out2, "snapshots.nc"), "rb").read() == \
         open(os.path.join(ref_out2, "snapshots.nc"), "rb").read()
+
+
+@pytest.mark.slow
+def test_two_process_scheduled_kernel_matches_oracle(tmp_path):
+    """The ghost-schedule kernel paths under TRUE multi-controller
+    execution: two coordinated processes form one 8-device mesh and run a
+    BOTH-axes one-sided-periodic config with the Pallas slab kernel
+    (interpret mode on CPU devices) — the row + column schedules and the
+    shared corner-patch evolution execute inside a process-spanning
+    shard_map.  512x128 resolves to 128x64 tiles where the slab layout
+    engages at k >= 2.  Output is compared to the in-process oracle
+    (atol; the kernel's weighted-stencil form re-associates, so the
+    byte-parity check of the jnp tests does not apply)."""
+    extra = (
+        "--nx=512", "--ny=128", "--steps=19", "--out_every=19",
+        "--kernel=pallas_multistep", "--write_final=true",
+        "--bc.left=periodic", "--bc.right=dirichlet",
+        "--bc.bottom=periodic", "--bc.top=neumann",
+    )
+    out = str(tmp_path / "mh_sched")
+    for attempt in range(2):  # retry once on a lost port race
+        procs, outs = _spawn_group(str(free_port()), out, extra_args=extra)
+        if all(p.returncode == 0 for p in procs) or attempt == 1:
+            break
+    for i, (p, o) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{o[-3000:]}"
+        assert f"MH_OK {i} 2 8" in o
+
+    import jax.numpy as jnp
+
+    from climate_sim_tpu.config import merged_config
+    from climate_sim_tpu.io.netcdf import NetCDFFile
+    from climate_sim_tpu.ops import gaussian_hotspot
+    from climate_sim_tpu.ops.step import reference_step
+
+    cfg = merged_config(None, list(extra))
+    u = gaussian_hotspot(cfg, jnp.float32)
+    for _ in range(19):
+        u = reference_step(u, cfg, cfg.dt)
+    with NetCDFFile(os.path.join(out, "snapshots.nc")) as ds:
+        got = ds.variables["u"][-1, :, :]
+    np.testing.assert_allclose(got, np.asarray(u), atol=5e-5)
