@@ -88,9 +88,10 @@ def test_true_periodic_differs_from_compat():
 
 
 def test_long_horizon_parity_1000_steps():
-    """1000-step f64 parity vs the NumPy oracle (the BASELINE.md correctness
-    gate, scaled to a CPU-testable grid; the C++ reference binary is not
-    buildable in this image — the oracle stands in, SURVEY.md §4.4)."""
+    """1000-step f64 parity vs the NumPy oracle (scaled to a CPU-testable
+    grid).  The same gate also runs against the reference's own COMPILED
+    numerics in tests/test_cpp_reference_parity.py — this NumPy variant
+    stays as the environment-independent fallback (SURVEY.md §4.4)."""
     cfg = make_cfg(128, 96, 0.05, 0.5, -0.25, 0.1, "dnpp")
     u0 = gaussian_ic(128, 96)
     adv = build_single_device_advance(cfg, cfg.dt)
