@@ -55,21 +55,25 @@ def ref_harness(tmp_path_factory):
         "-o", out,
     ]
     proc = subprocess.run(cmd, capture_output=True, text=True)
-    if proc.returncode != 0:
-        pytest.skip(f"reference numerics did not compile: {proc.stderr[-500:]}")
+    # With the reference tree AND a compiler both present, a compile error
+    # must FAIL (not skip): otherwise a broken shim/harness would silently
+    # disable the whole BASELINE-closing gate while the suite stays green.
+    assert proc.returncode == 0, (
+        f"reference numerics did not compile:\n{proc.stderr[-1500:]}"
+    )
     return out
 
 
-def run_reference(harness, u0, cfg, steps, tmp_path):
+def run_reference(harness, u0, cfg, steps, tmp_path, bcs):
+    """``bcs`` is the same 'd'/'n'/'p' letter string the cfg was built
+    from (no enum->letter reverse mapping to drift)."""
     ib = str(tmp_path / "in.bin")
     ob = str(tmp_path / "out.bin")
     np.asarray(u0, np.float64).tofile(ib)
-    letters = {BCType.DIRICHLET: "d", BCType.NEUMANN: "n", BCType.PERIODIC: "p"}
     subprocess.run(
         [harness, "step", str(cfg.nx), str(cfg.ny), repr(cfg.dx), repr(cfg.dy),
          repr(cfg.D), repr(cfg.vx), repr(cfg.vy), repr(cfg.dt), str(steps),
-         letters[cfg.bc.left], letters[cfg.bc.right],
-         letters[cfg.bc.bottom], letters[cfg.bc.top], ib, ob],
+         bcs[0], bcs[1], bcs[2], bcs[3], ib, ob],
         check=True, timeout=300,
     )
     return np.fromfile(ob, np.float64).reshape(cfg.ny, cfg.nx)
@@ -104,7 +108,7 @@ def test_step_parity_vs_compiled_reference(
     nx, ny = 128, 96
     cfg = make_cfg(nx, ny, D, vx, vy, dt, bcs, dx, dy)
     u0 = gaussian_ic(nx, ny, dx, dy)
-    ref = run_reference(ref_harness, u0, cfg, steps, tmp_path)
+    ref = run_reference(ref_harness, u0, cfg, steps, tmp_path, bcs)
     adv = build_single_device_advance(cfg, dt)
     ours = np.asarray(jax.device_get(adv(steps)(jnp.asarray(u0, jnp.float64))))
     np.testing.assert_allclose(ours, ref, rtol=0, atol=1e-12)
@@ -119,7 +123,7 @@ def test_long_horizon_1000_steps_vs_compiled_reference(ref_harness, tmp_path):
     indexing)."""
     cfg = make_cfg(128, 96, 0.05, 0.5, -0.25, 0.1, "dnpd")
     u0 = gaussian_ic(128, 96)
-    ref = run_reference(ref_harness, u0, cfg, 1000, tmp_path)
+    ref = run_reference(ref_harness, u0, cfg, 1000, tmp_path, "dnpd")
     adv = build_single_device_advance(cfg, cfg.dt)
     ours = np.asarray(jax.device_get(adv(1000)(jnp.asarray(u0, jnp.float64))))
     np.testing.assert_allclose(ours, ref, rtol=0, atol=1e-12)
@@ -131,7 +135,7 @@ def test_large_grid_parity_vs_compiled_reference(ref_harness, tmp_path):
     reference's size_t idx math vs our array ops)."""
     cfg = make_cfg(1024, 1024, 0.05, 0.5, -0.25, 0.1, "dnpd")
     u0 = gaussian_ic(1024, 1024)
-    ref = run_reference(ref_harness, u0, cfg, 20, tmp_path)
+    ref = run_reference(ref_harness, u0, cfg, 20, tmp_path, "dnpd")
     adv = build_single_device_advance(cfg, cfg.dt)
     ours = np.asarray(jax.device_get(adv(20)(jnp.asarray(u0, jnp.float64))))
     np.testing.assert_allclose(ours, ref, rtol=0, atol=1e-12)
@@ -159,7 +163,7 @@ def test_seeded_differential_fuzz_vs_compiled_reference(ref_harness, tmp_path):
         bcs = "".join(rng.choice("dnp") for _ in range(4))
         cfg = make_cfg(nx, ny, D, vx, vy, dt, bcs, dx, dy)
         u0 = gaussian_ic(nx, ny, dx, dy, xc_frac=rng.choice([0.5, 0.9, 0.1]))
-        ref = run_reference(ref_harness, u0, cfg, steps, tmp_path)
+        ref = run_reference(ref_harness, u0, cfg, steps, tmp_path, bcs)
         adv = build_single_device_advance(cfg, dt)
         ours = np.asarray(
             jax.device_get(adv(steps)(jnp.asarray(u0, jnp.float64)))

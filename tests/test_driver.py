@@ -297,15 +297,23 @@ def test_restart_chain_bit_exact_vs_continuous(tmp_path):
 
 
 @pytest.mark.parametrize("mesh_on", [False, True])
-def test_one_sided_scheduled_paths_through_driver(tmp_path, mesh_on):
-    """run_simulation end-to-end with the dev.yaml BC mix
-    (bottom=periodic top=dirichlet) and the Pallas kernel: single-device
-    takes the ghost-row-schedule fused path, the 8-device virtual mesh the
-    sharded slab schedule — both must match the oracle (deterministic gate
-    on top of the randomized driver fuzz).  512x128 so the mesh resolves
-    to 128x64 tiles where the SLAB layout (the scheduled one) actually
-    engages — 256x128 would give 64-wide tiles and silently gate the
-    k=1 assembled fallback instead (review finding)."""
+@pytest.mark.parametrize("bcs", [
+    # dev.yaml mix: one-sided-y -> ghost-row schedule (single-device
+    # fused; sharded slab)
+    ("periodic", "periodic", "periodic", "dirichlet"),
+    # BOTH axes one-sided -> row + column schedules together, with the
+    # shared corner-patch evolution on the slab path
+    ("periodic", "dirichlet", "periodic", "neumann"),
+])
+def test_scheduled_paths_through_driver(tmp_path, mesh_on, bcs):
+    """run_simulation end-to-end with one-sided-periodic BC mixes and the
+    Pallas kernel: single-device takes the fused schedule path(s), the
+    8-device virtual mesh the sharded slab schedules — both must match
+    the oracle (deterministic gate on top of the randomized driver fuzz).
+    512x128 so the mesh resolves to 128x64 tiles where the SLAB layout
+    (the scheduled one) actually engages — 256x128 would give 64-wide
+    tiles and silently gate the k=1 assembled fallback instead (review
+    finding)."""
     import jax.numpy as jnp
 
     from climate_sim_tpu.ops import gaussian_hotspot
@@ -316,56 +324,13 @@ def test_one_sided_scheduled_paths_through_driver(tmp_path, mesh_on):
         "--nx=512", "--ny=128", "--D=0.05", "--vx=0.5", "--vy=-0.25",
         "--dt=0.1", "--steps=19", "--out_every=19",
         "--kernel=pallas_multistep",
-        "--bc.left=periodic", "--bc.right=periodic",
-        "--bc.bottom=periodic", "--bc.top=dirichlet",
+        f"--bc.left={bcs[0]}", f"--bc.right={bcs[1]}",
+        f"--bc.bottom={bcs[2]}", f"--bc.top={bcs[3]}",
         "--output.dir", out,
     ])
     cfg.mesh.enable = mesh_on
     if mesh_on:
         # the gate is only meaningful if the slab schedule can engage
-        from climate_sim_tpu.ops.pallas_stencil import (
-            sharded_tile_slab_multistep,
-        )
-
-        assert sharded_tile_slab_multistep(
-            None, None, None, None, cfg, cfg.dt, 2, True,
-            probe=True, probe_shape=(64, 128),
-        ) is not None
-    res = run_simulation(cfg)
-
-    u = gaussian_hotspot(cfg, jnp.float32)
-    for _ in range(19):
-        u = reference_step(u, cfg, res.dt)
-    np.testing.assert_allclose(
-        np.asarray(res.u), np.asarray(u), atol=5e-5
-    )
-
-
-@pytest.mark.parametrize("mesh_on", [False, True])
-def test_both_axes_one_sided_through_driver(tmp_path, mesh_on):
-    """run_simulation end-to-end with BOTH axes one-sided-periodic
-    (left=periodic right=dirichlet bottom=periodic top=neumann):
-    single-device takes the fused row+column-schedule path, the 8-device
-    virtual mesh the sharded slab schedules with the shared corner-patch
-    evolution — both must match the oracle (deterministic gate on top of
-    the randomized driver fuzz).  512x128 so mesh tiles are 128x64 and
-    the slab layout engages at k >= 2."""
-    import jax.numpy as jnp
-
-    from climate_sim_tpu.ops import gaussian_hotspot
-    from climate_sim_tpu.ops.step import reference_step
-
-    out = str(tmp_path / "outputs")
-    cfg = merged_config(None, [
-        "--nx=512", "--ny=128", "--D=0.05", "--vx=0.5", "--vy=-0.25",
-        "--dt=0.1", "--steps=19", "--out_every=19",
-        "--kernel=pallas_multistep",
-        "--bc.left=periodic", "--bc.right=dirichlet",
-        "--bc.bottom=periodic", "--bc.top=neumann",
-        "--output.dir", out,
-    ])
-    cfg.mesh.enable = mesh_on
-    if mesh_on:
         from climate_sim_tpu.ops.pallas_stencil import (
             sharded_tile_slab_multistep,
         )
