@@ -27,7 +27,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 
-def capture(nx: int, ny: int, chunk: int, reps: int, outdir: str) -> None:
+def capture(nx: int, ny: int, chunk: int, reps: int, outdir: str,
+            bc: str = "bench") -> None:
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -37,6 +38,16 @@ def capture(nx: int, ny: int, chunk: int, reps: int, outdir: str) -> None:
     from climate_sim_tpu.ops.step import build_single_device_advance
 
     cfg = bench_config(nx, ny, chunk)
+    if bc != "bench":
+        from climate_sim_tpu.config import BCConfig, BCType
+
+        D, N, P = BCType.DIRICHLET, BCType.NEUMANN, BCType.PERIODIC
+        cfg.bc = BCConfig(*{
+            "dirichlet": (D, D, D, D),
+            "one_sided_y": (D, N, P, D),
+            "one_sided_x": (P, D, N, D),
+            "both_one_sided": (P, D, P, N),
+        }[bc])
     fn = build_single_device_advance(cfg, cfg.dt)(chunk)
     u = jax.device_put(gaussian_hotspot(cfg, jnp.float32), jax.devices()[0])
     fn = fn.lower(u).compile()  # traces must cover only the compiled program
@@ -88,11 +99,16 @@ def main() -> int:
                     help="keep the trace here (default: temp dir)")
     ap.add_argument("--analyze_only", default=None,
                     help="skip capture; analyze this existing trace dir")
+    ap.add_argument("--bc", default="bench",
+                    choices=["bench", "dirichlet", "one_sided_y",
+                             "one_sided_x", "both_one_sided"],
+                    help="BC class (the one-sided classes trace the "
+                         "ghost-schedule paths)")
     a = ap.parse_args()
 
     outdir = a.analyze_only or a.trace_dir or tempfile.mkdtemp(prefix="tracerate_")
     if not a.analyze_only:
-        capture(a.nx, a.ny, a.chunk, a.reps, outdir)
+        capture(a.nx, a.ny, a.chunk, a.reps, outdir, a.bc)
     r = analyze(outdir, a.nx, a.ny, a.chunk)
     print(f"program: {r['program']}  chunks: {r['n_chunks']}")
     print(f"ms/chunk({a.chunk} steps): {r['ms_per_chunk']:.3f}")
