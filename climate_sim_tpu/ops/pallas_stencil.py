@@ -204,6 +204,18 @@ def _build_kernel_body(
     # resolved at trace time.
     wc, wxm, wxp, wym, wyp = _stencil_weights(dt, D, vx, vy, dx, dy)
 
+    # Non-sched x-side fixups in the FULL-SLAB form run as lane-masked
+    # selects on the already-computed neighbor rolls instead of
+    # ghost-lane writes: reading a (Rbuf,) column out of the tile forces
+    # a sublane<->lane relayout that measured ~6% of TOTAL kernel time
+    # per Neumann x side (the mirror needs the column read; Dirichlet
+    # pays only the store, ~1%).  With the select, the Neumann "mirror"
+    # is the lane's own value — no cross-lane motion at all.  Row fixups
+    # are lane-layout friendly and stay as writes; "sched" x sides keep
+    # the ghost-lane mechanism (their value comes from another ref).
+    sel_left = fullslab and fix_left not in (None, "sched")
+    sel_right = fullslab and fix_right not in (None, "sched")
+
     def make_loads(refs, a_scratch, sems, block, slot):
         """(condition, async_copy) pairs filling window ``block`` into
         scratch slot ``slot``; condition None = unconditional, else the copy
@@ -390,7 +402,7 @@ def _build_kernel_body(
             else:
                 r0 = pl.multiple_of(by * jnp.int32(BY), 8)
             return sched_x_ref[pl.ds(r0, Rbuf), t]
-        if fix_left is not None:
+        if fix_left is not None and not sel_left:
             if fix_left == "sched":
                 col = sched_col()
             else:
@@ -401,7 +413,7 @@ def _build_kernel_body(
             if cond is not True:
                 col = jnp.where(cond, col, src[:, xoff - 1])
             src[:, xoff - 1] = col
-        if fix_right is not None:
+        if fix_right is not None and not sel_right:
             if fix_right == "sched":
                 col = sched_col()
             else:
@@ -492,6 +504,40 @@ def _build_kernel_body(
         # measured slower because it makes every read misaligned.
         view = a_scratch.at[slot]
         bufs = [view, b_scratch]
+        # Lane-masked select fixups (see sel_left/sel_right above): the
+        # mask marks the interior edge lane whose rolled x-neighbor must
+        # be replaced by the ghost value, gated on block position and
+        # (sharded) the physical-edge flags.  Traced once; the unrolled
+        # sub-steps reuse it.
+        sel_mask_l = sel_mask_r = None
+        if sel_left or sel_right:
+            lane = jax.lax.broadcasted_iota(jnp.int32, (Rbuf, W), 1)
+
+            def _sel_mask(lane_idx, edge_cond, flag_idx):
+                m = lane == jnp.int32(lane_idx)
+                cond = edge_cond
+                if flags_ref is not None:
+                    f = flags_ref[flag_idx] != 0
+                    cond = f if cond is None else jnp.logical_and(cond, f)
+                return m if cond is None else jnp.logical_and(m, cond)
+
+            if sel_left:
+                sel_mask_l = _sel_mask(
+                    xoff, (bx == 0) if nbx > 1 else None, 0
+                )
+            if sel_right:
+                sel_mask_r = _sel_mask(
+                    xoff + nx - 1, (bx == nbx - 1) if nbx > 1 else None, 1
+                )
+
+        def sel_val(kind, a):
+            # Ghost value seen through the select: the Neumann mirror is
+            # the edge lane's OWN value (zero data motion); Dirichlet /
+            # compat-zero are constants.
+            if kind == "neumann":
+                return a
+            return compute_dtype.type(bc_value if kind == "dirichlet" else 0.0)
+
         if mxu:
             # Circulant-tridiagonal y-combination matrix: (By @ a)[r, w] =
             # wym*a[r-1 mod R, w] + wc*a[r, w] + wyp*a[r+1 mod R, w] —
@@ -536,9 +582,15 @@ def _build_kernel_body(
                     if wyp != 0.0:
                         new += wyp * pltpu.roll(a, R - 1, 0)
                 if wxm != 0.0:
-                    new += wxm * pltpu.roll(a, 1, 1)
+                    xm_v = pltpu.roll(a, 1, 1)
+                    if sel_mask_l is not None:
+                        xm_v = jnp.where(sel_mask_l, sel_val(fix_left, a), xm_v)
+                    new += wxm * xm_v
                 if wxp != 0.0:
-                    new += wxp * pltpu.roll(a, W - 1, 1)
+                    xp_v = pltpu.roll(a, W - 1, 1)
+                    if sel_mask_r is not None:
+                        xp_v = jnp.where(sel_mask_r, sel_val(fix_right, a), xp_v)
+                    new += wxp * xp_v
                 dst[:, :] = new
             else:
                 lo, hi = 1 + t, R - 1 - t
