@@ -187,6 +187,43 @@ def test_multistep_x_blocked_grid(bcs):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+def _edge_parked_field(cfg, seed=0):
+    """Random mass hard against all four edges (centered hotspots decay to
+    ~0 at the boundary and mask edge-lane bugs — a prior fuzz lesson)."""
+    rng = np.random.default_rng(seed)
+    u0 = np.zeros((cfg.ny, cfg.nx), np.float32)
+    u0[:, :3] = rng.random((cfg.ny, 3))
+    u0[:, -3:] = rng.random((cfg.ny, 3))
+    u0[:3, :] = rng.random((3, cfg.nx))
+    u0[-3:, :] = rng.random((3, cfg.nx))
+    return jnp.asarray(u0)
+
+
+@pytest.mark.parametrize(
+    "bcs",
+    [
+        (BCType.NEUMANN, BCType.NEUMANN, BCType.DIRICHLET, BCType.DIRICHLET),
+        (BCType.DIRICHLET, BCType.NEUMANN, BCType.NEUMANN, BCType.PERIODIC),
+        (BCType.PERIODIC, BCType.PERIODIC, BCType.NEUMANN, BCType.DIRICHLET),
+        # one-sided-y ghost-row schedule + select x sides on a blocked grid
+        (BCType.NEUMANN, BCType.NEUMANN, BCType.PERIODIC, BCType.DIRICHLET),
+    ],
+)
+def test_x_blocked_grid_edge_parked_mass(bcs):
+    """x-blocked grids (nbx > 1) with mass parked against the edges: the
+    lane-masked select x-fixups must fire only on physical-edge blocks
+    (bx gating) and reproduce the oracle's ghost values exactly."""
+    from climate_sim_tpu.ops import pallas_stencil as ps
+
+    assert ps._PREF_BX < 4096
+    cfg = make_cfg(4096, 64, bcs)  # nbx = 2 at the default _PREF_BX
+    u = _edge_parked_field(cfg)
+    ref = oracle(u, cfg, 8)
+    out = multistep_kernel_step(u, cfg, cfg.dt, 8, interpret=True)
+    assert out is not None
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
 @pytest.mark.slow
 def test_seeded_fuzz_matches_oracle():
     """Seeded random sweep over grids (incl. non-128-multiples), anisotropic
