@@ -204,17 +204,19 @@ def _build_kernel_body(
     # resolved at trace time.
     wc, wxm, wxp, wym, wyp = _stencil_weights(dt, D, vx, vy, dx, dy)
 
-    # Non-sched x-side fixups in the FULL-SLAB form run as lane-masked
-    # selects on the already-computed neighbor rolls instead of
-    # ghost-lane writes: reading a (Rbuf,) column out of the tile forces
-    # a sublane<->lane relayout that measured ~6% of TOTAL kernel time
-    # per Neumann x side (the mirror needs the column read; Dirichlet
-    # pays only the store, ~1%).  With the select, the Neumann "mirror"
-    # is the lane's own value — no cross-lane motion at all.  Row fixups
-    # are lane-layout friendly and stay as writes; "sched" x sides keep
-    # the ghost-lane mechanism (their value comes from another ref).
-    sel_left = fullslab and fix_left not in (None, "sched")
-    sel_right = fullslab and fix_right not in (None, "sched")
+    # X-side fixups in the FULL-SLAB form run as lane-masked selects on
+    # the already-computed neighbor rolls instead of ghost-lane writes:
+    # reading a (Rbuf,) column out of the tile forces a sublane<->lane
+    # relayout that measured ~6% of TOTAL kernel time per Neumann x side
+    # (the mirror needs the column read; Dirichlet pays only the store,
+    # ~1%).  With the select, the Neumann "mirror" is the lane's own
+    # value — no cross-lane motion at all — and a "sched" side's column
+    # (read from the ghost-column schedule ref) is lane-splat-broadcast
+    # into the select instead of stored into the ghost lane, removing
+    # the per-sub-step cross-lane ghost store.  Row fixups are
+    # lane-layout friendly and stay as writes.
+    sel_left = fullslab and fix_left is not None
+    sel_right = fullslab and fix_right is not None
 
     def make_loads(refs, a_scratch, sems, block, slot):
         """(condition, async_copy) pairs filling window ``block`` into
@@ -530,10 +532,18 @@ def _build_kernel_body(
                     xoff + nx - 1, (bx == nbx - 1) if nbx > 1 else None, 1
                 )
 
-        def sel_val(kind, a):
+        def sel_val(kind, a, t):
             # Ghost value seen through the select: the Neumann mirror is
             # the edge lane's OWN value (zero data motion); Dirichlet /
-            # compat-zero are constants.
+            # compat-zero are constants; a "sched" side's ghost column is
+            # the schedule ref's sub-step-t column, splat across lanes
+            # (the mask picks the edge lane).
+            if kind == "sched":
+                if nby == 1:
+                    r0 = 0  # single row-block: static window
+                else:
+                    r0 = pl.multiple_of(by * jnp.int32(BY), 8)
+                return sched_x_ref[pl.ds(r0, Rbuf), t][:, None]
             if kind == "neumann":
                 return a
             return compute_dtype.type(bc_value if kind == "dirichlet" else 0.0)
@@ -584,12 +594,12 @@ def _build_kernel_body(
                 if wxm != 0.0:
                     xm_v = pltpu.roll(a, 1, 1)
                     if sel_mask_l is not None:
-                        xm_v = jnp.where(sel_mask_l, sel_val(fix_left, a), xm_v)
+                        xm_v = jnp.where(sel_mask_l, sel_val(fix_left, a, t), xm_v)
                     new += wxm * xm_v
                 if wxp != 0.0:
                     xp_v = pltpu.roll(a, W - 1, 1)
                     if sel_mask_r is not None:
-                        xp_v = jnp.where(sel_mask_r, sel_val(fix_right, a), xp_v)
+                        xp_v = jnp.where(sel_mask_r, sel_val(fix_right, a, t), xp_v)
                     new += wxp * xp_v
                 dst[:, :] = new
             else:
@@ -1662,18 +1672,30 @@ def build_multistep_advance(
     field when the transposed grid fits the fused ghost-row-schedule
     layout: two transposes per chunk (~2/chunk extra HBM passes) keep the
     row-schedule kernel, measured faster than the direct ghost-COLUMN
-    schedule (172.2 vs 142.0 Gpt/s at 4096² — the column fixup's strided
-    stores cost more than the transposes).  Where the transposed layout
-    does not fit, multistep_kernel_step's direct ``_ghost_schedule_x``
-    path still fuses at full k; both-axes-one-sided configs always take
-    the direct row+column-schedule path (transposing cannot help there).
+    schedule (191.5 vs 170.2 Gpt/s device-timeline at 4096² with the
+    lane-masked select fixups; 172.2 vs 142.0 wall before them).  Where
+    the transposed layout does not fit, multistep_kernel_step's direct
+    ``_ghost_schedule_x`` path still fuses at full k; both-axes-one-sided
+    configs always take the direct row+column-schedule path (transposing
+    cannot help there).  ``CLIMATE_SIM_X_SCHED=direct|transpose`` forces
+    the choice (perf-sweep A/B knob).
     """
     from .boundary import pad_with_ghosts
     from .stencil import fused_step
 
     compat = cfg.strict_reference_compat
 
-    if one_sided_periodic_x(cfg) and not one_sided_periodic_y(cfg):
+    x_sched_pref = os.environ.get("CLIMATE_SIM_X_SCHED", "")
+    if x_sched_pref not in ("", "direct", "transpose"):
+        raise ValueError(
+            f"CLIMATE_SIM_X_SCHED={x_sched_pref!r}: must be 'direct' or"
+            " 'transpose'"
+        )
+    if (
+        one_sided_periodic_x(cfg)
+        and not one_sided_periodic_y(cfg)
+        and x_sched_pref != "direct"
+    ):
         tcfg = transposed_config(cfg)
         # Only worth it when the transposed grid actually takes the fused
         # scheduled layout AT THE RUN'S DTYPE (probe one k=8 build, the

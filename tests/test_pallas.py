@@ -351,11 +351,11 @@ def test_one_sided_periodic_y_schedule_fuses_k8():
 
 
 def test_one_sided_periodic_x_transposes_onto_schedule():
-    """One-sided-periodic-x has no ghost-COLUMN schedule; the advance
-    instead runs the y-schedule machinery on the TRANSPOSED field (two
-    transposes per chunk; 2.5x measured on hardware vs the k=1 cap).
-    Orientations, y-wrap corners, and a remainder pass; mass parked at
-    the periodic x edge."""
+    """One-sided-periodic-x-only advances run the y-schedule machinery on
+    the TRANSPOSED field by default (two transposes per chunk; measured
+    faster than the direct ghost-COLUMN schedule, see
+    build_multistep_advance).  Orientations, y-wrap corners, and a
+    remainder pass; mass parked at the periodic x edge."""
     from climate_sim_tpu.ops.pallas_stencil import build_multistep_advance
 
     for bcs in [
@@ -388,6 +388,32 @@ def test_transposed_config_round_trip():
     assert (tt.nx, tt.ny, tt.dx, tt.dy, tt.vx, tt.vy, tt.bc) == (
         cfg.nx, cfg.ny, cfg.dx, cfg.dy, cfg.vx, cfg.vy, cfg.bc,
     )
+
+
+def test_x_sched_knob_forces_direct_path(monkeypatch):
+    """CLIMATE_SIM_X_SCHED=direct skips the transpose wrapper entirely
+    (the direct ghost-COLUMN schedule advances the untransposed field,
+    oracle-exact); bad values fail loudly at build time."""
+    from climate_sim_tpu.ops import pallas_stencil as ps
+
+    bcs = (BCType.PERIODIC, BCType.NEUMANN, BCType.DIRICHLET, BCType.DIRICHLET)
+    cfg = make_cfg(256, 384, bcs, vx=-0.7, vy=0.9)
+    u = gaussian_hotspot(cfg, jnp.float32)
+    u = u + 0.5 * jnp.roll(u, cfg.nx // 2 - 2, axis=1)
+    ref = oracle(u, cfg, 19)
+
+    def _no_transpose(_cfg):
+        raise AssertionError("transpose path taken despite X_SCHED=direct")
+
+    monkeypatch.setenv("CLIMATE_SIM_X_SCHED", "direct")
+    monkeypatch.setattr(ps, "transposed_config", _no_transpose)
+    adv = ps.build_multistep_advance(cfg, cfg.dt, interpret=True)
+    np.testing.assert_allclose(np.asarray(adv(19)(u)), np.asarray(ref),
+                               atol=5e-5)
+
+    monkeypatch.setenv("CLIMATE_SIM_X_SCHED", "sideways")
+    with pytest.raises(ValueError, match="CLIMATE_SIM_X_SCHED"):
+        ps.build_multistep_advance(cfg, cfg.dt, interpret=True)
 
 
 def test_one_sided_periodic_y_odd_grid_falls_back_stepwise():
