@@ -372,6 +372,18 @@ def _build_kernel_body(
         del n  # shape comes from the mirror line
         return _bc_ghost_line(kind, mirror, bc_value)
 
+    def _sched_col_window(ref, by, t):
+        """Sub-step ``t``'s ghost column from the column schedule, windowed
+        to block ``by``'s rows (schedule row p = tile row p - khalo, so the
+        window start is the block's row start, 8-aligned).  Single source
+        for the fixup-write path and the lane-masked-select path — the row
+        mapping must stay identical between them."""
+        if nby == 1:
+            r0 = 0  # single row-block: static window
+        else:
+            r0 = pl.multiple_of(by * jnp.int32(BY), 8)
+        return ref[pl.ds(r0, Rbuf), t]
+
     def apply_fixups(src, bx, by, flags, t=0, sched_y_ref=None, sched_x_ref=None):
         """Re-apply physical-edge BCs at the ghost lines, writing into the
         ``src`` ref in place (the ``apply_boundary`` analogue, every step).
@@ -399,11 +411,7 @@ def _build_kernel_body(
             return sched_y_ref[t, pl.ds(c0, W)]
 
         def sched_col():
-            if nby == 1:
-                r0 = 0  # single row-block: static window
-            else:
-                r0 = pl.multiple_of(by * jnp.int32(BY), 8)
-            return sched_x_ref[pl.ds(r0, Rbuf), t]
+            return _sched_col_window(sched_x_ref, by, t)
         if fix_left is not None and not sel_left:
             if fix_left == "sched":
                 col = sched_col()
@@ -539,11 +547,7 @@ def _build_kernel_body(
             # the schedule ref's sub-step-t column, splat across lanes
             # (the mask picks the edge lane).
             if kind == "sched":
-                if nby == 1:
-                    r0 = 0  # single row-block: static window
-                else:
-                    r0 = pl.multiple_of(by * jnp.int32(BY), 8)
-                return sched_x_ref[pl.ds(r0, Rbuf), t][:, None]
+                return _sched_col_window(sched_x_ref, by, t)[:, None]
             if kind == "neumann":
                 return a
             return compute_dtype.type(bc_value if kind == "dirichlet" else 0.0)
@@ -1678,7 +1682,11 @@ def build_multistep_advance(
     ``_ghost_schedule_x`` path still fuses at full k; both-axes-one-sided
     configs always take the direct row+column-schedule path (transposing
     cannot help there).  ``CLIMATE_SIM_X_SCHED=direct|transpose`` forces
-    the choice (perf-sweep A/B knob).
+    the choice (perf-sweep A/B knob); forcing ``transpose`` where that
+    route is unavailable (the transposed layout does not lower, or the
+    config is both-axes one-sided) raises instead of silently measuring
+    the direct path under a "transpose" label.  Configs with no one-sided
+    x side ignore the knob.
     """
     from .boundary import pad_with_ghosts
     from .stencil import fused_step
@@ -1725,6 +1733,25 @@ def build_multistep_advance(
                 return jax.jit(body)
 
             return advance_t
+        if x_sched_pref == "transpose":
+            # An A/B sweep must not silently measure the direct path under
+            # a "transpose" label: the forced route is unavailable for this
+            # config/dtype (the k=8 probe did not lower), so fail loudly.
+            raise ValueError(
+                "CLIMATE_SIM_X_SCHED=transpose: the transposed fused layout"
+                f" does not lower for this config (ny={cfg.ny}, nx={cfg.nx},"
+                f" precision={getattr(cfg, 'precision', 'f32')}); unset the"
+                " knob or use CLIMATE_SIM_X_SCHED=direct"
+            )
+    elif x_sched_pref == "transpose" and one_sided_periodic_x(cfg):
+        # Both-axes one-sided: transposing swaps which axis needs the column
+        # schedule without removing it, so there is no transpose route.
+        # (Configs with no one-sided x side ignore the knob, like "direct".)
+        raise ValueError(
+            "CLIMATE_SIM_X_SCHED=transpose only applies to"
+            " one-sided-periodic-x-ONLY configs (both-axes one-sided always"
+            " runs the direct row+column-schedule path)"
+        )
 
     def jnp_step(u):
         return fused_step(

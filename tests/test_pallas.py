@@ -416,6 +416,38 @@ def test_x_sched_knob_forces_direct_path(monkeypatch):
         ps.build_multistep_advance(cfg, cfg.dt, interpret=True)
 
 
+def test_x_sched_transpose_fails_loudly_when_unavailable(monkeypatch):
+    """Forcing CLIMATE_SIM_X_SCHED=transpose where that route cannot run
+    must raise, not silently measure the direct path under a 'transpose'
+    label (A/B sweeps would otherwise record mislabeled numbers)."""
+    from climate_sim_tpu.ops import pallas_stencil as ps
+
+    monkeypatch.setenv("CLIMATE_SIM_X_SCHED", "transpose")
+
+    # ny=48: the TRANSPOSED grid's width has no 128-multiple divisor, so
+    # the probe build cannot lower and the transpose route is unavailable.
+    bcs = (BCType.PERIODIC, BCType.NEUMANN, BCType.DIRICHLET, BCType.DIRICHLET)
+    cfg = make_cfg(256, 48, bcs, vx=-0.7, vy=0.9)
+    with pytest.raises(ValueError, match="does not lower"):
+        ps.build_multistep_advance(cfg, cfg.dt, interpret=True)
+
+    # Both-axes one-sided: transposing swaps the axes without removing the
+    # column schedule — there is no transpose route at all.
+    bcs2 = (BCType.PERIODIC, BCType.NEUMANN, BCType.PERIODIC, BCType.DIRICHLET)
+    cfg2 = make_cfg(256, 384, bcs2, vx=-0.7, vy=0.9)
+    with pytest.raises(ValueError, match="both-axes"):
+        ps.build_multistep_advance(cfg2, cfg2.dt, interpret=True)
+
+    # Configs with no one-sided x side ignore the knob (a matrix sweep with
+    # the env var set must not crash its non-one-sided-x cases).
+    cfg3 = make_cfg(128, 64, MIX1)
+    u = gaussian_hotspot(cfg3, jnp.float32)
+    ref = oracle(u, cfg3, 8)
+    adv = ps.build_multistep_advance(cfg3, cfg3.dt, interpret=True)
+    np.testing.assert_allclose(np.asarray(adv(8)(u)), np.asarray(ref),
+                               atol=2e-5)
+
+
 def test_one_sided_periodic_y_odd_grid_falls_back_stepwise():
     """Grids the fused-DMA layout cannot fit (nx not a 128-multiple) fall
     back to exact single-step passes for one-sided-y configs."""
