@@ -210,6 +210,7 @@ def prepare(cfg: SimConfig, devices=None):
             interior = make_interior_step(cfg, dt)
             advance = build_sharded_advance(cfg, mesh, dt, interior)
     else:
+        advance = None
         if mesh is not None:
             # Indivisible grid: shard only the axes the mesh divides evenly
             # (JAX refuses uneven explicit shardings outright) and let GSPMD
@@ -221,12 +222,23 @@ def prepare(cfg: SimConfig, devices=None):
             sy = "y" if cfg.ny % mesh.shape["y"] == 0 else None
             sx = "x" if cfg.nx % mesh.shape["x"] == 0 else None
             if sy is None and sx is None:
+                # Indivisible along BOTH axes: embed in a padded carrier of
+                # the next mesh-multiple shape so compute still scales with
+                # the mesh (the padding alternative of decision log #6;
+                # previously this degraded to a single-device run).  The
+                # field itself stays (ny, nx), replicated at the jit
+                # boundary; the snapshot writer dedups replicas.
+                from ..parallel.halo import build_padded_gspmd_advance
+
                 _log(
-                    f"[warn] grid {cfg.nx}x{cfg.ny} is indivisible along both"
-                    f" axes of every {len(devs)}-device mesh; running"
-                    " single-device"
+                    f"[info] grid {cfg.nx}x{cfg.ny} is indivisible along"
+                    f" both axes of the {len(devs)}-device mesh; running"
+                    " the padded GSPMD path (carrier"
+                    f" {-(-cfg.nx // mesh.shape['x']) * mesh.shape['x']}x"
+                    f"{-(-cfg.ny // mesh.shape['y']) * mesh.shape['y']})"
                 )
-                mesh = None
+                u0 = place_ic(NamedSharding(mesh, PartitionSpec(None, None)))
+                advance = build_padded_gspmd_advance(cfg, mesh, dt)
             else:
                 u0 = place_ic(NamedSharding(mesh, PartitionSpec(sy, sx)))
                 cfg = dataclasses.replace(cfg, kernel="jnp")
@@ -234,7 +246,8 @@ def prepare(cfg: SimConfig, devices=None):
             from jax.sharding import SingleDeviceSharding
 
             u0 = place_ic(SingleDeviceSharding(devs[0]))
-        advance = build_single_device_advance(cfg, dt)
+        if advance is None:
+            advance = build_single_device_advance(cfg, dt)
 
     return u0, advance, mesh, dt, clamped
 

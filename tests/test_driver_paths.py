@@ -162,17 +162,26 @@ def test_partially_divisible_grid_shards_one_axis(tmp_path):
     assert np.isfinite(np.asarray(jax.device_get(res.u))).all()
 
 
-def test_fully_indivisible_grid_falls_back_single_device(tmp_path, capsys):
-    """Neither axis divisible by any factorization -> warned single-device
-    run rather than a crash (regression: device_put rejects uneven
-    shardings, so the old unconditional GSPMD branch raised)."""
+def test_fully_indivisible_grid_takes_padded_gspmd_path(tmp_path, capsys):
+    """Neither axis divisible by any factorization -> padded-carrier GSPMD
+    run that keeps the mesh (decision log #6's padding alternative; this
+    previously degraded to a warned single-device run), end-to-end through
+    snapshots, and exact vs the oracle."""
+    from climate_sim_tpu.ops.init import gaussian_hotspot
+    from climate_sim_tpu.ops.step import reference_step
+
     cfg = SimConfig(nx=13, ny=11, D=0.02, dt=0.1, steps=2, out_every=1)
     cfg.output_dir = str(tmp_path / "o")
     res = drv.run_simulation(cfg)
     assert res.snapshots_written == 2
-    assert res.mesh_shape is None
-    assert "indivisible" in capsys.readouterr().out
-    assert np.isfinite(np.asarray(jax.device_get(res.u))).all()
+    assert res.mesh_shape is not None
+    assert "padded GSPMD" in capsys.readouterr().out
+    u = np.asarray(jax.device_get(res.u))
+    assert np.isfinite(u).all()
+    ref = gaussian_hotspot(cfg, res.u.dtype)
+    for _ in range(cfg.steps):
+        ref = reference_step(ref, cfg, res.dt)
+    np.testing.assert_allclose(u, np.asarray(ref), atol=1e-6)
 
 
 def test_overlap_flag_builds_sharded_path(tmp_path):

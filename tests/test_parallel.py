@@ -237,3 +237,26 @@ def test_sharded_compat_mode_matches():
     advance = build_sharded_advance(cfg, mesh, dt, make_interior_step(cfg, dt))
     got = np.asarray(advance(10)(jax.device_put(u0, field_sharding(mesh))))
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-13)
+
+
+def test_padded_gspmd_advance_matches_oracle():
+    """Grids indivisible along BOTH mesh axes run in a padded carrier of
+    the next mesh-multiple shape (decision log #6's padding alternative;
+    reference remainder analogue: decomp.cpp:29-30) — exact vs the oracle,
+    all BC kinds incl. a one-sided-periodic axis."""
+    from climate_sim_tpu.ops.step import reference_step
+    from climate_sim_tpu.parallel.halo import build_padded_gspmd_advance
+
+    cfg = SimConfig(nx=53, ny=67, dx=1.0, dy=0.5, D=0.1, vx=-0.7, vy=0.9,
+                    dt=0.05, steps=12, out_every=12)
+    cfg.bc = BCConfig(BCType.DIRICHLET, BCType.NEUMANN,
+                      BCType.PERIODIC, BCType.DIRICHLET)
+    mesh = make_mesh(4, 2)
+    assert not divisible(mesh, cfg.nx, cfg.ny)
+    u0 = jnp.asarray(gaussian_ic(cfg.nx, cfg.ny), dtype=jnp.float64)
+    want = u0
+    for _ in range(12):
+        want = reference_step(want, cfg, cfg.dt)
+    got = build_padded_gspmd_advance(cfg, mesh, cfg.dt)(12)(u0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=1e-13)
