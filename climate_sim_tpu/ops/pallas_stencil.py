@@ -183,6 +183,8 @@ def _build_kernel_body(
     compute_dtype,
     fullslab: bool = False,
     mxu: bool = False,
+    chained: bool = False,
+    carrier: bool = False,
 ):
     """The kernel function (closure over all static parameters).
 
@@ -217,6 +219,18 @@ def _build_kernel_body(
     # lane-layout friendly and stay as writes.
     sel_left = fullslab and fix_left is not None
     sel_right = fullslab and fix_right is not None
+    # Chained (value-chained) sub-steps: drop the ping-pong ref store —
+    # one full-buffer copy of the ~10-12 vector ops per sub-step — by
+    # threading each sub-step's result to the next as a VALUE.  That
+    # forbids ref-write fixups entirely, so the y-side fixups move onto
+    # sublane-masked selects on the y-rolls (the row sibling of the
+    # sel_left/sel_right lane trick): the Neumann "mirror" seen through
+    # the roll is the row's OWN value, Dirichlet/compat are splats, and a
+    # "sched" side broadcasts the schedule row.  Net op count per
+    # sub-step: -1 (the store) +1 per y side needing a fixup — a measured
+    # win for <= 1 fixup y side, the build site gates on that.
+    sel_bottom = chained and fix_bottom is not None
+    sel_top = chained and fix_top is not None
 
     def make_loads(refs, a_scratch, sems, block, slot):
         """(condition, async_copy) pairs filling window ``block`` into
@@ -404,10 +418,13 @@ def _build_kernel_body(
         block's row start, 8-aligned).  Both may be active at once
         (both-axes one-sided): each side reads its own ref."""
         def sched_row():
+            # Schedule column p = global column p - _XPAD; buffer lane c
+            # holds global column bx*BX + c - xoff, so the window starts
+            # at bx*BX + _XPAD - xoff (= bx*BX normally, _XPAD padless-x).
             if nbx == 1:
-                c0 = 0  # single x-block: static window
+                c0 = _XPAD - xoff  # single x-block: static window
             else:
-                c0 = pl.multiple_of(bx * jnp.int32(BX), 128)
+                c0 = pl.multiple_of(bx * jnp.int32(BX), 128) + (_XPAD - xoff)
             return sched_y_ref[t, pl.ds(c0, W)]
 
         def sched_col():
@@ -520,25 +537,64 @@ def _build_kernel_body(
         # (sharded) the physical-edge flags.  Traced once; the unrolled
         # sub-steps reuse it.
         sel_mask_l = sel_mask_r = None
+
+        def _gate(m, edge_cond, flag_idx):
+            cond = edge_cond
+            if flags_ref is not None:
+                f = flags_ref[flag_idx] != 0
+                cond = f if cond is None else jnp.logical_and(cond, f)
+            return m if cond is None else jnp.logical_and(m, cond)
+
         if sel_left or sel_right:
             lane = jax.lax.broadcasted_iota(jnp.int32, (Rbuf, W), 1)
 
             def _sel_mask(lane_idx, edge_cond, flag_idx):
-                m = lane == jnp.int32(lane_idx)
-                cond = edge_cond
-                if flags_ref is not None:
-                    f = flags_ref[flag_idx] != 0
-                    cond = f if cond is None else jnp.logical_and(cond, f)
-                return m if cond is None else jnp.logical_and(m, cond)
+                return _gate(lane == jnp.int32(lane_idx), edge_cond, flag_idx)
 
             if sel_left:
                 sel_mask_l = _sel_mask(
                     xoff, (bx == 0) if nbx > 1 else None, 0
                 )
             if sel_right:
-                sel_mask_r = _sel_mask(
-                    xoff + nx - 1, (bx == nbx - 1) if nbx > 1 else None, 1
+                if carrier:
+                    # Carrier mode (padded indivisible grid): the true
+                    # right edge sits at a runtime TILE column, flags[5]
+                    # (the ghost column; only meaningful on shards whose
+                    # flags[1] marks them as holding the edge).  lcol =
+                    # global tile column of each buffer lane; patching
+                    # fires at every consumer of the ghost column across
+                    # block-halo overlaps — which is exactly what keeps
+                    # the pad-lane creep evolution correct too.
+                    lcol = lane - jnp.int32(xoff) + bx * jnp.int32(BX)
+                    sel_mask_r = _gate(lcol == flags_ref[5] - 1, None, 1)
+                else:
+                    sel_mask_r = _sel_mask(
+                        xoff + nx - 1, (bx == nbx - 1) if nbx > 1 else None, 1
+                    )
+        # Row (y-side) fixup masks for the chained form: the ghost row at
+        # khalo-1 is consumed only by the ym roll at output row khalo, the
+        # one at R-khalo only by the yp roll at output row R-khalo-1 —
+        # patch exactly those sublanes of the rolled operands, gated on
+        # block position and (sharded) the physical-edge flags, like the
+        # lane masks.  Built once; the unrolled sub-steps reuse them.
+        row_mask_b = row_mask_t = None
+        if sel_bottom or sel_top:
+            subl = jax.lax.broadcasted_iota(jnp.int32, (Rbuf, W), 0)
+            if sel_bottom:
+                row_mask_b = _gate(
+                    subl == jnp.int32(khalo), (by == 0) if nby > 1 else None, 2
                 )
+            if sel_top:
+                if carrier:
+                    # True top edge at runtime tile row flags[4] (the ghost
+                    # row); trow = global tile row of each buffer sublane.
+                    trow = subl - jnp.int32(khalo) + by * jnp.int32(BY)
+                    row_mask_t = _gate(trow == flags_ref[4] - 1, None, 3)
+                else:
+                    row_mask_t = _gate(
+                        subl == jnp.int32(R - khalo - 1),
+                        (by == nby - 1) if nby > 1 else None, 3,
+                    )
 
         def sel_val(kind, a, t):
             # Ghost value seen through the select: the Neumann mirror is
@@ -551,6 +607,59 @@ def _build_kernel_body(
             if kind == "neumann":
                 return a
             return compute_dtype.type(bc_value if kind == "dirichlet" else 0.0)
+
+        def sel_val_y(kind, a, t):
+            # Row sibling of sel_val: the ghost row seen through the y-roll
+            # select.  Neumann mirror = the row's own value (ym brings
+            # a[khalo-1] to row khalo, whose mirror is a[khalo] — the same
+            # row of ``a``); "sched" broadcasts the schedule's sub-step-t
+            # row across sublanes (the mask picks the ghost consumer row).
+            if kind == "sched":
+                if nbx == 1:
+                    c0 = _XPAD - xoff  # see sched_row: schedule col = global + _XPAD
+                else:
+                    c0 = pl.multiple_of(bx * jnp.int32(BX), 128) + (_XPAD - xoff)
+                return sched_y_ref[t, pl.ds(c0, W)][None, :]
+            if kind == "neumann":
+                return a
+            return compute_dtype.type(bc_value if kind == "dirichlet" else 0.0)
+
+        if chained:
+            # Value-chained sub-steps: identical math to the full-slab
+            # store form (same rolls, same staleness-creep invariant), but
+            # each sub-step's result feeds the next as a value — no
+            # ping-pong ref store — and ALL four sides' fixups ride
+            # masked selects on the rolled operands.
+            a = view[:, :]
+            for t in range(k):
+                new = wc * a
+                if wym != 0.0:
+                    ym_v = pltpu.roll(a, 1, 0)
+                    if row_mask_b is not None:
+                        ym_v = jnp.where(
+                            row_mask_b, sel_val_y(fix_bottom, a, t), ym_v
+                        )
+                    new += wym * ym_v
+                if wyp != 0.0:
+                    yp_v = pltpu.roll(a, R - 1, 0)
+                    if row_mask_t is not None:
+                        yp_v = jnp.where(
+                            row_mask_t, sel_val_y(fix_top, a, t), yp_v
+                        )
+                    new += wyp * yp_v
+                if wxm != 0.0:
+                    xm_v = pltpu.roll(a, 1, 1)
+                    if sel_mask_l is not None:
+                        xm_v = jnp.where(sel_mask_l, sel_val(fix_left, a, t), xm_v)
+                    new += wxm * xm_v
+                if wxp != 0.0:
+                    xp_v = pltpu.roll(a, W - 1, 1)
+                    if sel_mask_r is not None:
+                        xp_v = jnp.where(sel_mask_r, sel_val(fix_right, a, t), xp_v)
+                    new += wxp * xp_v
+                a = new
+            out_ref[:, :] = a[khalo : khalo + BY, xoff : xoff + BX]
+            return
 
         if mxu:
             # Circulant-tridiagonal y-combination matrix: (By @ a)[r, w] =
@@ -644,10 +753,10 @@ def _build_multistep_call(*args, **kwargs):
 def _substep_override(raw: Optional[str]) -> Optional[str]:
     if not raw:
         return None
-    if raw not in ("trapezoid", "fullslab", "mxu"):
+    if raw not in ("trapezoid", "fullslab", "mxu", "chain"):
         raise ValueError(
-            f"CLIMATE_SIM_SUBSTEP={raw!r}: must be 'trapezoid', 'fullslab'"
-            " or 'mxu'"
+            f"CLIMATE_SIM_SUBSTEP={raw!r}: must be 'trapezoid', 'fullslab',"
+            " 'mxu' or 'chain'"
         )
     return raw
 
@@ -680,6 +789,7 @@ def _build_multistep_call_cached(
     bx_override: Optional[int] = None,
     by_override: Optional[int] = None,
     substep_override: Optional[str] = None,
+    carrier: bool = False,
 ):
     """pallas_call advancing k steps -> (ny, nx).
 
@@ -725,6 +835,31 @@ def _build_multistep_call_cached(
             on_tpu = False
         if not on_tpu:
             interpret = True
+    n_y_fix = (fix_bottom is not None) + (fix_top is not None)
+    # Will the build end up value-chained (see below)?  Needed early: the
+    # chained form has its own measured-best block geometry.
+    chain_intent = substep_override == "chain" or (
+        substep_override is None and n_y_fix <= 1
+    )
+    # PADLESS-X eligibility: with full-width blocks, no x wrap data, and
+    # both x sides handled by lane-masked selects, the 2*_XPAD ghost-strip
+    # lanes are never loaded (strips gate on nbx > 1 or wrap_x) NOR read
+    # (the selects patch the rolled operands; ghost lanes are dead) — yet
+    # every vector op still computes them: 2*128/4096 = 6.25% redundant
+    # lanes at the headline width.  Dropping them makes the buffer exactly
+    # (Rbuf, nx); the circular lane rolls wrap garbage across the x edge
+    # and the selects patch it out at the consumer lanes — the same
+    # barrier argument as the pads.  Requires the full-slab select form
+    # (trapezoid/mxu overrides keep the padded layout).
+    padless_ok = (
+        fused_dma
+        and not slab_mode
+        and not wrap_x
+        and fix_left is not None
+        and fix_right is not None
+        and substep_override in (None, "fullslab", "chain")
+    )
+    by_forced = None
     if fused_dma or slab_mode:
         xoff = _XPAD
         # 2D block grid: x-blocks of BX columns (largest 128-multiple
@@ -740,15 +875,48 @@ def _build_multistep_call_cached(
             return None
         if BX < 512 and nx > BX:
             BX = nx
+        if (
+            chain_intent and fused_dma and not slab_mode
+            and not bx_override and not by_override
+        ):
+            # Chained-form geometry: score the narrow-block default against
+            # full width (padless when eligible) by modeled redundant
+            # compute, Rbuf/BY * W/BX; VMEM window capped at 10 MB and BY
+            # at 256 (512 measured slower — locality).  v5e 4096²
+            # measurements: padless full-width BY=256 217.3 Gpt/s vs 212.7
+            # for BX=2048 at BY=128/256 and 214.8 padded full-width BY=128.
+            isz = compute_dtype.itemsize
+            best = None
+            for bxc in sorted({BX, nx}):
+                if nx % bxc or bxc % 128:
+                    continue
+                wc_ = bxc if (padless_ok and bxc == nx) else bxc + 2 * _XPAD
+                byc = max(
+                    (d for d in range(8, min(ny, 256) + 1, 8)
+                     if ny % d == 0
+                     and (d + 2 * khalo) * wc_ * isz <= 10 * 1024 * 1024),
+                    default=None,
+                )
+                if byc is None:
+                    continue
+                waste = (byc + 2 * khalo) / byc * (wc_ / bxc)
+                if best is None or waste < best[0]:
+                    best = (waste, bxc, byc)
+            if best is not None:
+                BX, by_forced = best[1], best[2]
         if bx_override and nx % bx_override == 0 and bx_override % 128 == 0:
             BX = bx_override
         W = BX + 2 * _XPAD
+        padless_x = padless_ok and BX == nx
+        if padless_x:
+            xoff = 0
+            W = nx
     else:
         BX = nx
         W = -(-(nx + 2 * khalo) // 128) * 128
         xoff = khalo
     row_bytes = W * compute_dtype.itemsize
-    BY = _pick_block_rows(ny, row_bytes, khalo)
+    BY = by_forced if by_forced is not None else _pick_block_rows(ny, row_bytes, khalo)
     if by_override and ny % by_override == 0 and by_override % 8 == 0:
         BY = by_override
     if BY is None:
@@ -779,6 +947,25 @@ def _build_multistep_call_cached(
     # VPU — trades VPU issue slots (the measured bound) for MXU work that
     # can overlap.  Requires the full-slab form and active y physics.
     mxu = substep_override == "mxu" and fullslab and not (vy == 0.0 and D == 0.0)
+    # Value-chained sub-steps (see _build_kernel_body): the default
+    # wherever the per-sub-step op-count trade pays — dropping the
+    # ping-pong store saves one full-buffer op, converting a y-side
+    # write-fixup to a masked select costs one — i.e. at <= 1 fixup y
+    # side.  CLIMATE_SIM_SUBSTEP=chain forces it (A/B), =fullslab forces
+    # the store form.
+    if carrier:
+        # Carrier (padded-indivisible) builds REQUIRE the chained select
+        # form: the true top/right edges sit at runtime tile positions the
+        # store form's static-row fixup writes cannot express.
+        if not fullslab or mxu:
+            return None
+        chained = True
+    elif substep_override == "chain":
+        chained = fullslab and not mxu
+    elif substep_override in ("fullslab", "mxu", "trapezoid"):
+        chained = False
+    else:
+        chained = fullslab and n_y_fix <= 1
 
     kernel, n_dma = _build_kernel_body(
         k=k, khalo=khalo, R=R, Rbuf=Rbuf, W=W, BY=BY, BX=BX, nx=BX, nxg=nx,
@@ -789,6 +976,7 @@ def _build_multistep_call_cached(
         fix_bottom=fix_bottom, fix_top=fix_top,
         prepadded=prepadded, sharded=sharded, slab_mode=slab_mode,
         compute_dtype=compute_dtype, fullslab=fullslab, mxu=mxu,
+        chained=chained, carrier=carrier,
     )
 
     in_rows = ny if (fused_dma or slab_mode) else ny + 2 * khalo + (Rbuf - R)
@@ -1540,6 +1728,56 @@ def sharded_tile_slab_multistep(
             corner_states=corner,
         ))
     return call(*scheds, edge_flags.astype(jnp.int32), tile, xhalo, yhalo)
+
+
+def carrier_tile_slab_multistep(
+    tile,
+    xhalo,
+    yhalo,
+    flags6,
+    cfg: SimConfig,
+    dt: float,
+    k: int,
+    interpret: bool = False,
+    probe: bool = False,
+    probe_shape=None,
+    probe_dtype: str = "float32",
+):
+    """Slab-path pass for one shard of a PADDED CARRIER (grids indivisible
+    along both mesh axes — the Pallas upgrade of
+    parallel/halo.py::build_padded_gspmd_advance; the reference handles the
+    same grids with last-rank remainders, decomp.cpp:29-30).
+
+    The carrier tile is mesh-uniform (MY, MX); the TRUE grid edges sit at
+    arbitrary interior positions, so ``flags6`` extends the edge flags to
+    (6,) int32: [left, right, bottom, top, ghost_row, ghost_col] where
+    ``right``/``top`` mark the shard holding the true edge and
+    ``ghost_row``/``ghost_col`` are the tile-local positions of its ghost
+    line — consumed by traced-position masked selects in the chained
+    kernel form (see _build_kernel_body carrier=True).  Two-sided-periodic
+    sides carry no fixup at all: the caller stages true wrap blocks into
+    the pad region before each pass.  One-sided-periodic configs are not
+    supported here (returns None; the jnp carrier path takes over).
+    """
+    if one_sided_periodic(cfg):
+        return None
+    my, mx = probe_shape if probe else tile.shape
+    compat = cfg.strict_reference_compat
+    fixes = (
+        _fixup_side(cfg.bc.left, compat), _fixup_side(cfg.bc.right, compat),
+        _fixup_side(cfg.bc.bottom, compat), _fixup_side(cfg.bc.top, compat),
+    )
+    khalo8 = -(-k // 8) * 8
+    call = _build_multistep_call(
+        my, mx, k, khalo8, float(dt), float(cfg.D), float(cfg.vx),
+        float(cfg.vy), float(cfg.dx), float(cfg.dy), 0.0, *fixes,
+        False, False, False, True, True,
+        probe_dtype if probe else jnp.dtype(tile.dtype).name, interpret,
+        carrier=True,
+    )
+    if probe or call is None:
+        return call
+    return call(flags6.astype(jnp.int32), tile, xhalo, yhalo)
 
 
 def sharded_layout_available(

@@ -270,7 +270,7 @@ def test_seeded_fuzz_matches_oracle():
                             cfg.strict_reference_compat, err)
 
 
-@pytest.mark.parametrize("form", ["trapezoid", "fullslab", "mxu"])
+@pytest.mark.parametrize("form", ["trapezoid", "fullslab", "mxu", "chain"])
 def test_substep_override_forms_match_oracle(form, monkeypatch):
     """All sub-step forms stay live behind CLIMATE_SIM_SUBSTEP and agree
     with the oracle on the fused-DMA path (the A/B knob docs/performance.md
@@ -280,6 +280,27 @@ def test_substep_override_forms_match_oracle(form, monkeypatch):
     monkeypatch.setenv("CLIMATE_SIM_SUBSTEP", form)
     cfg = make_cfg(128, 64, MIX1)
     u = gaussian_hotspot(cfg, jnp.float32)
+    ref = oracle(u, cfg, 8)
+    out = multistep_kernel_step(u, cfg, cfg.dt, 8, interpret=True)
+    assert out is not None
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize("bcs", [D4, N4, MIX1, MIX2, P4,
+                                 (BCType.NEUMANN, BCType.DIRICHLET,
+                                  BCType.PERIODIC, BCType.DIRICHLET)])
+def test_chained_substep_matches_oracle_all_fixup_mixes(bcs, monkeypatch):
+    """CLIMATE_SIM_SUBSTEP=chain forces the value-chained form even where
+    the default op-count gate (<= 1 fixup y side) would pick the store
+    form — every y-fixup count (0, 1, 2) and kind (dirichlet, neumann,
+    sched via the one-sided-periodic mix) must match the oracle, since the
+    y fixups ride sublane-masked roll selects instead of ref row writes."""
+    monkeypatch.setenv("CLIMATE_SIM_SUBSTEP", "chain")
+    cfg = make_cfg(128, 64, bcs)
+    u = gaussian_hotspot(cfg, jnp.float32)
+    # park mass against the edges so boundary handling is load-bearing
+    u = u + 0.5 * jnp.roll(u, u.shape[0] // 2 - 2, axis=0)
+    u = u + 0.25 * jnp.roll(u, u.shape[1] // 2 - 2, axis=1)
     ref = oracle(u, cfg, 8)
     out = multistep_kernel_step(u, cfg, cfg.dt, 8, interpret=True)
     assert out is not None
