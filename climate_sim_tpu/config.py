@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
+import sys
 from dataclasses import dataclass, field
 from typing import Any, Dict, Optional, Sequence, Tuple
 
@@ -393,7 +394,10 @@ def parse_cli_overrides(args: Sequence[str]) -> Dict[str, Any]:
     """Parse ``--key=value`` / ``--key value`` overrides (io.cpp:180-310).
 
     Returns a flat ``{key: coerced value}`` dict.  Unknown ``--flags`` are
-    ignored, matching the reference's permissive loop.
+    ignored, matching the reference's permissive loop — but a one-line
+    stderr warning is printed per ignored flag, so a typo like
+    ``--step=100`` cannot silently run 100 default steps.  ``--config``
+    is consumed separately (:func:`extract_config_path`) and never warns.
     """
     out: Dict[str, Any] = {}
     argv = list(args)
@@ -412,6 +416,9 @@ def parse_cli_overrides(args: Sequence[str]) -> Dict[str, Any]:
 
     known = set(_INT_KEYS) | set(_FLOAT_KEYS) | set(_STR_KEYS) | set(_BC_KEYS) | set(_BOOL_KEYS)
 
+    # Flags handled elsewhere in the CLI stack: --config by
+    # extract_config_path, help/version by runtime/cli.py.
+    _external = {"config", "help", "version"}
     while i < len(argv):
         a = argv[i]
         if a.startswith("--"):
@@ -420,11 +427,20 @@ def parse_cli_overrides(args: Sequence[str]) -> Dict[str, Any]:
                 key, raw = body.split("=", 1)
                 if key in known:
                     out[key] = coerce(key, raw)
+                elif key not in _external:
+                    print(f"warning: ignored unknown flag --{key}",
+                          file=sys.stderr)
             else:
                 key = body
                 if key in known and i + 1 < len(argv):
                     out[key] = coerce(key, argv[i + 1])
                     i += 1
+                elif key in known:
+                    print(f"warning: ignored flag --{key} (missing value)",
+                          file=sys.stderr)
+                elif key not in _external:
+                    print(f"warning: ignored unknown flag --{key}",
+                          file=sys.stderr)
         i += 1
     return out
 

@@ -479,7 +479,13 @@ def build_padded_gspmd_advance(
     def advance(k: int):
         def body(u):
             c = lax.fori_loop(0, k, lambda i, v: one_step(v), embed(u))
-            return c[:ny, :nx]
+            # The driver AOT-compiles chunk executables against a
+            # REPLICATED u0 and feeds each chunk's output back into the
+            # same executable — enforce that invariant at the jit boundary
+            # instead of relying on GSPMD happening to replicate the slice.
+            return lax.with_sharding_constraint(
+                c[:ny, :nx], NamedSharding(mesh, PartitionSpec(None, None))
+            )
 
         return jax.jit(body)
 

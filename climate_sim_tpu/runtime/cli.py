@@ -30,8 +30,16 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     args: List[str] = list(sys.argv[1:] if argv is None else argv)
     if args and args[0] == "run":
         args = args[1:]
-    if args and args[0] in ("-h", "--help"):
+    # -h/--help and --version are honored ANYWHERE in argv (not only
+    # first): the override parser is reference-permissive about unknown
+    # flags, so a trailing --help must not be swallowed into a full run.
+    if any(a in ("-h", "--help") for a in args):
         print(__doc__)
+        return 0
+    if "--version" in args:
+        from .. import __version__
+
+        print(f"climate-sim-tpu {__version__}")
         return 0
 
     try:

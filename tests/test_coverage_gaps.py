@@ -21,6 +21,36 @@ def test_cli_help_exits_zero(capsys):
     assert "config" in capsys.readouterr().out
 
 
+def test_cli_help_anywhere_and_version(capsys):
+    # --help anywhere in argv short-circuits (must NOT start a run: the
+    # permissive override parser would otherwise swallow it); --version
+    # prints the package version.
+    assert cli_main(["--nx=64", "--help"]) == 0
+    assert "config" in capsys.readouterr().out
+    assert cli_main(["--version"]) == 0
+    from climate_sim_tpu import __version__
+
+    assert __version__ in capsys.readouterr().out
+
+
+def test_cli_unknown_flag_warns_but_runs(capsys, tmp_path):
+    # Reference-permissive: unknown --flags are ignored (io.cpp:180-217),
+    # but a stderr warning flags the typo instead of silently running with
+    # defaults.
+    rc = cli_main(["--nx=16", "--ny=16", "--steps=1", "--out_every=1",
+                   "--step=100", f"--output.dir={tmp_path}/o"])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "ignored unknown flag --step" in err
+
+
+def test_cli_known_flag_missing_value_warns(capsys, tmp_path):
+    rc = cli_main(["--nx=16", "--ny=16", "--steps=1", "--out_every=1",
+                   f"--output.dir={tmp_path}/o", "--dt"])
+    assert rc == 0
+    assert "ignored flag --dt (missing value)" in capsys.readouterr().err
+
+
 def test_cli_run_subcommand_and_config_error(capsys, tmp_path):
     # "run" prefix is accepted and stripped; bad override -> exit 2.
     assert cli_main(["run", "--nx=-3", f"--output.dir={tmp_path}/o"]) == 2
