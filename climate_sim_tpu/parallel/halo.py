@@ -437,6 +437,207 @@ def build_sharded_advance(
     return advance
 
 
+def _carrier_axis_plan(n: int, p: int, periodic: bool, align: int, kh: int = 8):
+    """Per-axis carrier geometry for :func:`build_carrier_slab_advance`.
+
+    Returns ``(m, edge, l)`` — per-shard extent ``m`` (an ``align``
+    multiple), the shard index ``edge`` holding the true physical edge, and
+    the tile-local true extent ``l`` on that shard — or None when no valid
+    geometry exists.  ``m * p >= n`` always; the pad lives at the high end
+    of the global carrier (the reference instead gives the last rank the
+    remainder, decomp.cpp:29-30 — shard_map needs uniform shards).
+
+    A two-sided-periodic axis additionally requires the edge in the LAST
+    shard with ``>= 2*kh`` pad lines (room for the wrap-head and
+    tail-mirror staging blocks, disjoint) and ``>= kh`` true lines as the
+    tail-mirror source.
+    """
+    m0 = n // p
+    if n % p == 0 and m0 % align == 0:
+        return m0, p - 1, m0  # uniform + aligned: no pad at all
+    m = -(-(-(-n // p)) // align) * align
+    if not periodic:
+        e = -(-n // m) - 1
+        return m, e, n - e * m
+    if p == 1:
+        while m - n < 2 * kh:
+            m += align
+        return m, 0, n
+    while (p - 1) * m < n:
+        l = n - (p - 1) * m
+        if p * m - n >= 2 * kh and l >= kh:
+            return m, p - 1, l
+        m += align
+    return None
+
+
+def build_carrier_slab_advance(
+    cfg: SimConfig,
+    mesh: Mesh,
+    dt: float,
+    interpret: bool = False,
+    dtype_name: str = "float32",
+):
+    """``advance(chunk)`` running the Pallas slab kernel on grids whose
+    shards the divisible fast path cannot form — indivisible along one or
+    both mesh axes, or divisible with misaligned tiles.
+
+    The field is embedded in a zero-padded CARRIER of mesh-uniform,
+    layout-aligned shard shape (rows x8, cols x128); the true physical
+    edges sit at arbitrary tile-interior positions, passed to the kernel
+    as runtime flags — its carrier-mode masked selects re-supply the BC
+    ghost lines at those positions every sub-step
+    (ops/pallas_stencil.py::carrier_tile_slab_multistep).  Pad cells
+    evolve as inert garbage: every select patches the rolled operand at
+    the ghost line's consumers, so contamination never crosses into the
+    true extent (the same barrier argument as the trapezoid).
+
+    Two-sided-periodic axes have no fixup; instead the pass STAGES true
+    wrap data into the pad before the halo exchange:
+
+    * wrap-head: tile lines [l, l+8) of the edge shard := the first 8
+      global lines (one ppermute from shard 0), so the true edge's upper
+      neighbors are the wrapped values — they then evolve correctly for
+      k sub-steps (trapezoid argument, exactly like a neighbor slab);
+    * tail-mirror: tile lines [m-8, m) := true lines [l-8, l), so the
+      CYCLIC slab exchange delivers true wrap data to shard 0's ghost.
+
+    One-sided-periodic configs are not supported (kernel returns None);
+    the caller falls back.  Returns None when no geometry/layout fits.
+
+    The returned ``advance`` carries ``.embed`` / ``.extract`` jitted
+    helpers mapping the true (ny, nx) field into/out of the carrier, and
+    ``.carrier_shape``.  The driver keeps the carrier as loop state and
+    extracts only at snapshot points.
+    """
+    from ..ops.pallas_stencil import (
+        _stencil_weights,
+        carrier_tile_slab_multistep,
+        one_sided_periodic,
+        pick_steps_per_pass,
+    )
+
+    px = mesh.shape["x"]
+    py = mesh.shape["y"]
+    nx, ny = cfg.nx, cfg.ny
+    aligned = (
+        nx % px == 0 and ny % py == 0
+        and (nx // px) % 128 == 0 and (ny // py) % 8 == 0
+    )
+    if aligned or one_sided_periodic(cfg):
+        return None
+    compat = cfg.strict_reference_compat
+    per = BCType.PERIODIC
+    per_x = not compat and cfg.bc.left == per and cfg.bc.right == per
+    per_y = not compat and cfg.bc.bottom == per and cfg.bc.top == per
+    KH = 8  # staging depth = the sublane-aligned slab width (k <= 8)
+    plan_x = _carrier_axis_plan(nx, px, per_x, 128, KH)
+    plan_y = _carrier_axis_plan(ny, py, per_y, 8, KH)
+    if plan_x is None or plan_y is None:
+        return None
+    mx, e_x, lx = plan_x
+    my, e_y, ly = plan_y
+    # Tiny tiles / extreme pad waste: the jnp fallbacks are simpler and the
+    # throughput difference is irrelevant at these sizes.
+    if my < 32 or mx < 128 or ly < KH or lx < KH:
+        return None
+    if (my * py) * (mx * px) > 2 * ny * nx:
+        return None
+
+    tile_cfg = dataclasses.replace(cfg, nx=mx, ny=my)
+    k = pick_steps_per_pass(tile_cfg, cfg.out_every or 8)
+    if any(
+        carrier_tile_slab_multistep(
+            None, None, None, None, cfg, dt, kk, interpret,
+            probe=True, probe_shape=(my, mx), probe_dtype=dtype_name,
+        ) is None
+        for kk in range(1, k + 1)
+    ):
+        return None
+
+    # Pad garbage stays bounded by the max principle when the stencil
+    # weights are a convex combination (sum |w| <= 1, guaranteed when dt
+    # respects the COMBINED advection+diffusion envelope).  Outside that
+    # envelope it could grow ~gamma^steps and overflow to inf (still
+    # confined by the selects, but ugly in dumps) — damp it each pass.
+    gamma = sum(abs(w) for w in _stencil_weights(
+        dt, cfg.D, cfg.vx, cfg.vy, cfg.dx, cfg.dy
+    ))
+    damp_pads = gamma > 1.0 + 1e-12
+
+    spec = PartitionSpec("y", "x")
+    NY, NX = my * py, mx * px
+
+    def shard_flags():
+        xi = lax.axis_index("x")
+        yi = lax.axis_index("y")
+        return jnp.stack([
+            (xi == 0).astype(jnp.int32),
+            (xi == e_x).astype(jnp.int32),
+            (yi == 0).astype(jnp.int32),
+            (yi == e_y).astype(jnp.int32),
+            jnp.full((), ly, jnp.int32),
+            jnp.full((), lx, jnp.int32),
+        ])
+
+    def zero_pads(c):
+        xi = lax.axis_index("x")
+        yi = lax.axis_index("y")
+        rowi = lax.broadcasted_iota(jnp.int32, (my, mx), 0)
+        coli = lax.broadcasted_iota(jnp.int32, (my, mx), 1)
+        ly_loc = jnp.where(yi < e_y, my, jnp.where(yi == e_y, ly, 0))
+        lx_loc = jnp.where(xi < e_x, mx, jnp.where(xi == e_x, lx, 0))
+        return jnp.where((rowi < ly_loc) & (coli < lx_loc), c, 0)
+
+    def stage_y(c):
+        on = lax.axis_index("y") == py - 1
+        if py > 1:
+            tail = c[ly - KH : ly, :]
+            c = c.at[my - KH :, :].set(jnp.where(on, tail, c[my - KH :, :]))
+            head = lax.ppermute(c[:KH, :], "y", [(0, py - 1)])
+        else:
+            head = c[:KH, :]
+        return c.at[ly : ly + KH, :].set(jnp.where(on, head, c[ly : ly + KH, :]))
+
+    def stage_x(c):
+        on = lax.axis_index("x") == px - 1
+        if px > 1:
+            tail = c[:, lx - KH : lx]
+            c = c.at[:, mx - KH :].set(jnp.where(on, tail, c[:, mx - KH :]))
+            head = lax.ppermute(c[:, :KH], "x", [(0, px - 1)])
+        else:
+            head = c[:, :KH]
+        return c.at[:, lx : lx + KH].set(jnp.where(on, head, c[:, lx : lx + KH]))
+
+    stage_y_on = per_y and my * py != ny
+    stage_x_on = per_x and mx * px != nx
+
+    def tile_pass(c_local: jnp.ndarray, kk: int) -> jnp.ndarray:
+        if damp_pads:
+            c_local = zero_pads(c_local)
+        if stage_y_on:
+            c_local = stage_y(c_local)
+        if stage_x_on:
+            c_local = stage_x(c_local)
+        xhalo, yhalo = exchange_halos_slabs(c_local, px, py, KH)
+        return carrier_tile_slab_multistep(
+            c_local, xhalo, yhalo, shard_flags(), cfg, dt, kk,
+            interpret=interpret,
+        )
+
+    advance = _make_chunk_advance(tile_pass, k, mesh, spec)
+    carrier_sh = NamedSharding(mesh, spec)
+    repl = NamedSharding(mesh, PartitionSpec(None, None))
+    advance.embed = jax.jit(lambda u: lax.with_sharding_constraint(
+        jnp.pad(u, ((0, NY - ny), (0, NX - nx))), carrier_sh
+    ))
+    advance.extract = jax.jit(lambda c: lax.with_sharding_constraint(
+        c[:ny, :nx], repl
+    ))
+    advance.carrier_shape = (NY, NX)
+    return advance
+
+
 def build_padded_gspmd_advance(
     cfg: SimConfig, mesh: Mesh, dt: float
 ) -> Callable[[int], Callable]:

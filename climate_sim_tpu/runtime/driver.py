@@ -189,8 +189,28 @@ def prepare(cfg: SimConfig, devices=None):
             return device_initial_condition(cfg, dtype, sharding)
         return jax.device_put(apply_initial_condition(cfg, dtype), sharding)
 
+    def try_carrier():
+        # Padded-carrier Pallas path: mesh-uniform aligned carrier, true
+        # edges at runtime flags (slab-kernel class; the jnp fallbacks
+        # below are ~7x slower).  None when no geometry/layout fits.
+        if select_kernel(cfg) not in PALLAS_KERNELS:
+            return None
+        from ..parallel.halo import build_carrier_slab_advance
+
+        adv = build_carrier_slab_advance(
+            cfg, mesh, dt, dtype_name=jnp.dtype(dtype).name
+        )
+        if adv is not None:
+            ncy, ncx = adv.carrier_shape
+            _log(
+                f"[info] grid {cfg.nx}x{cfg.ny} has no aligned uniform"
+                f" shards on the {mesh.shape['x']}x{mesh.shape['y']} mesh;"
+                f" running the Pallas CARRIER path ({ncx}x{ncy} carrier,"
+                " true edges at runtime flags)"
+            )
+        return adv
+
     if mesh is not None and divisible(mesh, cfg.nx, cfg.ny):
-        u0 = place_ic(field_sharding(mesh))
         advance = None
         if select_kernel(cfg) in PALLAS_KERNELS:
             # Multi-chip fast path: one k-wide halo exchange per k steps,
@@ -206,19 +226,46 @@ def prepare(cfg: SimConfig, devices=None):
                 advance = build_sharded_multistep_advance(
                     cfg, mesh, dt, dtype_name=jnp.dtype(dtype).name
                 )
+            if advance is None or not getattr(advance, "uses_slabs", True):
+                # Divisible but tile-MISALIGNED (e.g. 500-wide shards):
+                # the aligned carrier beats the assembled-tile fallback
+                # (~2x measured) — prefer it when its geometry fits.
+                carrier = try_carrier()
+                if carrier is not None:
+                    advance = carrier
+        if advance is not None and hasattr(advance, "embed"):
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            u0 = place_ic(NamedSharding(mesh, PartitionSpec(None, None)))
+        else:
+            u0 = place_ic(field_sharding(mesh))
         if advance is None:
             interior = make_interior_step(cfg, dt)
             advance = build_sharded_advance(cfg, mesh, dt, interior)
     else:
         advance = None
         if mesh is not None:
-            # Indivisible grid: shard only the axes the mesh divides evenly
-            # (JAX refuses uneven explicit shardings outright) and let GSPMD
-            # partition the global program (decision log #6) — compiler
-            # -managed halos, jnp path forced (a manual Pallas call cannot
-            # be auto-partitioned by GSPMD).
             from jax.sharding import NamedSharding, PartitionSpec
 
+            advance = try_carrier()
+            if advance is not None:
+                u0 = place_ic(NamedSharding(mesh, PartitionSpec(None, None)))
+        if mesh is not None and advance is None:
+            # Indivisible grid, no carrier layout: shard only the axes the
+            # mesh divides evenly (JAX refuses uneven explicit shardings)
+            # and let GSPMD partition the global program (decision log #6)
+            # — compiler-managed halos, jnp path forced (a manual Pallas
+            # call cannot be auto-partitioned by GSPMD).
+            if select_kernel(cfg) in PALLAS_KERNELS and is_controller():
+                print(
+                    f"[warn] kernel={select_kernel(cfg)} requested but the"
+                    f" {cfg.nx}x{cfg.ny} grid fits no Pallas layout on this"
+                    " mesh: downgrading to the jnp-class GSPMD path"
+                    " (~7x slower per chip) — benchmark numbers from this"
+                    " run are NOT Pallas-path numbers",
+                    file=sys.stderr,
+                    flush=True,
+                )
             sy = "y" if cfg.ny % mesh.shape["y"] == 0 else None
             sx = "x" if cfg.nx % mesh.shape["x"] == 0 else None
             if sy is None and sx is None:
@@ -276,6 +323,16 @@ def run_simulation(cfg: SimConfig, devices=None, write_output: bool = True) -> R
     stats = jax.jit(_field_stats)
     ic_stats = np.asarray(jax.device_get(stats(u)), dtype=np.float64)
     _log(f"IC min/max: {ic_stats[0]:g} / {ic_stats[1]:g}")
+
+    # Carrier-path advances (padded indivisible grids) keep the CARRIER as
+    # loop state and expose embed/extract; snapshots, diagnostics and the
+    # final result see the true-extent view only.
+    extract = getattr(advance, "extract", None)
+    if hasattr(advance, "embed"):
+        u = advance.embed(u)
+
+    def view(x):
+        return extract(x) if extract is not None else x
 
     multi_host = jax.process_count() > 1
     writer = None
@@ -353,6 +410,8 @@ def run_simulation(cfg: SimConfig, devices=None, write_output: bool = True) -> R
             compiled[k] = fn.lower(u).compile()
         except Exception:
             compiled[k] = fn
+    if extract is not None:
+        view(u).block_until_ready()  # compile outside the timed region
 
     def advance_compiled(k):
         return compiled.get(k) or advance(k)
@@ -378,7 +437,7 @@ def run_simulation(cfg: SimConfig, devices=None, write_output: bool = True) -> R
         if n % cfg.out_every == 0 and any_writer:
             u_snap = u
             u = dispatch_span(u, k)  # dispatch next chunk before the host transfer
-            emit_snapshot(u_snap)
+            emit_snapshot(view(u_snap))
             snapshots += 1
         else:
             u = dispatch_span(u, k)
@@ -392,10 +451,11 @@ def run_simulation(cfg: SimConfig, devices=None, write_output: bool = True) -> R
             # out_every=100 chunk; grows as out_every shrinks).  Keeping
             # field references to defer the dispatch too would pin one full
             # field in HBM per pending event.
-            diag_pending.append((n + k, stats(u)))
+            diag_pending.append((n + k, stats(view(u))))
         n += k
     u.block_until_ready()
     total = time.perf_counter() - t0
+    u = view(u)
     if profiling:
         jax.profiler.stop_trace()
 

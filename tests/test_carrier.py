@@ -1,0 +1,200 @@
+"""Padded-carrier Pallas path: grids indivisible (or tile-misaligned) on the
+mesh run the slab kernel on a mesh-uniform zero-padded carrier, with the true
+physical edges at runtime tile positions (masked-select fixups) and periodic
+wrap staged into the pads.
+
+The reference handles the same grids with unequal last-rank tiles
+(reference: src/decomp.cpp:29-30); shard_map needs uniform shards, so the
+carrier + runtime-edge design is the TPU-native equivalent.  Runs on the
+virtual 8-device CPU mesh (conftest) with the kernel in interpret mode.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from climate_sim_tpu.config import BCConfig, BCType, SimConfig
+from climate_sim_tpu.ops.init import gaussian_hotspot
+from climate_sim_tpu.ops.step import reference_step
+from climate_sim_tpu.parallel.halo import (
+    _carrier_axis_plan,
+    build_carrier_slab_advance,
+)
+from climate_sim_tpu.parallel.mesh import make_mesh
+
+D4 = (BCType.DIRICHLET,) * 4
+N4 = (BCType.NEUMANN,) * 4
+P4 = (BCType.PERIODIC,) * 4
+MIX = (BCType.DIRICHLET, BCType.NEUMANN, BCType.DIRICHLET, BCType.NEUMANN)
+
+
+def make_cfg(nx, ny, bcs, out_every=8, compat=False):
+    cfg = SimConfig(
+        nx=nx, ny=ny, D=0.05, vx=0.5, vy=-0.25, dt=0.1, steps=16,
+        out_every=out_every,
+    )
+    cfg.bc = BCConfig(*bcs)
+    cfg.strict_reference_compat = compat
+    return cfg
+
+
+def oracle(u, cfg, steps):
+    for _ in range(steps):
+        u = reference_step(u, cfg, cfg.dt)
+    return u
+
+
+def run_carrier(cfg, mesh_shape, steps):
+    px, py = mesh_shape
+    mesh = make_mesh(px, py, jax.devices()[: px * py])
+    adv = build_carrier_slab_advance(cfg, mesh, cfg.dt, interpret=True)
+    if adv is None:
+        return None
+    u = gaussian_hotspot(cfg, jnp.float32)
+    c = adv.embed(u)
+    assert c.shape == adv.carrier_shape
+    c = adv(steps)(c)
+    return np.asarray(adv.extract(c)), np.asarray(oracle(u, cfg, steps))
+
+
+def test_axis_plan_geometry():
+    # divisible + aligned: no pad
+    assert _carrier_axis_plan(1024, 4, False, 128) == (256, 3, 256)
+    # indivisible: next 128-multiple of ceil(1000/4)=250 -> 256
+    assert _carrier_axis_plan(1000, 4, False, 128) == (256, 3, 232)
+    # divisible but MISALIGNED tiles (500 % 128 != 0) also get a carrier
+    m, e, l = _carrier_axis_plan(1000, 2, False, 128)
+    assert m % 128 == 0 and e * m < 1000 <= (e + 1) * m and l == 1000 - e * m
+    # rounding may push the edge off the last shard (non-periodic is fine
+    # with trailing all-pad shards)
+    m, e, l = _carrier_axis_plan(36, 4, False, 8)
+    assert (m, e, l) == (16, 2, 4)
+    # periodic needs >= 16 pad lines and >= 8 true lines in the edge shard
+    m, e, l = _carrier_axis_plan(1000, 2, True, 8)
+    assert e == 1 and 2 * m - 1000 >= 16 and l >= 8
+    # single-shard aligned periodic axis: no pad (self-exchange wraps)
+    assert _carrier_axis_plan(1000, 1, True, 8) == (1000, 0, 1000)
+    # single-shard MISALIGNED periodic axis: pad >= 16 beyond the extent
+    m, e, l = _carrier_axis_plan(1000, 1, True, 128)
+    assert (e, l) == (0, 1000) and m - 1000 >= 16 and m % 128 == 0
+
+
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 4)])
+@pytest.mark.parametrize("bcs", [D4, N4, MIX])
+def test_carrier_indivisible_both_axes_matches_oracle(mesh_shape, bcs):
+    """The VERDICT target case: 1000x1000 (indivisible along both axes of
+    every 8-device mesh) runs the slab kernel via the carrier and matches
+    the oracle."""
+    cfg = make_cfg(1000, 1000, bcs)
+    got = run_carrier(cfg, mesh_shape, 16)
+    assert got is not None, "carrier path unavailable"
+    np.testing.assert_allclose(got[0], got[1], atol=5e-5)
+
+
+def test_carrier_periodic_both_axes_matches_oracle():
+    """Two-sided periodic on both padded axes: wrap-head + tail-mirror
+    staging keeps the torus exact across shard seams AND the pad seam."""
+    cfg = make_cfg(1000, 1000, P4)
+    got = run_carrier(cfg, (4, 2), 16)
+    assert got is not None
+    np.testing.assert_allclose(got[0], got[1], atol=5e-5)
+
+
+def test_carrier_periodic_y_only_padded():
+    """Periodic y + non-periodic x, y axis padded, x axis aligned."""
+    cfg = make_cfg(
+        1024, 1000,
+        (BCType.DIRICHLET, BCType.NEUMANN, BCType.PERIODIC, BCType.PERIODIC),
+    )
+    got = run_carrier(cfg, (4, 2), 16)
+    assert got is not None
+    np.testing.assert_allclose(got[0], got[1], atol=5e-5)
+
+
+def test_carrier_partially_divisible():
+    """One axis divisible+aligned, the other indivisible."""
+    cfg = make_cfg(1000, 1024, MIX)
+    got = run_carrier(cfg, (2, 4), 16)
+    assert got is not None
+    np.testing.assert_allclose(got[0], got[1], atol=5e-5)
+
+
+def test_carrier_compat_mode():
+    """strict_reference_compat: periodic sides reproduce the reference's
+    stale-zero no-op at the TRUE edges, not the carrier edges."""
+    cfg = make_cfg(1000, 1000, P4, compat=True)
+    got = run_carrier(cfg, (4, 2), 16)
+    assert got is not None
+    np.testing.assert_allclose(got[0], got[1], atol=5e-5)
+
+
+def test_carrier_chunk_remainder():
+    """Chunks that are not multiples of k exercise remainder passes."""
+    cfg = make_cfg(1000, 504, MIX)
+    got = run_carrier(cfg, (4, 2), 11)
+    assert got is not None
+    np.testing.assert_allclose(got[0], got[1], atol=5e-5)
+
+
+def test_carrier_rejects_one_sided_periodic():
+    cfg = make_cfg(
+        1000, 1000,
+        (BCType.PERIODIC, BCType.DIRICHLET, BCType.NEUMANN, BCType.NEUMANN),
+    )
+    mesh = make_mesh(4, 2)
+    assert build_carrier_slab_advance(cfg, mesh, cfg.dt, interpret=True) is None
+
+
+def test_carrier_rejects_aligned_divisible():
+    """Divisible + aligned grids must use the standard fast path."""
+    cfg = make_cfg(1024, 1024, D4)
+    mesh = make_mesh(4, 2)
+    assert build_carrier_slab_advance(cfg, mesh, cfg.dt, interpret=True) is None
+
+
+def test_carrier_rejects_tiny_grids():
+    cfg = make_cfg(13, 11, D4)
+    mesh = make_mesh(4, 2)
+    assert build_carrier_slab_advance(cfg, mesh, cfg.dt, interpret=True) is None
+
+
+def test_driver_runs_carrier_path_end_to_end(tmp_path, capsys):
+    """run_simulation keeps the carrier as loop state, snapshots the true
+    extent, and matches the oracle (the indivisible-grid analogue of the
+    reference's any-shape decomposition, decomp.cpp:29-30)."""
+    import climate_sim_tpu.runtime.driver as drv
+
+    cfg = make_cfg(1000, 504, MIX, out_every=4)
+    cfg.steps = 8
+    cfg.kernel = "pallas_multistep"
+    cfg.output_dir = str(tmp_path / "o")
+    res = drv.run_simulation(cfg)
+    assert "CARRIER path" in capsys.readouterr().out
+    assert res.snapshots_written == 2
+    assert res.mesh_shape is not None
+    u = np.asarray(jax.device_get(res.u))
+    assert u.shape == (504, 1000)
+    ref = np.asarray(oracle(gaussian_hotspot(cfg, res.u.dtype), cfg, 8))
+    np.testing.assert_allclose(u, ref, atol=5e-5)
+    # snapshot file carries the true extent
+    from climate_sim_tpu.io.netcdf import NetCDFFile
+
+    f = NetCDFFile(res.output_path)
+    assert f.variables["u"].shape == (2, 504, 1000)
+    np.testing.assert_allclose(f.variables["u"][0], np.asarray(
+        gaussian_hotspot(cfg, res.u.dtype)), atol=1e-6)
+
+
+def test_driver_warns_on_jnp_downgrade(tmp_path, capsys):
+    """A Pallas request that no layout can serve must WARN (not just info)
+    that the run is jnp-class (ADVICE round 2)."""
+    import climate_sim_tpu.runtime.driver as drv
+
+    cfg = SimConfig(nx=13, ny=11, D=0.02, dt=0.1, steps=2, out_every=1)
+    cfg.kernel = "pallas_multistep"
+    cfg.output_dir = str(tmp_path / "o")
+    res = drv.run_simulation(cfg)
+    err = capsys.readouterr().err
+    assert "[warn]" in err and "jnp-class" in err
+    assert res.snapshots_written == 2
