@@ -590,23 +590,24 @@ def build_carrier_slab_advance(
         return jnp.where((rowi < ly_loc) & (coli < lx_loc), c, 0)
 
     def stage_y(c):
+        # Tail-mirror on EVERY axis size: the cyclic slab exchange (the
+        # identity when py == 1) sources shard 0's bottom ghost from the
+        # tile's last rows, which must therefore hold the true last rows.
         on = lax.axis_index("y") == py - 1
-        if py > 1:
-            tail = c[ly - KH : ly, :]
-            c = c.at[my - KH :, :].set(jnp.where(on, tail, c[my - KH :, :]))
-            head = lax.ppermute(c[:KH, :], "y", [(0, py - 1)])
-        else:
-            head = c[:KH, :]
+        tail = c[ly - KH : ly, :]
+        c = c.at[my - KH :, :].set(jnp.where(on, tail, c[my - KH :, :]))
+        head = (
+            lax.ppermute(c[:KH, :], "y", [(0, py - 1)]) if py > 1 else c[:KH, :]
+        )
         return c.at[ly : ly + KH, :].set(jnp.where(on, head, c[ly : ly + KH, :]))
 
     def stage_x(c):
         on = lax.axis_index("x") == px - 1
-        if px > 1:
-            tail = c[:, lx - KH : lx]
-            c = c.at[:, mx - KH :].set(jnp.where(on, tail, c[:, mx - KH :]))
-            head = lax.ppermute(c[:, :KH], "x", [(0, px - 1)])
-        else:
-            head = c[:, :KH]
+        tail = c[:, lx - KH : lx]
+        c = c.at[:, mx - KH :].set(jnp.where(on, tail, c[:, mx - KH :]))
+        head = (
+            lax.ppermute(c[:, :KH], "x", [(0, px - 1)]) if px > 1 else c[:, :KH]
+        )
         return c.at[:, lx : lx + KH].set(jnp.where(on, head, c[:, lx : lx + KH]))
 
     stage_y_on = per_y and my * py != ny

@@ -18,6 +18,7 @@ PnetCDF writes with compute.
 from __future__ import annotations
 
 import dataclasses
+import os
 import sys
 import time
 from typing import Optional
@@ -79,6 +80,30 @@ def maybe_init_distributed(cfg: SimConfig) -> None:
 def is_controller() -> bool:
     """True on the logging/IO process (rank 0 of the multi-controller run)."""
     return jax.process_index() == 0
+
+
+def _bounded_sync(name: str, timeout_s: Optional[float] = None) -> None:
+    """Cross-process barrier that FAILS rather than hangs when a peer dies.
+
+    ``multihost_utils.sync_global_devices`` is a compiled collective with no
+    timeout: if the controller dies between creating the snapshot file and
+    reaching the barrier, every peer blocks forever (and the dead
+    controller's interpreter then hangs in the distributed-shutdown atexit
+    waiting for those peers — a cluster-wide deadlock, observed).  Use the
+    coordination-service barrier instead: it errors when the leader dies
+    and times out (default 600 s, ``CLIMATE_SIM_SYNC_TIMEOUT_S``) when a
+    live peer never arrives."""
+    from jax._src import distributed
+
+    client = getattr(distributed.global_state, "client", None)
+    if client is None:  # single-process / no coordination service
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
+        return
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("CLIMATE_SIM_SYNC_TIMEOUT_S", "600"))
+    client.wait_at_barrier(name, timeout_in_ms=int(timeout_s * 1000))
 
 
 def fetch_global(u: jax.Array) -> np.ndarray:
@@ -346,8 +371,6 @@ def run_simulation(cfg: SimConfig, devices=None, write_output: bool = True) -> R
             # the controller creates the file + header, then every process
             # attaches and writes only its own shard rows.  No host ever
             # holds the global array.
-            from jax.experimental import multihost_utils
-
             if is_controller():
                 try:
                     sharded_writer = ShardedSnapshotWriter(
@@ -363,7 +386,7 @@ def run_simulation(cfg: SimConfig, devices=None, write_output: bool = True) -> R
 
                     traceback.print_exc()
                     raise
-            multihost_utils.sync_global_devices("climate_sim_tpu:snapshot_open")
+            _bounded_sync("climate_sim_tpu:snapshot_open")
             if not is_controller():
                 sharded_writer = ShardedSnapshotWriter(out_path, cfg, create=False)
         else:

@@ -31,6 +31,7 @@
 #include <condition_variable>
 #include <cstdint>
 #include <cstdio>
+#include <cerrno>
 #include <cstring>
 #include <deque>
 #include <map>
@@ -158,8 +159,14 @@ class Writer {
         throw std::runtime_error("short header write to " + path);
       }
       // Attaching processes read this back as soon as their open barrier
-      // releases: make it visible now.
-      std::fflush(f_);
+      // releases: make it visible now.  ENOSPC/EIO here must fail the
+      // create, not surface as a peer's header-mismatch later.
+      if (std::fflush(f_) != 0) {
+        std::fclose(f_);
+        f_ = nullptr;
+        throw std::runtime_error("header flush failed: " +
+                                 std::string(std::strerror(errno)));
+      }
     } else {
       // Attach: verify the creator's on-disk header matches this schema
       // byte-for-byte, numrecs field (offset 4, 8 bytes) excluded.
@@ -208,7 +215,9 @@ class Writer {
     std::unique_lock<std::mutex> lk(mu_);
     drained_.wait(lk, [this] { return (queue_.empty() && !busy_) || !error_.empty(); });
     if (!error_.empty()) throw std::runtime_error(error_);
-    std::fflush(f_);
+    if (std::fflush(f_) != 0)
+      throw std::runtime_error("flush failed: " +
+                               std::string(std::strerror(errno)));
   }
 
   void close() {
@@ -222,8 +231,13 @@ class Writer {
     }
     if (worker_.joinable()) worker_.join();
     if (f_) {
-      std::fclose(f_);
+      // fclose flushes the stdio buffer: a failure here means the file
+      // tail never reached disk — the no-partial-snapshot contract
+      // requires it to surface, not vanish with the handle.
+      int rc = std::fclose(f_);
       f_ = nullptr;
+      if (rc != 0 && error_.empty())
+        error_ = "close failed: " + std::string(std::strerror(errno));
     }
     if (!error_.empty()) throw std::runtime_error(error_);
   }

@@ -6,16 +6,20 @@ runs the full path matrix on actual TPU hardware and compares each result
 against the float64 CPU oracle computed in-process:
 
   paths:  single-device fused multi-step | sharded slab (1x1 mesh) |
-          sharded overlap | sharded per-step fallback
+          sharded overlap | sharded per-step fallback |
+          padded-carrier (engages on grids with no aligned tiles)
   BCs:    all-dirichlet | all-neumann | torus | mixed |
           one-sided-y (ghost-row schedule) |
           one-sided-x (transpose / ghost-column schedule) |
           both-axes one-sided (row + column schedules + corner patch,
           both corner orientations) | reference-compat
-  plus a non-128-multiple grid (assembled fallback) per path.
+  plus a non-128-multiple grid (assembled fallback + carrier) and two
+  indivisible carrier grids (one exercising periodic pad staging).
 
-Prints one line per case and exits nonzero on any mismatch.  Runtime:
-~2-4 min through the tunneled TPU (compiles dominate).
+Prints one line per (case, path) and a final summary WITH THE EXECUTED
+CASE COUNT — quote that emitted number, do not hand-count the matrix.
+Exits nonzero on any mismatch.  Runtime: ~2-5 min through the tunneled
+TPU (compiles dominate).
 
 Usage:  python scripts/hw_conformance.py [--nx 512 --ny 256 --steps 16]
 """
@@ -86,11 +90,18 @@ def main() -> int:
             r = reference_step(r, cfg, cfg.dt)
         return np.asarray(r, np.float64)
 
+    from climate_sim_tpu.parallel.halo import build_carrier_slab_advance
+
     mesh = make_mesh(1, 1)
     failures = 0
+    rows = 0
     cases = [(name, bcs, args.nx, args.ny, False) for name, bcs in BCS.items()]
     cases.append(("compat_mixed", BCS["mixed"], args.nx, args.ny, True))
     cases.append(("odd_grid_mixed", BCS["mixed"], 120, 72, False))
+    # Indivisible carrier grids: misaligned x (pad to 1024); the torus one
+    # exercises the periodic wrap-head/tail-mirror pad staging on hardware.
+    cases.append(("carrier_mixed", BCS["mixed"], 1000, 504, False))
+    cases.append(("carrier_torus", BCS["torus"], 1000, 504, False))
 
     for name, bcs, nx, ny, compat in cases:
         cfg = cfg_for(bcs, nx, ny, compat)
@@ -111,6 +122,11 @@ def main() -> int:
         ov = build_sharded_overlap_advance(cfg, mesh, cfg.dt)
         if ov is not None:
             runs["sharded_overlap"] = lambda ov=ov: ov(args.steps)(us)
+        car = build_carrier_slab_advance(cfg, mesh, cfg.dt)
+        if car is not None:
+            runs["carrier"] = lambda car=car: car.extract(
+                car(args.steps)(car.embed(jax.device_put(u)))
+            )
 
         for path, fn in runs.items():
             try:
@@ -122,9 +138,11 @@ def main() -> int:
                 print(f"EXC  {name:16s} {path:18s} {e}", file=sys.stderr)
             status = "ok  " if ok else "FAIL"
             print(f"{status} {name:16s} {path:18s} rel_err={err:.2e}")
+            rows += 1
             failures += 0 if ok else 1
 
-    print(f"hw_conformance: {'ALL OK' if not failures else f'{failures} FAILURES'}")
+    print(f"hw_conformance: {rows} cases: "
+          f"{'ALL OK' if not failures else f'{failures} FAILURES'}")
     return 1 if failures else 0
 
 

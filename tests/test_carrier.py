@@ -101,6 +101,17 @@ def test_carrier_periodic_both_axes_matches_oracle():
     np.testing.assert_allclose(got[0], got[1], atol=5e-5)
 
 
+def test_carrier_periodic_single_shard_axis():
+    """px==1 periodic with a padded x axis: the tail-mirror must be staged
+    even though the cyclic exchange is the identity — the left ghost slab
+    sources from the tile's LAST columns, which are pad without it (the
+    hardware conformance matrix caught this; regression)."""
+    cfg = make_cfg(1000, 504, P4)
+    got = run_carrier(cfg, (1, 1), 16)
+    assert got is not None
+    np.testing.assert_allclose(got[0], got[1], atol=5e-5)
+
+
 def test_carrier_periodic_y_only_padded():
     """Periodic y + non-periodic x, y axis padded, x axis aligned."""
     cfg = make_cfg(

@@ -162,3 +162,39 @@ def test_hdf5_missing_var_and_bad_magic(tmp_path):
     cfg.ic.path = junk
     with pytest.raises(ValueError, match="not a NetCDF file"):
         apply_initial_condition(cfg, jnp.float64)
+
+
+def test_file_ic_truncated_snapshot_refused(tmp_path):
+    """A snapshot truncated mid-record must be REFUSED with a clear error,
+    not silently restarted from half-zeroed state (netCDF read semantics
+    zero-fill missing tail bytes; the restart layer must not inherit
+    that).  The reference's no-partial-data contract,
+    integration_boundary_error.cpp:22-46."""
+    import os
+
+    import climate_sim_tpu.runtime.driver as drv
+
+    cfg = SimConfig(nx=64, ny=32, D=0.02, dt=0.1, steps=4, out_every=2)
+    cfg.output_dir = str(tmp_path / "o")
+    res = drv.run_simulation(cfg)
+    path = res.output_path
+    with open(path, "r+b") as f:
+        f.truncate(os.path.getsize(path) - (64 * 32 * 8) // 2)
+
+    cfg2 = SimConfig(nx=64, ny=32, D=0.02, dt=0.1, steps=2, out_every=1)
+    cfg2.ic.mode = "file"
+    cfg2.ic.path = path
+    with pytest.raises(ValueError, match="truncated"):
+        apply_initial_condition(cfg2)
+
+    # through the CLI: runtime error -> exit 1, no partial output
+    from climate_sim_tpu.runtime.cli import main as cli_main
+
+    out2 = tmp_path / "o2"
+    rc = cli_main([
+        "--nx=64", "--ny=32", "--steps=2", "--out_every=1",
+        "--ic.mode=file", "--ic.path=" + path,
+        "--output.dir=" + str(out2),
+    ])
+    assert rc == 1
+    assert not (out2 / "snapshots.nc").exists()

@@ -223,3 +223,87 @@ def test_two_process_scheduled_kernel_matches_oracle(tmp_path):
     with NetCDFFile(os.path.join(out, "snapshots.nc")) as ds:
         got = ds.variables["u"][-1, :, :]
     np.testing.assert_allclose(got, np.asarray(u), atol=5e-5)
+
+
+DEATH_WORKER = """
+import os, sys
+proc_id = int(sys.argv[1]); port = sys.argv[2]; out = sys.argv[3]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ["CLIMATE_SIM_SYNC_TIMEOUT_S"] = "20"
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, {repo!r})
+if proc_id == 0:
+    # Simulate the controller dying at snapshot-file creation (disk full,
+    # permissions, ...): the driver prints the real error and re-raises.
+    import climate_sim_tpu.io.snapshots as snaps
+    import climate_sim_tpu.runtime.driver as drv
+
+    class Boom(snaps.ShardedSnapshotWriter):
+        def __init__(self, *a, **kw):
+            raise OSError(28, "No space left on device (simulated)")
+
+    snaps.ShardedSnapshotWriter = Boom
+    drv.ShardedSnapshotWriter = Boom
+from climate_sim_tpu.config import merged_config
+from climate_sim_tpu.runtime.driver import run_simulation
+cfg = merged_config(None, [
+    "--nx=128", "--ny=64", "--steps=4", "--out_every=2", "--kernel=jnp",
+    "--output.dir=" + out,
+    "--distributed=127.0.0.1:" + port + ",2," + str(proc_id),
+])
+try:
+    run_simulation(cfg)
+except BaseException as e:
+    print("MH_ERR", proc_id, type(e).__name__, flush=True)
+    # Skip the distributed-shutdown atexit: with the cluster in a failed
+    # state it would wait for peers (the CLI path exits the interpreter the
+    # same way after printing the error).
+    os._exit(1)
+print("MH_UNEXPECTED_OK", proc_id, flush=True)
+""".format(repo=REPO)
+
+
+@pytest.mark.slow
+def test_controller_death_before_open_barrier_fails_peers(tmp_path):
+    """Controller dies after (failing) snapshot creation, BEFORE the open
+    barrier: the peer must ERROR OUT within the bounded barrier timeout —
+    not hang forever in an untimed collective (the reference analogue:
+    an MPI rank abort fails the job, it does not deadlock it).  Regression
+    for the observed cluster-wide deadlock with the unbounded
+    sync_global_devices barrier."""
+    import time
+
+    out = str(tmp_path / "mh")
+    port = str(free_port())
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", DEATH_WORKER, str(i), port, out],
+            cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    t0 = time.time()
+    outs = []
+    for i, p in enumerate(procs):
+        try:
+            outs.append(p.communicate(timeout=120)[0])
+        except subprocess.TimeoutExpired:
+            p.kill()
+            outs.append(p.communicate()[0])
+            pytest.fail(
+                f"proc {i} still alive 120s after controller death "
+                f"(unbounded barrier hang):\n{outs[-1][-2000:]}"
+            )
+    elapsed = time.time() - t0
+    # Controller: real error surfaced (traceback + MH_ERR), nonzero exit.
+    assert procs[0].returncode != 0
+    assert "No space left on device (simulated)" in outs[0]
+    assert "MH_ERR 0" in outs[0]
+    # Peer: errored out (barrier timeout or leader-death detection), did
+    # not run the simulation, wrote nothing.
+    assert procs[1].returncode != 0
+    assert "MH_UNEXPECTED_OK" not in outs[1]
+    assert not os.path.exists(os.path.join(out, "snapshots.nc"))
+    assert elapsed < 120

@@ -172,3 +172,83 @@ def test_native_region_bounds(tmp_path, rng):
     with pytest.raises(RuntimeError, match="out of bounds"):
         w.append_region(0, 6, 0, np.zeros((4, 8)))
     w.close()
+
+
+def test_disk_full_mid_region_write_propagates(tmp_path, rng):
+    """A write error in the BACKGROUND queue thread (simulated disk-full:
+    the writer's fd is atomically redirected to /dev/full mid-stream) must
+    surface as a raised error on a later append/flush/close — never vanish
+    (the reference's no-partial-output contract,
+    integration_boundary_error.cpp:22-46)."""
+    import os
+
+    cfg = SimConfig(nx=256, ny=256, steps=4, out_every=1)
+    path = str(tmp_path / "full.nc")
+    w = native.NativeSnapshotWriter(path, cfg, metadata_attrs(cfg))
+    frame = rng.random((cfg.ny, cfg.nx))
+    w.append_region(0, 0, 0, frame)
+    w.flush()  # first frame lands on the real file
+
+    # Redirect the writer's fd to /dev/full: every subsequent kernel write
+    # fails with ENOSPC, exactly like a filled-up disk.
+    target = os.path.realpath(path)
+    writer_fd = None
+    for fd in os.listdir("/proc/self/fd"):
+        try:
+            if os.path.realpath(f"/proc/self/fd/{fd}") == target:
+                writer_fd = int(fd)
+        except OSError:
+            continue
+    if writer_fd is None:
+        pytest.skip("writer fd not discoverable on this platform")
+    full = os.open("/dev/full", os.O_WRONLY)
+    try:
+        os.dup2(full, writer_fd)
+    finally:
+        os.close(full)
+
+    with pytest.raises(RuntimeError):
+        # The failure may be detected at an enqueue (bounded queue), at
+        # flush, or at close — but it MUST be detected.
+        for i in range(1, 8):
+            w.append_region(i, 0, 0, frame)
+            w.flush()
+        w.close()
+    # A close after the error still reports it (never swallows), and a
+    # second close is an idempotent no-op.
+    try:
+        w.close()
+    except RuntimeError:
+        pass
+    w.close()
+
+
+def test_flush_error_not_swallowed(tmp_path, rng):
+    """fflush hitting ENOSPC (buffered bytes that never reached disk) must
+    raise from flush() — unchecked fflush loses the tail silently."""
+    import os
+
+    cfg = SimConfig(nx=64, ny=64, steps=1, out_every=1)
+    path = str(tmp_path / "tail.nc")
+    w = native.NativeSnapshotWriter(path, cfg, metadata_attrs(cfg))
+    target = os.path.realpath(path)
+    writer_fd = None
+    for fd in os.listdir("/proc/self/fd"):
+        try:
+            if os.path.realpath(f"/proc/self/fd/{fd}") == target:
+                writer_fd = int(fd)
+        except OSError:
+            continue
+    if writer_fd is None:
+        pytest.skip("writer fd not discoverable on this platform")
+    full = os.open("/dev/full", os.O_WRONLY)
+    try:
+        os.dup2(full, writer_fd)
+    finally:
+        os.close(full)
+    with pytest.raises(RuntimeError):
+        # 64x64 f64 = 32 KiB: fits stdio's buffer, so the failure is only
+        # visible if flush/close actually check their returns.
+        w.append_region(0, 0, 0, rng.random((cfg.ny, cfg.nx)))
+        w.flush()
+        w.close()
