@@ -260,3 +260,77 @@ def test_padded_gspmd_advance_matches_oracle():
     got = build_padded_gspmd_advance(cfg, mesh, cfg.dt)(12)(u0)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=0, atol=1e-13)
+
+
+def test_overlap_interior_kernel_independent_of_ppermutes():
+    """Structural proof of the overlap claim: in the overlap pass's jaxpr,
+    the INTERIOR region kernel has no (transitive) data dependency on any
+    ``ppermute`` — XLA's latency-hiding scheduler is therefore free to run
+    it concurrently with the face exchanges (the nonblocking
+    Isend/Irecv-overlap analogue, halo.cpp:28-46), while the four edge-band
+    kernels DO consume the exchanged halos.  Timing cannot demonstrate this
+    on the host-serialized virtual mesh; the dataflow graph can."""
+    from jax._src import core as jcore
+
+    from climate_sim_tpu.ops.init import gaussian_hotspot
+    from climate_sim_tpu.parallel.halo import build_sharded_overlap_advance
+
+    # 256² tiles -> k=8, so the 8-step chunk is exactly ONE pass (taint
+    # legitimately crosses pass boundaries via the stitched tile).
+    cfg = SimConfig(
+        nx=1024, ny=512, D=0.05, vx=0.5, vy=-0.25, dt=0.1, steps=8, out_every=8
+    )
+    cfg.bc = BCConfig(
+        BCType.DIRICHLET, BCType.NEUMANN, BCType.DIRICHLET, BCType.NEUMANN
+    )
+    mesh = make_mesh(4, 2)
+    adv = build_sharded_overlap_advance(cfg, mesh, cfg.dt, interpret=True)
+    assert adv is not None
+    u = jax.device_put(
+        gaussian_hotspot(cfg, jnp.float32), field_sharding(mesh)
+    )
+    jaxpr = jax.make_jaxpr(adv(8))(u)
+
+    def subjaxprs(params):
+        for v in params.values():
+            items = v if isinstance(v, (list, tuple)) else (v,)
+            for s in items:
+                if isinstance(s, jcore.ClosedJaxpr):
+                    yield s.jaxpr
+                elif isinstance(s, jcore.Jaxpr):
+                    yield s
+
+    # The shard_map body holds the per-pass graph.
+    def find_shard_map_body(jx):
+        for eqn in jx.eqns:
+            if eqn.primitive.name == "shard_map":
+                return next(iter(subjaxprs(eqn.params)))
+            for s in subjaxprs(eqn.params):
+                r = find_shard_map_body(s)
+                if r is not None:
+                    return r
+        return None
+
+    body = find_shard_map_body(jaxpr.jaxpr)
+    assert body is not None
+
+    # Transitive taint: variables descending from any ppermute output.
+    tainted = set()
+    n_pallas = n_pallas_tainted = 0
+    for eqn in body.eqns:
+        in_tainted = any(
+            isinstance(v, jcore.Var) and v in tainted for v in eqn.invars
+        )
+        if eqn.primitive.name == "ppermute" or in_tainted:
+            tainted.update(eqn.outvars)
+        if eqn.primitive.name == "pallas_call":
+            n_pallas += 1
+            n_pallas_tainted += bool(in_tainted)
+
+    # One pass runs 5 region kernels: interior + 4 bands.
+    assert n_pallas == 5, f"expected 5 region kernels (one pass), saw {n_pallas}"
+    assert n_pallas_tainted == 4, (
+        f"{n_pallas_tainted}/5 kernels depend on ppermutes — exactly the "
+        "4 band kernels may; the interior kernel must stay "
+        "exchange-independent for overlap to exist"
+    )
