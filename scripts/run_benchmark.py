@@ -219,6 +219,16 @@ def main() -> int:
                          f"{ncores} cores — those rows measure "
                          "oversubscription, not scaling\n")
             print(warn_note.strip(), flush=True)
+        # CPU-backend cross-process collectives ride TCP loopback (~ms per
+        # exchange on a typical node) where MPI shared-memory and TPU ICI
+        # are ~us-scale: rows whose per-rank per-step compute is comparable
+        # to that latency measure coordination latency, not scaling.
+        warn_note += (
+            "# NOTE: multiproc collectives ride TCP loopback (~ms); rows "
+            "with small per-rank tiles are latency-dominated — compare "
+            "per-rank work against perstep_time before reading speedup "
+            "(large-tile sweeps measure bandwidth scaling instead)\n"
+        )
     elif args.platform == "cpu":
         warn_note = ("# WARNING: virtual-mesh rows share one host's cores; "
                      "speedup/efficiency are NOT scaling evidence\n")
