@@ -152,11 +152,7 @@ def main() -> int:
         return slope
 
     def build_slab():
-        import functools
-        H_mod = H
-
-        # rebuild uncached: copy the builder with a fresh chunk-advance
-        adv = H_mod.build_sharded_multistep_advance(
+        adv = H.build_sharded_multistep_advance(
             cfg, mesh, cfg.dt, interpret=True
         )
         if adv is not None:
@@ -172,7 +168,7 @@ def main() -> int:
     print(f"mesh x={px} y={py}, grid {nx}x{ny} "
           f"({args.tile}² per shard), {steps} steps = {args.passes} passes")
     slope_slab = measure(build_slab, "slab   ")
-    slope_ov = measure(build_overlap, "overlap")
+    measure(build_overlap, "overlap")  # dependency-count only; see docstring
 
     if slope_slab is None:
         return 1
@@ -180,7 +176,6 @@ def main() -> int:
     # ---- model at hardware rates ----
     # Structural slope (x round, then y round) = 2; the measured slope is
     # the callback-serialized upper bound (~4: directions also serialize).
-    shard_pts = args.tile * args.tile
     print(f"\nmeasured slope {slope_slab:.2f} brackets the structural"
           " graph depth 2 (directions within a round fly concurrently on"
           " real links) — model with both:")

@@ -209,3 +209,36 @@ def test_driver_warns_on_jnp_downgrade(tmp_path, capsys):
     err = capsys.readouterr().err
     assert "[warn]" in err and "jnp-class" in err
     assert res.snapshots_written == 2
+
+
+def test_carrier_fuzz_random_geometries(rng):
+    """Seeded sweep of random (grid, mesh, BC, steps) carrier configs vs
+    the oracle — the geometry planner has many branches (pad on one/both
+    axes, staging windows, edge-shard placement) and each divides the
+    input space."""
+    kinds = [BCType.DIRICHLET, BCType.NEUMANN, BCType.PERIODIC]
+    meshes = [(4, 2), (2, 4), (2, 2), (1, 8), (8, 1), (1, 1), (2, 1)]
+    tried = 0
+    for trial in range(18):
+        px, py = meshes[rng.integers(len(meshes))]
+        nx = int(rng.integers(150 * px, 300 * px))
+        ny = int(rng.integers(40 * py, 90 * py))
+        bcs = [kinds[rng.integers(3)] for _ in range(4)]
+        # avoid one-sided periodic (rejected by design)
+        if (bcs[0] == BCType.PERIODIC) != (bcs[1] == BCType.PERIODIC):
+            bcs[1] = bcs[0]
+        if (bcs[2] == BCType.PERIODIC) != (bcs[3] == BCType.PERIODIC):
+            bcs[3] = bcs[2]
+        steps = int(rng.integers(3, 14))
+        cfg = make_cfg(nx, ny, tuple(bcs), out_every=8,
+                       compat=bool(rng.integers(4) == 0))
+        got = run_carrier(cfg, (px, py), steps)
+        if got is None:
+            continue
+        tried += 1
+        np.testing.assert_allclose(
+            got[0], got[1], atol=7e-5,
+            err_msg=f"trial={trial} grid={nx}x{ny} mesh=({px},{py}) "
+                    f"bcs={bcs} steps={steps} compat={cfg.strict_reference_compat}",
+        )
+    assert tried >= 6, f"fuzz exercised only {tried} carrier configs"

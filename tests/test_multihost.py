@@ -307,3 +307,38 @@ def test_controller_death_before_open_barrier_fails_peers(tmp_path):
     assert "MH_UNEXPECTED_OK" not in outs[1]
     assert not os.path.exists(os.path.join(out, "snapshots.nc"))
     assert elapsed < 120
+
+
+@pytest.mark.slow
+def test_two_process_carrier_path(tmp_path):
+    """Indivisible grid under 2 coordinated processes: the padded-carrier
+    Pallas path runs SPMD across the 8-device global mesh, snapshots carry
+    the true extent, and values match a single-process run."""
+    out = str(tmp_path / "mh")
+    extra = ["--nx=1000", "--ny=72", "--kernel=pallas_multistep"]
+    for attempt in range(2):
+        procs, outs = _spawn_group(str(free_port()), out, nproc=2,
+                                   extra_args=extra)
+        if all(p.returncode == 0 for p in procs) or attempt == 1:
+            break
+    for i, (p, o) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{o[-3000:]}"
+    assert "CARRIER path" in outs[0]
+
+    from climate_sim_tpu.config import merged_config
+    from climate_sim_tpu.io.netcdf import NetCDFFile
+    from climate_sim_tpu.runtime.driver import run_simulation
+
+    ref_out = str(tmp_path / "single")
+    cfg = merged_config(None, [
+        "--nx=1000", "--ny=72", "--steps=8", "--out_every=4",
+        "--kernel=pallas_multistep", f"--output.dir={ref_out}",
+    ])
+    run_simulation(cfg)
+    with NetCDFFile(os.path.join(out, "snapshots.nc")) as a, \
+            NetCDFFile(os.path.join(ref_out, "snapshots.nc")) as b:
+        assert a.dimensions == {"time": 2, "y": 72, "x": 1000}
+        for t in range(2):
+            np.testing.assert_allclose(
+                a.variables["u"][t, :, :], b.variables["u"][t, :, :], atol=5e-5
+            )
