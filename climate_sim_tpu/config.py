@@ -160,6 +160,13 @@ class SimConfig:
     # Sharded passes: split interior/edge-band kernels so halo ppermutes
     # overlap interior compute (latency hiding for small tiles).
     halo_overlap: bool = False
+    # Steps fused per kernel pass / halo exchange (0 = auto, currently 8).
+    # Larger k trades halo-redundant compute for fewer, larger exchanges:
+    # per-step exchange-latency cost scales as ~2L/k, so raising it to 16
+    # halves the latency term on DCN-crossing meshes (docs/performance.md
+    # "Weak scaling bounded by LATENCY"); measured slightly slower on a
+    # single chip (locality), which is why auto stays at 8.
+    steps_per_pass: int = 0
     # Multi-host: jax.distributed.initialize() before backend init.  "auto"
     # passes no arguments (TPU pods self-discover); otherwise
     # "coordinator:port,num_processes,process_id".
@@ -183,6 +190,8 @@ class SimConfig:
             raise ValueError(f"unknown kernel: {self.kernel}")
         if self.max_devices < 0:
             raise ValueError("max_devices must be >= 0 (0 = all devices)")
+        if not (0 <= self.steps_per_pass <= 32):
+            raise ValueError("steps_per_pass must be in [0, 32] (0 = auto)")
         if (self.mesh.x is not None and self.mesh.x < 1) or (
             self.mesh.y is not None and self.mesh.y < 1
         ):
@@ -340,6 +349,8 @@ def load_yaml_dict(root: Dict[str, Any], validate: bool = True) -> SimConfig:
         cfg.max_devices = int(root["max_devices"])
     if "halo_overlap" in root:
         cfg.halo_overlap = bool(root["halo_overlap"])
+    if "steps_per_pass" in root:
+        cfg.steps_per_pass = int(root["steps_per_pass"])
     if "distributed" in root:
         cfg.distributed = str(root["distributed"])
 
@@ -355,7 +366,7 @@ def load_yaml_dict(root: Dict[str, Any], validate: bool = True) -> SimConfig:
 # Mirrors the reference's key set (io.cpp:219-307) plus TPU extensions.
 _INT_KEYS = (
     "nx", "ny", "steps", "out_every", "mesh.x", "mesh.y", "diagnostics_every",
-    "max_devices",
+    "max_devices", "steps_per_pass",
 )
 _FLOAT_KEYS = (
     "dx",
@@ -451,7 +462,7 @@ def apply_overrides(cfg: SimConfig, overrides: Dict[str, Any]) -> None:
         "nx", "ny", "dx", "dy", "D", "vx", "vy", "dt", "steps", "out_every",
         "output_prefix", "precision", "kernel", "strict_reference_compat",
         "write_final", "debug_nans", "diagnostics_every", "profile_dir",
-        "distributed", "max_devices", "halo_overlap",
+        "distributed", "max_devices", "halo_overlap", "steps_per_pass",
     }
     for key, val in overrides.items():
         if key in simple:

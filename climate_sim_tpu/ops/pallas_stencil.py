@@ -1883,7 +1883,12 @@ def pick_steps_per_pass(
     osx, osy = one_sided_periodic_x(cfg), one_sided_periodic_y(cfg)
     if (osx and not x_sched) or (osy and not y_sched):
         return 1
-    k = min(8, chunk, max(1, cfg.nx // 32), max(1, cfg.ny // 32))
+    # cfg.steps_per_pass overrides the default depth of 8 (still clamped
+    # by the chunk and the grid-extent safety floor): deeper passes trade
+    # halo-redundant compute for fewer, larger exchanges — the latency
+    # lever on DCN-crossing meshes (docs/performance.md).
+    cap = getattr(cfg, "steps_per_pass", 0) or 8
+    k = min(cap, chunk, max(1, cfg.nx // 32), max(1, cfg.ny // 32))
     return max(1, k)
 
 

@@ -545,7 +545,9 @@ def build_carrier_slab_advance(
         return None
 
     tile_cfg = dataclasses.replace(cfg, nx=mx, ny=my)
-    k = pick_steps_per_pass(tile_cfg, cfg.out_every or 8)
+    # Carrier passes cap at the KH staging depth: the periodic wrap-head /
+    # tail-mirror blocks are KH lines deep, valid for at most KH sub-steps.
+    k = min(KH, pick_steps_per_pass(tile_cfg, cfg.out_every or 8))
     if any(
         carrier_tile_slab_multistep(
             None, None, None, None, cfg, dt, kk, interpret,

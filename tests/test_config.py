@@ -212,3 +212,19 @@ def test_config_to_dict_roundtrips_through_loader():
 
     # Defaults round-trip too (None output_path / mesh axes stay None).
     assert load_yaml_dict(config_to_dict(SimConfig())) == SimConfig()
+
+
+def test_steps_per_pass_parse_and_validate(tmp_path):
+    from climate_sim_tpu.config import merged_config
+
+    cfg = merged_config(None, ["--steps_per_pass=16"])
+    assert cfg.steps_per_pass == 16
+    y = tmp_path / "c.yaml"
+    y.write_text("steps_per_pass: 4\n")
+    assert merged_config(str(y), []).steps_per_pass == 4
+    # CLI wins over YAML; 0 = auto
+    assert merged_config(str(y), ["--steps_per_pass=0"]).steps_per_pass == 0
+    with pytest.raises(ValueError, match="steps_per_pass"):
+        merged_config(None, ["--steps_per_pass=33"])
+    with pytest.raises(ValueError, match="steps_per_pass"):
+        merged_config(None, ["--steps_per_pass=-1"])

@@ -386,3 +386,28 @@ def test_sharded_both_axes_corner_mass_full_k8():
     assert adv is not None and adv.uses_slabs
     out = adv(16)(jax.device_put(u, field_sharding(mesh)))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize("spp", [2, 16])
+def test_steps_per_pass_override_matches_oracle(spp):
+    """cfg.steps_per_pass overrides the pass depth (the exchange-latency
+    lever on DCN meshes, docs/performance.md): deeper and shallower passes
+    must both stay exact and actually change k."""
+    import dataclasses
+
+    from climate_sim_tpu.ops.pallas_stencil import pick_steps_per_pass
+
+    # 512^2 tiles: the extent safety floor (k <= tile/32) admits k=16.
+    cfg = make_cfg(2048, 1024, MIX, out_every=16)
+    cfg.steps_per_pass = spp
+    tile_cfg = dataclasses.replace(cfg, nx=512, ny=512)
+    assert pick_steps_per_pass(tile_cfg, 16, y_sched=True, x_sched=True) == spp
+    mesh = make_mesh(4, 2)
+    u = gaussian_hotspot(cfg, jnp.float32)
+    ref = oracle(u, cfg, 16)
+    us = jax.device_put(u, field_sharding(mesh))
+    adv = build_sharded_multistep_advance(cfg, mesh, cfg.dt, interpret=True)
+    assert adv is not None
+    np.testing.assert_allclose(
+        np.asarray(adv(16)(us)), np.asarray(ref), atol=7e-5
+    )
