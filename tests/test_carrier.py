@@ -242,3 +242,40 @@ def test_carrier_fuzz_random_geometries(rng):
                     f"bcs={bcs} steps={steps} compat={cfg.strict_reference_compat}",
         )
     assert tried >= 6, f"fuzz exercised only {tried} carrier configs"
+
+
+def test_carrier_restart_from_own_snapshot(tmp_path):
+    """Restart an indivisible-grid run from its own snapshot: the file-IC
+    read feeds the carrier embed, and two 4-step runs chained through a
+    snapshot match one 8-step run exactly (pass-grouping aligned).
+
+    NB: configs are built FRESH per run — ``dataclasses.replace`` copies
+    are shallow, so mutating ``cfg.ic`` on one would alias them all."""
+    import climate_sim_tpu.runtime.driver as drv
+
+    def fresh(steps):
+        cfg = make_cfg(1000, 504, MIX, out_every=4)
+        cfg.kernel = "pallas_multistep"
+        cfg.steps = steps
+        return cfg
+
+    cfg1 = fresh(4)
+    cfg1.write_final = True
+    cfg1.output_dir = str(tmp_path / "a")
+    res1 = drv.run_simulation(cfg1)
+
+    cfg2 = fresh(4)
+    cfg2.output_dir = str(tmp_path / "b")
+    cfg2.ic.mode = "file"
+    cfg2.ic.path = res1.output_path  # last record = post-step-4 state
+    res2 = drv.run_simulation(cfg2)
+
+    cfg3 = fresh(8)
+    cfg3.output_dir = str(tmp_path / "c")
+    res3 = drv.run_simulation(cfg3)
+
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(res2.u)),
+        np.asarray(jax.device_get(res3.u)),
+        atol=1e-6,
+    )
