@@ -73,17 +73,19 @@ class FieldHandle:
         self.ndim = _field_ndim_check(v.shape, path, var)
         #: (ny, nx) of the field / of one record.
         self.shape = tuple(int(n) for n in v.shape[-2:])
-        if backend == "classic" and self.ndim == 3 and getattr(v, "isrec", False):
+        if backend == "classic":
             # Restart safety: the classic codec's reads zero-fill missing
             # tail bytes (netCDF growing-file semantics) — a truncated
             # snapshot would silently restart from half-zeroed state.
             # Refuse it loudly instead (the reference's fail-fast /
             # no-partial-data contract, integration_boundary_error.cpp).
-            last = v.shape[0] - 1
+            # Covers record variables (last record served), fixed-time-dim
+            # 3D variables (nccopy -u output) and plain 2D fields alike.
+            last = v.shape[0] - 1 if getattr(v, "isrec", False) else 0
             if not v.record_on_disk(last):
                 ds.close()
                 raise ValueError(
-                    f"{path}: snapshot is truncated — record {last} of"
+                    f"{path}: snapshot is truncated — the data for"
                     f" '{var}' is incomplete on disk; refusing to restart"
                     " from partial data"
                 )

@@ -592,15 +592,19 @@ class NCVariable:
 
     def record_on_disk(self, irec: int) -> bool:
         """True when record ``irec``'s bytes for THIS variable are all
-        physically present in the file.  netCDF read semantics zero-fill
-        missing tail data (right for growing files mid-write; see
-        :meth:`_read_record`) — a RESTART consumer must instead refuse a
-        truncated snapshot rather than continue from half-zeroed state."""
-        if not self.isrec:
-            return True
-        shape = self._shape[1:]
-        count = int(np.prod(shape, dtype=np.int64)) if shape else 1
-        end = self.begin + irec * self._recsize + count * self.dtype.itemsize
+        physically present in the file (for a non-record variable: its
+        whole fixed slab; ``irec`` is then ignored).  netCDF read
+        semantics zero-fill missing tail data (right for growing files
+        mid-write; see :meth:`_read_record`) — a RESTART consumer must
+        instead refuse a truncated snapshot rather than continue from
+        half-zeroed state."""
+        if self.isrec:
+            shape = self._shape[1:]
+            count = int(np.prod(shape, dtype=np.int64)) if shape else 1
+            end = self.begin + irec * self._recsize + count * self.dtype.itemsize
+        else:
+            count = int(np.prod(self._shape, dtype=np.int64)) if self._shape else 1
+            end = self.begin + count * self.dtype.itemsize
         return os.fstat(self._file.fileno()).st_size >= end
 
     def _read_record(self, irec: int) -> np.ndarray:

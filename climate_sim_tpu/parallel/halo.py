@@ -630,12 +630,16 @@ def build_carrier_slab_advance(
 
     advance = _make_chunk_advance(tile_pass, k, mesh, spec)
     carrier_sh = NamedSharding(mesh, spec)
-    repl = NamedSharding(mesh, PartitionSpec(None, None))
     advance.embed = jax.jit(lambda u: lax.with_sharding_constraint(
         jnp.pad(u, ((0, NY - ny), (0, NX - nx))), carrier_sh
     ))
+    # Extract stays SHARDED (GSPMD supports uneven tiling of the true
+    # extent): snapshots keep the per-process hyperslab-write contract and
+    # diagnostics reduce on-device — no host ever materializes the global
+    # field.  The extract output never feeds back into a chunk executable
+    # (the carrier is the loop state), so its sharding is free to differ.
     advance.extract = jax.jit(lambda c: lax.with_sharding_constraint(
-        c[:ny, :nx], repl
+        c[:ny, :nx], carrier_sh
     ))
     advance.carrier_shape = (NY, NX)
     return advance

@@ -93,9 +93,15 @@ def _bounded_sync(name: str, timeout_s: Optional[float] = None) -> None:
     coordination-service barrier instead: it errors when the leader dies
     and times out (default 600 s, ``CLIMATE_SIM_SYNC_TIMEOUT_S``) when a
     live peer never arrives."""
-    from jax._src import distributed
+    client = None
+    try:
+        # Non-public module: fall back to the untimed collective barrier if
+        # a JAX upgrade moves it (hang-prone on peer death, but functional).
+        from jax._src import distributed
 
-    client = getattr(distributed.global_state, "client", None)
+        client = getattr(distributed.global_state, "client", None)
+    except Exception:
+        pass
     if client is None:  # single-process / no coordination service
         from jax.experimental import multihost_utils
 

@@ -162,10 +162,11 @@ class Writer {
       // releases: make it visible now.  ENOSPC/EIO here must fail the
       // create, not surface as a peer's header-mismatch later.
       if (std::fflush(f_) != 0) {
+        // Capture errno BEFORE fclose (whose own syscalls may clobber it).
+        std::string why = std::strerror(errno);
         std::fclose(f_);
         f_ = nullptr;
-        throw std::runtime_error("header flush failed: " +
-                                 std::string(std::strerror(errno)));
+        throw std::runtime_error("header flush failed: " + why);
       }
     } else {
       // Attach: verify the creator's on-disk header matches this schema

@@ -102,9 +102,15 @@ def main() -> int:
     # exercises the periodic wrap-head/tail-mirror pad staging on hardware.
     cases.append(("carrier_mixed", BCS["mixed"], 1000, 504, False))
     cases.append(("carrier_torus", BCS["torus"], 1000, 504, False))
+    # Deep passes (steps_per_pass=16): 16-wide slabs/halos must lower too.
+    cases.append(("k16_mixed", BCS["mixed"], 1024, 512, "k16"))
 
     for name, bcs, nx, ny, compat in cases:
+        k16 = compat == "k16"
+        compat = False if k16 else compat
         cfg = cfg_for(bcs, nx, ny, compat)
+        if k16:
+            cfg.steps_per_pass = 16
         u = gaussian_hotspot(cfg, jnp.float32)
         # park mass against edges so edge handling is visible
         u = u + 0.4 * jnp.roll(u, ny // 2 - 2, 0) + 0.4 * jnp.roll(u, nx // 2 - 2, 1)

@@ -198,3 +198,26 @@ def test_file_ic_truncated_snapshot_refused(tmp_path):
     ])
     assert rc == 1
     assert not (out2 / "snapshots.nc").exists()
+
+
+def test_file_ic_truncated_2d_refused(tmp_path):
+    """The truncation guard also covers plain 2D (y,x) classic ICs and
+    fixed-time-dim files — not just record variables (review finding)."""
+    import os
+
+    path = str(tmp_path / "ic2d.nc")
+    w = NetCDFWriter(path, version=5)
+    w.def_dim("y", 32)
+    w.def_dim("x", 64)
+    w.def_var("u", np.float64, ("y", "x"))
+    w.enddef()
+    w.put_var("u", np.random.default_rng(0).random((32, 64)))
+    w.close()
+    cfg = SimConfig(nx=64, ny=32)
+    cfg.ic.mode = "file"
+    cfg.ic.path = path
+    apply_initial_condition(cfg)  # intact: reads fine
+    with open(path, "r+b") as f:
+        f.truncate(os.path.getsize(path) - 64)
+    with pytest.raises(ValueError, match="truncated"):
+        apply_initial_condition(cfg)
