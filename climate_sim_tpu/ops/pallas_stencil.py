@@ -835,12 +835,9 @@ def _build_multistep_call_cached(
             on_tpu = False
         if not on_tpu:
             interpret = True
-    n_y_fix = (fix_bottom is not None) + (fix_top is not None)
     # Will the build end up value-chained (see below)?  Needed early: the
     # chained form has its own measured-best block geometry.
-    chain_intent = substep_override == "chain" or (
-        substep_override is None and n_y_fix <= 1
-    )
+    chain_intent = substep_override in (None, "chain")
     # PADLESS-X eligibility: with full-width blocks, no x wrap data, and
     # both x sides handled by lane-masked selects, the 2*_XPAD ghost-strip
     # lanes are never loaded (strips gate on nbx > 1 or wrap_x) NOR read
@@ -947,12 +944,15 @@ def _build_multistep_call_cached(
     # VPU — trades VPU issue slots (the measured bound) for MXU work that
     # can overlap.  Requires the full-slab form and active y physics.
     mxu = substep_override == "mxu" and fullslab and not (vy == 0.0 and D == 0.0)
-    # Value-chained sub-steps (see _build_kernel_body): the default
-    # wherever the per-sub-step op-count trade pays — dropping the
-    # ping-pong store saves one full-buffer op, converting a y-side
-    # write-fixup to a masked select costs one — i.e. at <= 1 fixup y
-    # side.  CLIMATE_SIM_SUBSTEP=chain forces it (A/B), =fullslab forces
-    # the store form.
+    # Value-chained sub-steps (see _build_kernel_body): the default for
+    # every full-slab build.  The original op-count model (store −1,
+    # each y-side write-fixup-turned-select +1 ⇒ gate at <= 1 fixup y
+    # side) undercounted the ping-pong store's real cost and predated
+    # padless-x (which needs the select form): measured on v5e at 4096²,
+    # chain wins every 2-y-fixup class too — all-dirichlet 204.5→229.2,
+    # one-sided-y 201.4→227.5, both-axes 168.7→190.5 device Gpt/s, slab
+    # dirichlet 179.4→186.0 Gpt/s/shard (docs/performance.md).
+    # CLIMATE_SIM_SUBSTEP=fullslab forces the store form (A/B knob).
     if carrier:
         # Carrier (padded-indivisible) builds REQUIRE the chained select
         # form: the true top/right edges sit at runtime tile positions the
@@ -960,12 +960,10 @@ def _build_multistep_call_cached(
         if not fullslab or mxu:
             return None
         chained = True
-    elif substep_override == "chain":
-        chained = fullslab and not mxu
     elif substep_override in ("fullslab", "mxu", "trapezoid"):
         chained = False
-    else:
-        chained = fullslab and n_y_fix <= 1
+    else:  # None or "chain"
+        chained = fullslab and not mxu
 
     kernel, n_dma = _build_kernel_body(
         k=k, khalo=khalo, R=R, Rbuf=Rbuf, W=W, BY=BY, BX=BX, nx=BX, nxg=nx,

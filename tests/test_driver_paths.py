@@ -194,3 +194,26 @@ def test_overlap_flag_builds_sharded_path(tmp_path):
     u0, advance, mesh, dt, clamped = drv.prepare(cfg)
     assert mesh is not None
     assert callable(advance)
+
+
+def test_overlap_with_one_sided_periodic_warns(capsys):
+    """halo_overlap + a one-sided-periodic BC mix caps the overlap path at
+    one step per pass (no ghost-schedule plumbing in the five region
+    kernels) — the driver must say so instead of silently running per-step
+    exchanges under a flag meant to hide exchange latency."""
+    from climate_sim_tpu.config import BCConfig, BCType
+
+    cfg = SimConfig(nx=128, ny=128, D=0.05, dt=0.1, steps=2, out_every=2)
+    cfg.kernel = "pallas_multistep"
+    cfg.halo_overlap = True
+    cfg.bc = BCConfig(left=BCType.DIRICHLET, right=BCType.DIRICHLET,
+                      bottom=BCType.PERIODIC, top=BCType.DIRICHLET)
+    drv.prepare(cfg)
+    out = capsys.readouterr().out
+    assert "halo_overlap" in out and "1 step/pass" in out
+
+    # The 4-sided (non-one-sided) mix stays silent.
+    cfg.bc = BCConfig(left=BCType.DIRICHLET, right=BCType.DIRICHLET,
+                      bottom=BCType.PERIODIC, top=BCType.PERIODIC)
+    drv.prepare(cfg)
+    assert "1 step/pass" not in capsys.readouterr().out

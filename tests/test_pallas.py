@@ -290,11 +290,12 @@ def test_substep_override_forms_match_oracle(form, monkeypatch):
                                  (BCType.NEUMANN, BCType.DIRICHLET,
                                   BCType.PERIODIC, BCType.DIRICHLET)])
 def test_chained_substep_matches_oracle_all_fixup_mixes(bcs, monkeypatch):
-    """CLIMATE_SIM_SUBSTEP=chain forces the value-chained form even where
-    the default op-count gate (<= 1 fixup y side) would pick the store
-    form — every y-fixup count (0, 1, 2) and kind (dirichlet, neumann,
-    sched via the one-sided-periodic mix) must match the oracle, since the
-    y fixups ride sublane-masked roll selects instead of ref row writes."""
+    """The value-chained form (the default for every full-slab build since
+    the 2-y-fixup A/B win — forced here so the coverage survives future
+    gate changes) must match the oracle for every y-fixup count (0, 1, 2)
+    and kind (dirichlet, neumann, sched via the one-sided-periodic mix),
+    since the y fixups ride sublane-masked roll selects instead of ref row
+    writes."""
     monkeypatch.setenv("CLIMATE_SIM_SUBSTEP", "chain")
     cfg = make_cfg(128, 64, bcs)
     u = gaussian_hotspot(cfg, jnp.float32)
