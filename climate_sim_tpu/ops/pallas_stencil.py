@@ -876,15 +876,22 @@ def _build_multistep_call_cached(
             chain_intent and fused_dma and not slab_mode
             and not bx_override and not by_override
         ):
-            # Chained-form geometry: score the narrow-block default against
-            # full width (padless when eligible) by modeled redundant
-            # compute, Rbuf/BY * W/BX; VMEM window capped at 10 MB and BY
-            # at 256 (512 measured slower — locality).  v5e 4096²
-            # measurements: padless full-width BY=256 217.3 Gpt/s vs 212.7
-            # for BX=2048 at BY=128/256 and 214.8 padded full-width BY=128.
+            # Chained-form geometry: score block-width candidates by
+            # modeled redundant compute, Rbuf/BY * W/BX; VMEM window
+            # capped at 10 MB and BY at 256 (512 measured slower —
+            # locality).  Buffer WIDTH is capped at 4608 lanes when any
+            # narrower candidate exists: wide windows lose to locality
+            # effects the waste model cannot see — measured at 8192²,
+            # padless full-width (W=8192) 204.6 vs BX=4096+pads (W=4352)
+            # 220.9 device Gpt/s, BX=2048 211.5; at 4096² padless
+            # full-width BY=256 (W=4096) remains the winner (229.6 vs
+            # 212.7 for BX=2048).
             isz = compute_dtype.itemsize
-            best = None
-            for bxc in sorted({BX, nx}):
+            cands = {BX, nx}
+            if nx % 4096 == 0:
+                cands.add(4096)
+            scored = []
+            for bxc in sorted(cands):
                 if nx % bxc or bxc % 128:
                     continue
                 wc_ = bxc if (padless_ok and bxc == nx) else bxc + 2 * _XPAD
@@ -897,8 +904,9 @@ def _build_multistep_call_cached(
                 if byc is None:
                     continue
                 waste = (byc + 2 * khalo) / byc * (wc_ / bxc)
-                if best is None or waste < best[0]:
-                    best = (waste, bxc, byc)
+                scored.append((waste, bxc, byc, wc_))
+            narrow = [s for s in scored if s[3] <= 4608]
+            best = min(narrow or scored, default=None)
             if best is not None:
                 BX, by_forced = best[1], best[2]
         if bx_override and nx % bx_override == 0 and bx_override % 128 == 0:
