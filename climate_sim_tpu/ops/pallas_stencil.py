@@ -761,6 +761,55 @@ def _substep_override(raw: Optional[str]) -> Optional[str]:
     return raw
 
 
+_MAX_CHAIN_W = 4608  # lanes; wider VMEM windows measured slower (locality)
+
+
+def _chain_geometry(
+    nx: int,
+    ny: int,
+    khalo: int,
+    itemsize: int,
+    padless_ok: bool,
+    bx_default: int,
+) -> Optional[tuple]:
+    """Pick (BX, BY) for a value-chained build.
+
+    Candidates (the narrow-block default, BX=4096 when it divides, full
+    width) are scored by modeled redundant compute, Rbuf/BY * W/BX, with
+    the VMEM window capped at 10 MB and BY at 256 (BY=512 measured slower
+    — locality).  Buffer WIDTH is capped at ``_MAX_CHAIN_W`` lanes when
+    any narrower candidate divides the grid: wide windows lose to VMEM
+    locality effects the waste model cannot see — measured on v5e, padless
+    full-width at 8192² runs 204.6 vs 220.9 device Gpt/s for BX=4096+pads
+    (W=4352) and at 16384² 188.8 vs 211.0, while at 4096² padless
+    full-width BY=256 (W=4096, under the cap) remains the winner (229.6
+    vs 212.7 for BX=2048).  Returns None to keep the caller's defaults.
+    """
+    cands = {bx_default, nx}
+    if nx % 4096 == 0:
+        cands.add(4096)
+    scored = []
+    for bxc in sorted(cands):
+        if nx % bxc or bxc % 128:
+            continue
+        wc = bxc if (padless_ok and bxc == nx) else bxc + 2 * _XPAD
+        byc = max(
+            (d for d in range(8, min(ny, 256) + 1, 8)
+             if ny % d == 0
+             and (d + 2 * khalo) * wc * itemsize <= 10 * 1024 * 1024),
+            default=None,
+        )
+        if byc is None:
+            continue
+        waste = (byc + 2 * khalo) / byc * (wc / bxc)
+        scored.append((waste, bxc, byc, wc))
+    narrow = [s for s in scored if s[3] <= _MAX_CHAIN_W]
+    if not (narrow or scored):
+        return None
+    waste, bx, by, _ = min(narrow or scored)
+    return bx, by
+
+
 @functools.lru_cache(maxsize=64)
 def _build_multistep_call_cached(
     ny: int,
@@ -876,39 +925,11 @@ def _build_multistep_call_cached(
             chain_intent and fused_dma and not slab_mode
             and not bx_override and not by_override
         ):
-            # Chained-form geometry: score block-width candidates by
-            # modeled redundant compute, Rbuf/BY * W/BX; VMEM window
-            # capped at 10 MB and BY at 256 (512 measured slower —
-            # locality).  Buffer WIDTH is capped at 4608 lanes when any
-            # narrower candidate exists: wide windows lose to locality
-            # effects the waste model cannot see — measured at 8192²,
-            # padless full-width (W=8192) 204.6 vs BX=4096+pads (W=4352)
-            # 220.9 device Gpt/s, BX=2048 211.5; at 4096² padless
-            # full-width BY=256 (W=4096) remains the winner (229.6 vs
-            # 212.7 for BX=2048).
-            isz = compute_dtype.itemsize
-            cands = {BX, nx}
-            if nx % 4096 == 0:
-                cands.add(4096)
-            scored = []
-            for bxc in sorted(cands):
-                if nx % bxc or bxc % 128:
-                    continue
-                wc_ = bxc if (padless_ok and bxc == nx) else bxc + 2 * _XPAD
-                byc = max(
-                    (d for d in range(8, min(ny, 256) + 1, 8)
-                     if ny % d == 0
-                     and (d + 2 * khalo) * wc_ * isz <= 10 * 1024 * 1024),
-                    default=None,
-                )
-                if byc is None:
-                    continue
-                waste = (byc + 2 * khalo) / byc * (wc_ / bxc)
-                scored.append((waste, bxc, byc, wc_))
-            narrow = [s for s in scored if s[3] <= 4608]
-            best = min(narrow or scored, default=None)
+            best = _chain_geometry(
+                nx, ny, khalo, compute_dtype.itemsize, padless_ok, BX
+            )
             if best is not None:
-                BX, by_forced = best[1], best[2]
+                BX, by_forced = best
         if bx_override and nx % bx_override == 0 and bx_override % 128 == 0:
             BX = bx_override
         W = BX + 2 * _XPAD

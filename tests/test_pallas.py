@@ -308,6 +308,32 @@ def test_chained_substep_matches_oracle_all_fixup_mixes(bcs, monkeypatch):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+def test_chain_geometry_width_cap():
+    """The chain-geometry scorer pins the hardware-measured winners:
+    padless full-width at 4096² (W=4096, under the 4608-lane cap) but
+    BX=4096+pads at 8192²/16384², where padless full-width measured
+    8-12% slower (VMEM locality; docs/performance.md)."""
+    from climate_sim_tpu.ops.pallas_stencil import _chain_geometry
+
+    # 4096²: padless full-width, BY=256
+    assert _chain_geometry(4096, 4096, 8, 4, True, 2048) == (4096, 256)
+    # 8192² / 16384²: width cap rejects full-width; BX=4096 wins the model
+    assert _chain_geometry(8192, 8192, 8, 4, True, 2048) == (4096, 256)
+    assert _chain_geometry(16384, 16384, 8, 4, True, 2048) == (4096, 256)
+    # 2048²: padless full-width
+    assert _chain_geometry(2048, 2048, 8, 4, True, 2048) == (2048, 256)
+    # no padless (wrap-x): full-width carries pads and loses to BX=4096
+    assert _chain_geometry(8192, 8192, 8, 4, False, 2048) == (4096, 256)
+    # width not divisible by 4096 and wider than the cap: the narrow
+    # default is the only survivor
+    bx, _ = _chain_geometry(4864, 4096, 8, 4, True, 2432)
+    assert bx == 2432
+    # nothing under the cap (no divisor >= 512): full width survives the
+    # cap filter as the lone candidate
+    bx, _ = _chain_geometry(4992, 64, 8, 4, True, 4992)
+    assert bx == 4992
+
+
 def test_substep_override_rejects_typos(monkeypatch):
     monkeypatch.setenv("CLIMATE_SIM_SUBSTEP", "trapezoidal")
     cfg = make_cfg(128, 64, D4)
