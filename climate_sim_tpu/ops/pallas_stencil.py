@@ -761,7 +761,7 @@ def _substep_override(raw: Optional[str]) -> Optional[str]:
     return raw
 
 
-_MAX_CHAIN_W = 4608  # lanes; wider VMEM windows measured slower (locality)
+_MAX_CHAIN_W = 5120  # lanes; wider VMEM windows measured slower (locality)
 
 
 def _chain_geometry(
@@ -779,15 +779,26 @@ def _chain_geometry(
     the VMEM window capped at 10 MB and BY at 256 (BY=512 measured slower
     — locality).  Buffer WIDTH is capped at ``_MAX_CHAIN_W`` lanes when
     any narrower candidate divides the grid: wide windows lose to VMEM
-    locality effects the waste model cannot see — measured on v5e, padless
-    full-width at 8192² runs 204.6 vs 220.9 device Gpt/s for BX=4096+pads
-    (W=4352) and at 16384² 188.8 vs 211.0, while at 4096² padless
-    full-width BY=256 (W=4096, under the cap) remains the winner (229.6
-    vs 212.7 for BX=2048).  Returns None to keep the caller's defaults.
+    locality effects the waste model cannot see.  Measured on v5e
+    (device Gpt/s, full-width vs best half-width): 4096² 229.6 vs 212.7
+    and 5120² 231.6 vs 215.7 — full width WINS under the knee — then
+    6144² 196.1 vs 216.6, 7168² 201.6 vs 219.0, 8192² 204.6 vs 220.9,
+    16384² 188.8 vs 211.0 — full width loses past it, so the knee sits
+    between W=5120 and W=6144.  Returns None to keep the caller's
+    defaults.
     """
     cands = {bx_default, nx}
-    if nx % 4096 == 0:
-        cands.add(4096)
+    # The largest 128-multiple divisor whose buffer fits under the width
+    # cap — the intermediate candidate non-full-width grids need (e.g.
+    # 4096 at nx=8192/16384, 3072 at nx=6144); min-waste then prefers it
+    # over narrower blocks automatically (pad overhead shrinks with bxc).
+    mid = max(
+        (d for d in range(128, min(nx, _MAX_CHAIN_W - 2 * _XPAD) + 1, 128)
+         if nx % d == 0),
+        default=None,
+    )
+    if mid is not None:
+        cands.add(mid)
     scored = []
     for bxc in sorted(cands):
         if nx % bxc or bxc % 128:
@@ -803,9 +814,9 @@ def _chain_geometry(
             continue
         waste = (byc + 2 * khalo) / byc * (wc / bxc)
         scored.append((waste, bxc, byc, wc))
-    narrow = [s for s in scored if s[3] <= _MAX_CHAIN_W]
-    if not (narrow or scored):
+    if not scored:
         return None
+    narrow = [s for s in scored if s[3] <= _MAX_CHAIN_W]
     waste, bx, by, _ = min(narrow or scored)
     return bx, by
 
@@ -991,8 +1002,9 @@ def _build_multistep_call_cached(
         chained = True
     elif substep_override in ("fullslab", "mxu", "trapezoid"):
         chained = False
-    else:  # None or "chain"
-        chained = fullslab and not mxu
+    else:  # None or "chain" (mxu is impossible here: its override is
+        # consumed by the elif above)
+        chained = fullslab
 
     kernel, n_dma = _build_kernel_body(
         k=k, khalo=khalo, R=R, Rbuf=Rbuf, W=W, BY=BY, BX=BX, nx=BX, nxg=nx,

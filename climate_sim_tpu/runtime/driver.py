@@ -251,20 +251,27 @@ def prepare(cfg: SimConfig, devices=None):
                 from ..ops.pallas_stencil import one_sided_periodic
                 from ..parallel.halo import build_sharded_overlap_advance
 
-                if one_sided_periodic(cfg) and is_controller():
+                advance = build_sharded_overlap_advance(
+                    cfg, mesh, dt, dtype_name=jnp.dtype(dtype).name
+                )
+                if (
+                    advance is not None
+                    and one_sided_periodic(cfg)
+                    and is_controller()
+                ):
                     # The overlap path plumbs no ghost schedules, so these
                     # configs cap at one step per pass — per-step exchanges,
                     # the opposite of what overlap buys on a DCN mesh
-                    # (docs/performance.md "When does overlap pay?").
+                    # (docs/performance.md "When does overlap pay?").  Warn
+                    # only when the overlap advance actually built: a
+                    # declined build falls back to the full-depth slab path
+                    # and the cap does not apply.
                     _log(
                         "[warn] halo_overlap=true with a one-sided-periodic"
                         " BC mix caps at 1 step/pass (per-step exchanges);"
                         " the slab path fuses these at full depth — consider"
                         " halo_overlap=false"
                     )
-                advance = build_sharded_overlap_advance(
-                    cfg, mesh, dt, dtype_name=jnp.dtype(dtype).name
-                )
             if advance is None:
                 advance = build_sharded_multistep_advance(
                     cfg, mesh, dt, dtype_name=jnp.dtype(dtype).name

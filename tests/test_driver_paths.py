@@ -212,7 +212,7 @@ def test_overlap_with_one_sided_periodic_warns(capsys):
     out = capsys.readouterr().out
     assert "halo_overlap" in out and "1 step/pass" in out
 
-    # The 4-sided (non-one-sided) mix stays silent.
+    # A two-sided-periodic-y mix (no one-sided axis) stays silent.
     cfg.bc = BCConfig(left=BCType.DIRICHLET, right=BCType.DIRICHLET,
                       bottom=BCType.PERIODIC, top=BCType.PERIODIC)
     drv.prepare(cfg)

@@ -310,28 +310,27 @@ def test_chained_substep_matches_oracle_all_fixup_mixes(bcs, monkeypatch):
 
 def test_chain_geometry_width_cap():
     """The chain-geometry scorer pins the hardware-measured winners:
-    padless full-width at 4096² (W=4096, under the 4608-lane cap) but
-    BX=4096+pads at 8192²/16384², where padless full-width measured
-    8-12% slower (VMEM locality; docs/performance.md)."""
+    padless full-width up to the W=5120 locality knee (229.6/231.6 Gpt/s
+    at 4096²/5120²) but the largest under-cap divisor past it (6144²
+    onward, where full width measured 8-12% slower — VMEM locality;
+    docs/performance.md)."""
     from climate_sim_tpu.ops.pallas_stencil import _chain_geometry
 
-    # 4096²: padless full-width, BY=256
+    # under the knee: padless full-width, BY=256
+    assert _chain_geometry(2048, 2048, 8, 4, True, 2048) == (2048, 256)
     assert _chain_geometry(4096, 4096, 8, 4, True, 2048) == (4096, 256)
-    # 8192² / 16384²: width cap rejects full-width; BX=4096 wins the model
+    assert _chain_geometry(5120, 5120, 8, 4, True, 1280) == (5120, 256)
+    assert _chain_geometry(4864, 4096, 8, 4, True, 2432) == (4864, 256)
+    # past the knee: the cap rejects full width; the largest under-cap
+    # divisor is generated as the intermediate candidate and wins
+    assert _chain_geometry(6144, 6144, 8, 4, True, 2048) == (3072, 256)
+    assert _chain_geometry(7168, 7168, 8, 4, True, 1792) == (3584, 256)
     assert _chain_geometry(8192, 8192, 8, 4, True, 2048) == (4096, 256)
     assert _chain_geometry(16384, 16384, 8, 4, True, 2048) == (4096, 256)
-    # 2048²: padless full-width
-    assert _chain_geometry(2048, 2048, 8, 4, True, 2048) == (2048, 256)
-    # no padless (wrap-x): full-width carries pads and loses to BX=4096
+    # no padless (wrap-x): full-width carries pads, W=8448 over the cap
     assert _chain_geometry(8192, 8192, 8, 4, False, 2048) == (4096, 256)
-    # width not divisible by 4096 and wider than the cap: the narrow
-    # default is the only survivor
-    bx, _ = _chain_geometry(4864, 4096, 8, 4, True, 2432)
-    assert bx == 2432
-    # nothing under the cap (no divisor >= 512): full width survives the
-    # cap filter as the lone candidate
-    bx, _ = _chain_geometry(4992, 64, 8, 4, True, 4992)
-    assert bx == 4992
+    # awkward width (4992 = 128*39): padless full width fits the cap
+    assert _chain_geometry(4992, 64, 8, 4, True, 4992) == (4992, 64)
 
 
 def test_substep_override_rejects_typos(monkeypatch):
