@@ -104,6 +104,10 @@ def main() -> int:
     cases.append(("carrier_torus", BCS["torus"], 1000, 504, False))
     # Deep passes (steps_per_pass=16): 16-wide slabs/halos must lower too.
     cases.append(("k16_mixed", BCS["mixed"], 1024, 512, "k16"))
+    # Past the buffer-width locality knee (W>5120): the chain-geometry
+    # scorer picks the intermediate BX=3072 candidate — that multi-block
+    # padded layout must lower and match on hardware too.
+    cases.append(("wide_knee_mixed", BCS["mixed"], 6144, 256, False))
 
     for name, bcs, nx, ny, compat in cases:
         k16 = compat == "k16"
