@@ -351,7 +351,9 @@ def _build_kernel_body(
         )
         cright = pl.multiple_of(jax.lax.rem(cmain + jnp.int32(BX), nxg32), 128)
         segs = [(0, up0, khalo), (khalo, main0, BY), (khalo + BY, dn0, khalo)]
-        strips = nbx > 1 or wrap_x
+        # Padless full-width wrap-x (xoff == 0) needs no strips: the
+        # circular lane roll supplies the periodic neighbor directly.
+        strips = nbx > 1 or (wrap_x and xoff > 0)
         copies = []
         i = 0
         for dst_r, src_r, n in segs:
@@ -378,7 +380,7 @@ def _build_kernel_body(
     if slab_mode:
         n_dma = 17
     elif fused_dma:
-        n_dma = 9 if (nbx > 1 or wrap_x) else 3
+        n_dma = 9 if (nbx > 1 or (wrap_x and xoff > 0)) else 3
     else:
         n_dma = 1
 
@@ -898,23 +900,28 @@ def _build_multistep_call_cached(
     # Will the build end up value-chained (see below)?  Needed early: the
     # chained form has its own measured-best block geometry.
     chain_intent = substep_override in (None, "chain")
-    # PADLESS-X eligibility: with full-width blocks, no x wrap data, and
-    # both x sides handled by lane-masked selects, the 2*_XPAD ghost-strip
-    # lanes are never loaded (strips gate on nbx > 1 or wrap_x) NOR read
-    # (the selects patch the rolled operands; ghost lanes are dead) — yet
-    # every vector op still computes them: 2*128/4096 = 6.25% redundant
-    # lanes at the headline width.  Dropping them makes the buffer exactly
-    # (Rbuf, nx); the circular lane rolls wrap garbage across the x edge
-    # and the selects patch it out at the consumer lanes — the same
-    # barrier argument as the pads.  Requires the full-slab select form
-    # (trapezoid/mxu overrides keep the padded layout).
+    # PADLESS-X eligibility: with full-width blocks the 2*_XPAD
+    # ghost-strip lanes can be dropped entirely (buffer = exactly
+    # (Rbuf, nx)) in two cases:
+    #  - physical x edges handled by lane-masked selects (fix_left/right
+    #    set, no wrap data): the circular lane rolls wrap garbage across
+    #    the x edge and the selects patch it out at the consumer lanes —
+    #    a staleness barrier, same argument as the pads.  Requires the
+    #    full-slab select form (trapezoid/mxu keep the padded layout).
+    #  - BOTH x sides true-periodic (wrap_x, no x fixups): the circular
+    #    roll's wrap IS the periodic neighbor — column 0's left neighbor
+    #    is column nx-1 by definition — so no strips, no selects, and no
+    #    staleness in x at all (every lane is live torus data).
+    # Either way the strips were 2*128/4096 = 6.25% redundant lanes at
+    # the headline width that every vector op computed.
     padless_ok = (
         fused_dma
         and not slab_mode
-        and not wrap_x
-        and fix_left is not None
-        and fix_right is not None
         and substep_override in (None, "fullslab", "chain")
+        and (
+            (not wrap_x and fix_left is not None and fix_right is not None)
+            or (wrap_x and fix_left is None and fix_right is None)
+        )
     )
     by_forced = None
     if fused_dma or slab_mode:

@@ -44,6 +44,7 @@ def capture(nx: int, ny: int, chunk: int, reps: int, outdir: str,
         D, N, P = BCType.DIRICHLET, BCType.NEUMANN, BCType.PERIODIC
         cfg.bc = BCConfig(*{
             "dirichlet": (D, D, D, D),
+            "torus": (P, P, P, P),
             "one_sided_y": (D, N, P, D),
             "one_sided_x": (P, D, N, D),
             "both_one_sided": (P, D, P, N),
@@ -100,7 +101,7 @@ def main() -> int:
     ap.add_argument("--analyze_only", default=None,
                     help="skip capture; analyze this existing trace dir")
     ap.add_argument("--bc", default="bench",
-                    choices=["bench", "dirichlet", "one_sided_y",
+                    choices=["bench", "dirichlet", "torus", "one_sided_y",
                              "one_sided_x", "both_one_sided"],
                     help="BC class (the one-sided classes trace the "
                          "ghost-schedule paths)")

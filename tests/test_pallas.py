@@ -308,6 +308,25 @@ def test_chained_substep_matches_oracle_all_fixup_mixes(bcs, monkeypatch):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.parametrize("bcs", [
+    P4,                                                      # full torus
+    (BCType.PERIODIC, BCType.PERIODIC, BCType.DIRICHLET, BCType.NEUMANN),
+    (BCType.PERIODIC, BCType.PERIODIC, BCType.PERIODIC, BCType.DIRICHLET),
+])
+def test_padless_wrap_x_matches_oracle(bcs):
+    """Two-sided-periodic-x full-width builds go padless: the circular
+    lane roll IS the periodic neighbor (no strips, no selects, no x
+    staleness).  Mass is parked against the x edge so the wrap is
+    load-bearing; 16 steps = 2 full k=8 passes."""
+    cfg = make_cfg(256, 64, bcs)
+    u = gaussian_hotspot(cfg, jnp.float32)
+    u = u + 0.5 * jnp.roll(u, u.shape[1] // 2 - 2, axis=1)
+    ref = oracle(u, cfg, 16)
+    out = multistep_kernel_step(u, cfg, cfg.dt, 16, interpret=True)
+    assert out is not None
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
+
+
 def test_chain_geometry_width_cap():
     """The chain-geometry scorer pins the hardware-measured winners:
     padless full-width up to the W=5120 locality knee (229.6/231.6 Gpt/s
