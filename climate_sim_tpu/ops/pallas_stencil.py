@@ -185,6 +185,7 @@ def _build_kernel_body(
     mxu: bool = False,
     chained: bool = False,
     carrier: bool = False,
+    slab_padless: bool = False,
 ):
     """The kernel function (closure over all static parameters).
 
@@ -263,6 +264,47 @@ def _build_kernel_body(
         bx = block // jnp.int32(nby)
         base = by * jnp.int32(BY)
         cmain = pl.multiple_of(bx * jnp.int32(BX), 128)
+
+        if slab_padless:
+            # PADLESS sharded-tile fast path: full-width blocks with NO
+            # x-pad lanes — both x ghost sides ride the packed ghost-column
+            # schedule (see slab_x_sched_pair), so the buffer is exactly
+            # (Rbuf, mx) and only row segments are DMA'd: the tile plus,
+            # at the first/last row-block, the compact y-slab rows (the
+            # y slab's 128-wide x pads are schedule input only, sliced off
+            # here at its 128-aligned _XPAD offset).
+            tile_ref, yhalo_ref = refs
+            upt = pl.multiple_of(jnp.maximum(base - jnp.int32(khalo), 0), 8)
+            dnt = pl.multiple_of(
+                jnp.minimum(base + jnp.int32(BY), jnp.int32(ny - khalo)), 8
+            )
+            first_y, last_y = by == 0, by == nby - 1
+            out = []
+            i = 0
+
+            def rowseg(dst_r, n, ycond, yrow0, trow0):
+                nonlocal i
+                if ycond is not None:
+                    out.append((ycond, pltpu.make_async_copy(
+                        yhalo_ref.at[pl.ds(yrow0, n), pl.ds(_XPAD, W)],
+                        dst.at[pl.ds(dst_r, n), :],
+                        sems.at[slot, i],
+                    )))
+                    i += 1
+                    tcond = jnp.logical_not(ycond)
+                else:
+                    tcond = None
+                out.append((tcond, pltpu.make_async_copy(
+                    tile_ref.at[pl.ds(trow0, n), :],
+                    dst.at[pl.ds(dst_r, n), :],
+                    sems.at[slot, i],
+                )))
+                i += 1
+
+            rowseg(0, khalo, first_y, 0, upt)
+            rowseg(khalo, BY, None, None, pl.multiple_of(base, 8))
+            rowseg(khalo + BY, khalo, last_y, khalo, dnt)
+            return out
 
         if slab_mode:
             # Sharded-tile fast path: the shard's (my, mx) tile plus compact
@@ -377,7 +419,11 @@ def _build_kernel_body(
                 i += 2
         return copies
 
-    if slab_mode:
+    if slab_padless:
+        # Three row segments, edge segments conditionally sourced from the
+        # compact y slab (first/last row-block) or the tile: <= 5 copies.
+        n_dma = 5
+    elif slab_mode:
         n_dma = 17
     elif fused_dma:
         n_dma = 9 if (nbx > 1 or (wrap_x and xoff > 0)) else 3
@@ -493,7 +539,10 @@ def _build_kernel_body(
             sched_y_ref, refs = refs[0], refs[1:]
         if sched_x_on:
             sched_x_ref, refs = refs[0], refs[1:]
-        if slab_mode:
+        if slab_padless:
+            flags_ref, tile_ref, yh_ref, out_ref, a_scratch, b_scratch, sems = refs
+            in_refs = (tile_ref, yh_ref)
+        elif slab_mode:
             flags_ref, tile_ref, xh_ref, yh_ref, out_ref, a_scratch, b_scratch, sems = refs
             in_refs = (tile_ref, xh_ref, yh_ref)
         elif sharded:
@@ -554,11 +603,20 @@ def _build_kernel_body(
                 return _gate(lane == jnp.int32(lane_idx), edge_cond, flag_idx)
 
             if sel_left:
-                sel_mask_l = _sel_mask(
-                    xoff, (bx == 0) if nbx > 1 else None, 0
-                )
+                if slab_padless:
+                    # Every shard patches lane 0 from the packed schedule
+                    # (interior shards' ghosts are neighbor data, edge
+                    # shards' are BCs — both folded into the schedule
+                    # outside the kernel), so the mask is NOT flag-gated.
+                    sel_mask_l = lane == jnp.int32(0)
+                else:
+                    sel_mask_l = _sel_mask(
+                        xoff, (bx == 0) if nbx > 1 else None, 0
+                    )
             if sel_right:
-                if carrier:
+                if slab_padless:
+                    sel_mask_r = lane == jnp.int32(W - 1)
+                elif carrier:
                     # Carrier mode (padded indivisible grid): the true
                     # right edge sits at a runtime TILE column, flags[5]
                     # (the ghost column; only meaningful on shards whose
@@ -598,14 +656,16 @@ def _build_kernel_body(
                         (by == nby - 1) if nby > 1 else None, 3,
                     )
 
-        def sel_val(kind, a, t):
+        def sel_val(kind, a, t, lane0=0):
             # Ghost value seen through the select: the Neumann mirror is
             # the edge lane's OWN value (zero data motion); Dirichlet /
             # compat-zero are constants; a "sched" side's ghost column is
             # the schedule ref's sub-step-t column, splat across lanes
-            # (the mask picks the edge lane).
+            # (the mask picks the edge lane).  ``lane0`` offsets into the
+            # PACKED two-side schedule (padless slab mode: left side at
+            # lanes [0, k), right side at [khalo, khalo + k)).
             if kind == "sched":
-                return _sched_col_window(sched_x_ref, by, t)[:, None]
+                return _sched_col_window(sched_x_ref, by, lane0 + t)[:, None]
             if kind == "neumann":
                 return a
             return compute_dtype.type(bc_value if kind == "dirichlet" else 0.0)
@@ -657,7 +717,7 @@ def _build_kernel_body(
                 if wxp != 0.0:
                     xp_v = pltpu.roll(a, W - 1, 1)
                     if sel_mask_r is not None:
-                        xp_v = jnp.where(sel_mask_r, sel_val(fix_right, a, t), xp_v)
+                        xp_v = jnp.where(sel_mask_r, sel_val(fix_right, a, t, khalo if slab_padless else 0), xp_v)
                     new += wxp * xp_v
                 a = new
             out_ref[:, :] = a[khalo : khalo + BY, xoff : xoff + BX]
@@ -714,7 +774,7 @@ def _build_kernel_body(
                 if wxp != 0.0:
                     xp_v = pltpu.roll(a, W - 1, 1)
                     if sel_mask_r is not None:
-                        xp_v = jnp.where(sel_mask_r, sel_val(fix_right, a, t), xp_v)
+                        xp_v = jnp.where(sel_mask_r, sel_val(fix_right, a, t, khalo if slab_padless else 0), xp_v)
                     new += wxp * xp_v
                 dst[:, :] = new
             else:
@@ -852,6 +912,7 @@ def _build_multistep_call_cached(
     by_override: Optional[int] = None,
     substep_override: Optional[str] = None,
     carrier: bool = False,
+    slab_padless: bool = False,
 ):
     """pallas_call advancing k steps -> (ny, nx).
 
@@ -924,7 +985,33 @@ def _build_multistep_call_cached(
         )
     )
     by_forced = None
-    if fused_dma or slab_mode:
+    if slab_padless:
+        # PADLESS slab mode: full-width blocks, no x-pad lanes — both x
+        # ghost sides ride the packed column schedule (slab_x_sched_pair),
+        # exactly like padless-x dropped the dead strip lanes on the
+        # single-device path.  Requires the chained select form; the
+        # width-knee cap (_MAX_CHAIN_W) gates eligibility — past it the
+        # strip layout with narrower blocks wins, caller falls back.
+        if not slab_mode or substep_override not in (None, "chain"):
+            return None
+        if nx % 128 or ny % 8 or khalo % 8:
+            return None
+        if fix_left != "sched" or fix_right != "sched":
+            return None
+        best = _chain_geometry(nx, ny, khalo, compute_dtype.itemsize, True, nx)
+        if best is None or best[0] != nx:
+            return None
+        BX = W = nx
+        xoff = 0
+        BY = best[1]
+        if by_override and ny % by_override == 0 and by_override % 8 == 0:
+            BY = by_override
+        R = BY + 2 * khalo
+        Rbuf = R
+        nbx = 1
+        nby = ny // BY
+        n_blocks = nby
+    elif fused_dma or slab_mode:
         xoff = _XPAD
         # 2D block grid: x-blocks of BX columns (largest 128-multiple
         # divisor of nx up to _PREF_BX), each with 128-wide ghost strips.
@@ -959,24 +1046,26 @@ def _build_multistep_call_cached(
         BX = nx
         W = -(-(nx + 2 * khalo) // 128) * 128
         xoff = khalo
-    row_bytes = W * compute_dtype.itemsize
-    BY = by_forced if by_forced is not None else _pick_block_rows(ny, row_bytes, khalo)
-    if by_override and ny % by_override == 0 and by_override % 8 == 0:
-        BY = by_override
-    if BY is None:
-        return None
-    if (fused_dma or slab_mode) and (BY % 8 or khalo % 8 or nx % 128 or ny % 8):
-        return None
-    if not interpret and not (fused_dma or slab_mode) and BY % 8 and ny // BY > 1:
-        # Assembled-mode hardware DMA slices rows at block*BY, which must sit
-        # on the 8-row sublane tile; a misaligned BY only lowers in interpret
-        # mode.  (nby == 1 starts at 0 and is always aligned.)
-        return None
-    R = BY + 2 * khalo
-    Rbuf = R if (fused_dma or slab_mode) else -(-R // 8) * 8
-    nbx = nx // BX
-    nby = ny // BY
-    n_blocks = nbx * nby
+    if not slab_padless:
+        row_bytes = W * compute_dtype.itemsize
+        BY = by_forced if by_forced is not None else _pick_block_rows(ny, row_bytes, khalo)
+        if by_override and ny % by_override == 0 and by_override % 8 == 0:
+            BY = by_override
+        if BY is None:
+            return None
+        if (fused_dma or slab_mode) and (BY % 8 or khalo % 8 or nx % 128 or ny % 8):
+            return None
+        if not interpret and not (fused_dma or slab_mode) and BY % 8 and ny // BY > 1:
+            # Assembled-mode hardware DMA slices rows at block*BY, which
+            # must sit on the 8-row sublane tile; a misaligned BY only
+            # lowers in interpret mode.  (nby == 1 starts at 0 and is
+            # always aligned.)
+            return None
+        R = BY + 2 * khalo
+        Rbuf = R if (fused_dma or slab_mode) else -(-R // 8) * 8
+        nbx = nx // BX
+        nby = ny // BY
+        n_blocks = nbx * nby
 
     # Full-slab sub-steps (aligned rolls instead of shrinking-trapezoid
     # slices) are the default where the scratch window is exactly the
@@ -1022,7 +1111,7 @@ def _build_multistep_call_cached(
         fix_bottom=fix_bottom, fix_top=fix_top,
         prepadded=prepadded, sharded=sharded, slab_mode=slab_mode,
         compute_dtype=compute_dtype, fullslab=fullslab, mxu=mxu,
-        chained=chained, carrier=carrier,
+        chained=chained, carrier=carrier, slab_padless=slab_padless,
     )
 
     in_rows = ny if (fused_dma or slab_mode) else ny + 2 * khalo + (Rbuf - R)
