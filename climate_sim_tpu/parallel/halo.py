@@ -42,15 +42,49 @@ def _cyclic_perm(n: int, shift: int):
     return [(i, (i + shift) % n) for i in range(n)]
 
 
-def _pshift(x: jnp.ndarray, axis_name: str, n: int, shift: int) -> jnp.ndarray:
-    """Cyclic per-shard shift along a mesh axis: each shard receives its
-    neighbor's slab (wrapping).  On a size-1 axis the cyclic shift is the
-    identity, and we skip the collective — a degenerate self-ppermute
-    still lowers to a CollectivePermute op that some backends round-trip
-    through the interconnect."""
+def _shift_perm(n: int, shift: int, wrap: bool):
+    """Permutation pairs for a shift along a mesh axis.  ``wrap=False``
+    drops the 0<->n-1 wrap pair (the ``MPI_PROC_NULL`` skip,
+    reference: src/halo.cpp:28-43): edge shards then send nothing across
+    the wrap edge and non-receivers get ppermute's zeros — which is
+    exactly what the BC logic overwrites on a non-periodic side.  On a
+    DCN-pinned mesh axis the wrap edge is the longest link in the system,
+    so this deletes the one payload that was thrown away every pass."""
+    if wrap:
+        return _cyclic_perm(n, shift)
+    return [(i, i + shift) for i in range(n) if 0 <= i + shift < n]
+
+
+def _pshift(
+    x: jnp.ndarray, axis_name: str, n: int, shift: int, wrap: bool = True
+) -> jnp.ndarray:
+    """Per-shard shift along a mesh axis: each shard receives its
+    neighbor's slab (wrapping when ``wrap``; zeros at the open ends
+    otherwise).  On a size-1 axis the cyclic shift is the identity, and
+    we skip the collective — a degenerate self-ppermute still lowers to
+    a CollectivePermute op that some backends round-trip through the
+    interconnect.  A size-1 NON-wrapping axis has no neighbor at all:
+    the ghost is all-zeros (overwritten by BC logic), matching what a
+    larger axis's edge shards receive."""
     if n == 1:
-        return x
-    return lax.ppermute(x, axis_name, _cyclic_perm(n, shift))
+        return x if wrap else jnp.zeros_like(x)
+    return lax.ppermute(x, axis_name, _shift_perm(n, shift, wrap))
+
+
+def axis_wrap_flags(cfg: SimConfig):
+    """(wrap_x, wrap_y): does each mesh axis need wrap payloads in its halo
+    exchange?  True when either side of the axis is live-periodic (two-sided
+    torus wrap, or a one-sided side whose ghost schedule evolves the
+    delivered opposite-edge strip).  Compat-mode periodic is a stale-zero
+    no-op that never consumes wrap data (reference: boundary.cpp has no
+    Periodic branch), so it truncates like Dirichlet/Neumann."""
+    if cfg.strict_reference_compat:
+        return False, False
+    per = BCType.PERIODIC
+    return (
+        cfg.bc.left == per or cfg.bc.right == per,
+        cfg.bc.bottom == per or cfg.bc.top == per,
+    )
 
 
 def exchange_and_pad(
@@ -68,6 +102,7 @@ def exchange_and_pad(
     """
     bc = cfg.bc
     compat = cfg.strict_reference_compat
+    wrap_x, wrap_y = axis_wrap_flags(cfg)
 
     xi = lax.axis_index("x")
     yi = lax.axis_index("y")
@@ -76,9 +111,9 @@ def exchange_and_pad(
     right_face = u[:, -1:]
     left_face = u[:, :1]
     # ghost_left[dev i] = right face of dev i-1 (cyclic)  => shift +1
-    ghost_left = _pshift(right_face, "x", px, +1)
+    ghost_left = _pshift(right_face, "x", px, +1, wrap_x)
     # ghost_right[dev i] = left face of dev i+1 (cyclic)  => shift -1
-    ghost_right = _pshift(left_face, "x", px, -1)
+    ghost_right = _pshift(left_face, "x", px, -1, wrap_x)
 
     def bc_face(side: BCType, mirror, wrapped):
         # Single source of truth for the BC->ghost mapping (incl. the
@@ -94,8 +129,8 @@ def exchange_and_pad(
     # --- y direction (rows; 'bottom'/'top'), full padded width incl corners ---
     top_face = mid[-1:, :]
     bottom_face = mid[:1, :]
-    ghost_bottom = _pshift(top_face, "y", py, +1)
-    ghost_top = _pshift(bottom_face, "y", py, -1)
+    ghost_bottom = _pshift(top_face, "y", py, +1, wrap_y)
+    ghost_top = _pshift(bottom_face, "y", py, -1, wrap_y)
 
     ghost_bottom = jnp.where(
         yi == 0, bc_face(bc.bottom, bottom_face, ghost_bottom), ghost_bottom
@@ -105,17 +140,22 @@ def exchange_and_pad(
     return jnp.concatenate([ghost_bottom, mid, ghost_top], axis=0)
 
 
-def _exchange_parts(u: jnp.ndarray, px: int, py: int, k: int):
-    """The four cyclic-ppermute face exchanges, x slabs first then
-    full-width y slabs (so corner ghosts carry diagonal-neighbor data —
-    the width-k generalization of the reference's full-row messages,
-    halo.cpp:16-18).  Returns (mid, ghost_bottom, ghost_top) where ``mid``
-    is the x-ghosted tile (my, mx+2k)."""
-    ghost_left = _pshift(u[:, -k:], "x", px, +1)
-    ghost_right = _pshift(u[:, :k], "x", px, -1)
+def _exchange_parts(
+    u: jnp.ndarray, px: int, py: int, k: int,
+    wrap_x: bool = True, wrap_y: bool = True,
+):
+    """The four ppermute face exchanges, x slabs first then full-width y
+    slabs (so corner ghosts carry diagonal-neighbor data — the width-k
+    generalization of the reference's full-row messages, halo.cpp:16-18).
+    ``wrap_x``/``wrap_y`` False drops that axis's 0<->p-1 wrap pair (the
+    MPI_PROC_NULL skip, halo.cpp:28-43); edge shards then get zeros, which
+    the flag-gated BC fixups overwrite.  Returns (mid, ghost_bottom,
+    ghost_top) where ``mid`` is the x-ghosted tile (my, mx+2k)."""
+    ghost_left = _pshift(u[:, -k:], "x", px, +1, wrap_x)
+    ghost_right = _pshift(u[:, :k], "x", px, -1, wrap_x)
     mid = jnp.concatenate([ghost_left, u, ghost_right], axis=1)
-    ghost_bottom = _pshift(mid[-k:, :], "y", py, +1)
-    ghost_top = _pshift(mid[:k, :], "y", py, -1)
+    ghost_bottom = _pshift(mid[-k:, :], "y", py, +1, wrap_y)
+    ghost_top = _pshift(mid[:k, :], "y", py, -1, wrap_y)
     return mid, ghost_bottom, ghost_top
 
 
@@ -124,15 +164,17 @@ def exchange_halos_k(
     px: int,
     py: int,
     k: int,
+    wrap_x: bool = True,
+    wrap_y: bool = True,
 ) -> jnp.ndarray:
     """Inside shard_map: return the (my+2k, mx+2k) tile with k-wide halos
-    pulled from neighbors by cyclic ppermute.
+    pulled from neighbors by ppermute (edge-truncated on non-wrapping axes).
 
-    No BC logic here: edge shards receive wrap data, which is exactly right
-    for periodic sides; non-periodic physical ghosts are re-supplied every
-    sub-step by the kernel's edge-flag-gated fixups.
+    No BC logic here: edge shards receive wrap data where the axis wraps,
+    which is exactly right for periodic sides; non-periodic physical ghosts
+    are re-supplied every sub-step by the kernel's edge-flag-gated fixups.
     """
-    mid, ghost_bottom, ghost_top = _exchange_parts(u, px, py, k)
+    mid, ghost_bottom, ghost_top = _exchange_parts(u, px, py, k, wrap_x, wrap_y)
     return jnp.concatenate([ghost_bottom, mid, ghost_top], axis=0)
 
 
@@ -160,7 +202,10 @@ def _make_chunk_advance(tile_pass, k: int, mesh: Mesh, spec):
     return advance
 
 
-def exchange_halos_slabs(u: jnp.ndarray, px: int, py: int, k: int):
+def exchange_halos_slabs(
+    u: jnp.ndarray, px: int, py: int, k: int,
+    wrap_x: bool = True, wrap_y: bool = True,
+):
     """Inside shard_map: exchange k-wide halos as COMPACT slabs for the
     slab-input fused kernel (no O(my*mx) padded-tile materialization).
 
@@ -176,16 +221,16 @@ def exchange_halos_slabs(u: jnp.ndarray, px: int, py: int, k: int):
     """
     my, mx = u.shape
     z = jnp.zeros((my, 128 - k), u.dtype)
-    gl = _pshift(u[:, -k:], "x", px, +1)
-    gr = _pshift(u[:, :k], "x", px, -1)
+    gl = _pshift(u[:, -k:], "x", px, +1, wrap_x)
+    gr = _pshift(u[:, :k], "x", px, -1, wrap_x)
     xhalo = jnp.concatenate([z, gl, gr, z], axis=1)
 
     # y slabs travel COMPACT (k, mx+2k) — the 128-k zero alignment columns
     # are concatenated locally after the exchange, not shipped over ICI.
     top = jnp.concatenate([gl[-k:, :], u[-k:, :], gr[-k:, :]], axis=1)
     bottom = jnp.concatenate([gl[:k, :], u[:k, :], gr[:k, :]], axis=1)
-    gb = _pshift(top, "y", py, +1)
-    gt = _pshift(bottom, "y", py, -1)
+    gb = _pshift(top, "y", py, +1, wrap_y)
+    gt = _pshift(bottom, "y", py, -1, wrap_y)
     zrow = jnp.zeros((2 * k, 128 - k), u.dtype)
     yhalo = jnp.concatenate([gb, gt], axis=0)
     return xhalo, jnp.concatenate([zrow, yhalo, zrow], axis=1)
@@ -264,19 +309,22 @@ def build_sharded_multistep_advance(
             [xi == 0, xi == px - 1, yi == 0, yi == py - 1]
         ).astype(jnp.int32)
 
+    wrap_x, wrap_y = axis_wrap_flags(cfg)
     if use_slabs:
         def tile_pass(u_local: jnp.ndarray, kk: int) -> jnp.ndarray:
             # Slabs are always 8 wide (sublane-aligned khalo); a remainder
             # pass just runs fewer sub-steps on the same slab shape.
             khalo8 = -(-kk // 8) * 8
-            xhalo, yhalo = exchange_halos_slabs(u_local, px, py, khalo8)
+            xhalo, yhalo = exchange_halos_slabs(
+                u_local, px, py, khalo8, wrap_x, wrap_y
+            )
             return sharded_tile_slab_multistep(
                 u_local, xhalo, yhalo, edge_flags(), cfg, dt, kk,
                 interpret=interpret,
             )
     else:
         def tile_pass(u_local: jnp.ndarray, kk: int) -> jnp.ndarray:
-            padded = exchange_halos_k(u_local, px, py, kk)
+            padded = exchange_halos_k(u_local, px, py, kk, wrap_x, wrap_y)
             return sharded_tile_multistep(
                 padded, edge_flags(), cfg, dt, kk, mx,
                 interpret=interpret,
@@ -355,6 +403,8 @@ def build_sharded_overlap_advance(
             ) is None:
                 return None
 
+    wrap_x, wrap_y = axis_wrap_flags(cfg)
+
     def tile_pass(u: jnp.ndarray, kk: int) -> jnp.ndarray:
         hb = _hb(kk)
         xi = lax.axis_index("x")
@@ -366,7 +416,7 @@ def build_sharded_overlap_advance(
         z = jnp.int32(0)
 
         # (1) face exchanges.
-        mid, gb, gt = _exchange_parts(u, px, py, kk)
+        mid, gb, gt = _exchange_parts(u, px, py, kk, wrap_x, wrap_y)
 
         # (2) interior (rows [hb, my-hb), cols [kk, mx-kk)): its kk-deep
         # input halo lies inside the raw tile — independent of every
@@ -615,6 +665,8 @@ def build_carrier_slab_advance(
     stage_y_on = per_y and my * py != ny
     stage_x_on = per_x and mx * px != nx
 
+    wrap_xh, wrap_yh = axis_wrap_flags(cfg)
+
     def tile_pass(c_local: jnp.ndarray, kk: int) -> jnp.ndarray:
         if damp_pads:
             c_local = zero_pads(c_local)
@@ -622,7 +674,9 @@ def build_carrier_slab_advance(
             c_local = stage_y(c_local)
         if stage_x_on:
             c_local = stage_x(c_local)
-        xhalo, yhalo = exchange_halos_slabs(c_local, px, py, KH)
+        xhalo, yhalo = exchange_halos_slabs(
+            c_local, px, py, KH, wrap_xh, wrap_yh
+        )
         return carrier_tile_slab_multistep(
             c_local, xhalo, yhalo, shard_flags(), cfg, dt, kk,
             interpret=interpret,

@@ -100,8 +100,8 @@ def main() -> int:
     real_pshift = H._pshift
     state = {"lat": 0.0}
 
-    def delayed_pshift(x, axis_name, n, shift):
-        out = real_pshift(x, axis_name, n, shift)
+    def delayed_pshift(x, axis_name, n, shift, wrap=True):
+        out = real_pshift(x, axis_name, n, shift, wrap)
         if n == 1:
             return out
 

@@ -334,3 +334,110 @@ def test_overlap_interior_kernel_independent_of_ppermutes():
         "4 band kernels may; the interior kernel must stay "
         "exchange-independent for overlap to exist"
     )
+
+
+def _collect_ppermutes(jx):
+    """All (axis_name, perm) pairs of every ppermute in a jaxpr, recursing
+    into sub-jaxprs (shard_map / pjit / scan bodies)."""
+    from jax._src import core as jcore
+
+    out = []
+
+    def subjaxprs(params):
+        for v in params.values():
+            items = v if isinstance(v, (list, tuple)) else (v,)
+            for s in items:
+                if isinstance(s, jcore.ClosedJaxpr):
+                    yield s.jaxpr
+                elif isinstance(s, jcore.Jaxpr):
+                    yield s
+
+    def walk(j):
+        for eqn in j.eqns:
+            if eqn.primitive.name == "ppermute":
+                axes = eqn.params.get("axis_name")
+                ax = axes[0] if isinstance(axes, (tuple, list)) else axes
+                out.append((ax, tuple(eqn.params["perm"])))
+            for s in subjaxprs(eqn.params):
+                walk(s)
+
+    walk(jx)
+    return out
+
+
+def _is_truncated(perm, n):
+    """True for an edge-truncated shift (n-1 uniform-delta pairs); a cyclic
+    shift has n pairs including the wrap pair.  Pair-value inspection is
+    ambiguous on n=2 (the +1 wrap pair (1,0) looks like a -1 shift pair),
+    so classify by length + uniform unit delta."""
+    deltas = {d - s for s, d in perm}
+    return len(perm) == n - 1 and deltas in ({1}, {-1})
+
+
+@pytest.mark.parametrize("path", ["slab", "overlap", "perstep"])
+def test_no_wrap_traffic_on_nonperiodic_axes(path):
+    """MPI_PROC_NULL-skip analogue (reference: src/halo.cpp:28-43): axes
+    whose BCs are all non-periodic must use EDGE-TRUNCATED ppermute lists —
+    no 0<->p-1 wrap pair, whose payload edge shards would immediately
+    overwrite with BC ghosts.  Structural check on the jaxpr; behavior is
+    covered by the sharded numerics tests."""
+    from climate_sim_tpu.parallel.halo import (
+        build_sharded_advance,
+        build_sharded_multistep_advance,
+        build_sharded_overlap_advance,
+    )
+    from climate_sim_tpu.ops.step import make_interior_step
+
+    cfg = SimConfig(nx=1024, ny=512, D=0.05, vx=0.5, vy=-0.25, dt=0.1,
+                    steps=8, out_every=8)
+    cfg.bc = BCConfig(BCType.DIRICHLET, BCType.NEUMANN,
+                      BCType.DIRICHLET, BCType.NEUMANN)
+    mesh = make_mesh(4, 2)
+    if path == "slab":
+        adv = build_sharded_multistep_advance(cfg, mesh, cfg.dt, interpret=True)
+    elif path == "overlap":
+        adv = build_sharded_overlap_advance(cfg, mesh, cfg.dt, interpret=True)
+    else:
+        adv = build_sharded_advance(
+            cfg, mesh, cfg.dt, make_interior_step(cfg, cfg.dt)
+        )
+    assert adv is not None
+    u = jax.device_put(
+        jnp.asarray(gaussian_ic(cfg.nx, cfg.ny), jnp.float32),
+        field_sharding(mesh),
+    )
+    perms = _collect_ppermutes(jax.make_jaxpr(adv(8))(u).jaxpr)
+    assert perms, "expected halo-exchange ppermutes in the chunk program"
+    sizes = {"x": 4, "y": 2}
+    for ax, perm in perms:
+        assert _is_truncated(perm, sizes[ax]), (
+            f"non-periodic axis {ax!r} ships wrap traffic: {perm}"
+        )
+
+
+def test_wrap_traffic_kept_on_periodic_axes():
+    """The converse: a torus x axis keeps its wrap pair (that payload IS
+    the periodic neighbor), while the non-periodic y axis truncates."""
+    from climate_sim_tpu.parallel.halo import build_sharded_multistep_advance
+
+    cfg = SimConfig(nx=1024, ny=512, D=0.05, vx=0.5, vy=-0.25, dt=0.1,
+                    steps=8, out_every=8)
+    cfg.bc = BCConfig(BCType.PERIODIC, BCType.PERIODIC,
+                      BCType.DIRICHLET, BCType.NEUMANN)
+    mesh = make_mesh(4, 2)
+    adv = build_sharded_multistep_advance(cfg, mesh, cfg.dt, interpret=True)
+    assert adv is not None
+    u = jax.device_put(
+        jnp.asarray(gaussian_ic(cfg.nx, cfg.ny), jnp.float32),
+        field_sharding(mesh),
+    )
+    perms = _collect_ppermutes(jax.make_jaxpr(adv(8))(u).jaxpr)
+    x_perms = [p for ax, p in perms if ax == "x"]
+    y_perms = [p for ax, p in perms if ax == "y"]
+    assert x_perms and y_perms
+    assert all(len(p) == 4 for p in x_perms), (
+        f"periodic x axis lost its wrap payload: {x_perms}"
+    )
+    assert all(_is_truncated(p, 2) for p in y_perms), (
+        f"non-periodic y axis ships wrap traffic: {y_perms}"
+    )
