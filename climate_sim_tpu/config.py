@@ -159,13 +159,21 @@ class SimConfig:
     max_devices: int = 0  # 0 = all visible devices; else use the first N
     # Sharded passes: split interior/edge-band kernels so halo ppermutes
     # overlap interior compute (latency hiding for small tiles).
-    halo_overlap: bool = False
-    # Steps fused per kernel pass / halo exchange (0 = auto, currently 8).
-    # Larger k trades halo-redundant compute for fewer, larger exchanges:
-    # per-step exchange-latency cost scales as ~2L/k, so raising it to 16
-    # halves the latency term on DCN-crossing meshes (docs/performance.md
-    # "Weak scaling bounded by LATENCY"); measured slightly slower on a
-    # single chip (locality), which is why auto stays at 8.
+    # true/false force; "auto" (default) applies the measured policy:
+    # enable iff the mesh crosses DCN granules AND the per-shard tile is
+    # <= 1024² points.  Measured stitch premium on v5e by tile size
+    # (docs/performance.md "When does overlap pay?"): -15.5% / +6% / -1.3%
+    # at 256²/512²/1024², +46-63% at 2048²-4096² — so overlap only ever
+    # pays where exchange latency dominates (DCN) and the stitch passes
+    # are cheap (small tiles); on 4096² shards it HALVES throughput.
+    halo_overlap: object = "auto"  # True | False | "auto"
+    # Steps fused per kernel pass / halo exchange (0 = auto).  Larger k
+    # trades halo-redundant compute for fewer, larger exchanges: per-step
+    # exchange-latency cost scales as ~2L/k (docs/performance.md "Weak
+    # scaling bounded by LATENCY").  Auto resolves to 16 on meshes that
+    # cross DCN granules (halving the dominant latency term at ~zero
+    # single-chip cost) and 8 otherwise (deeper passes measured slightly
+    # slower on-chip — locality).
     steps_per_pass: int = 0
     # Multi-host: jax.distributed.initialize() before backend init.  "auto"
     # passes no arguments (TPU pods self-discover); otherwise
@@ -190,6 +198,10 @@ class SimConfig:
             raise ValueError(f"unknown kernel: {self.kernel}")
         if self.max_devices < 0:
             raise ValueError("max_devices must be >= 0 (0 = all devices)")
+        if self.halo_overlap not in (True, False, "auto"):
+            raise ValueError(
+                f"halo_overlap must be true|false|auto, got {self.halo_overlap!r}"
+            )
         if not (0 <= self.steps_per_pass <= 32):
             raise ValueError("steps_per_pass must be in [0, 32] (0 = auto)")
         if (self.mesh.x is not None and self.mesh.x < 1) or (
@@ -348,7 +360,7 @@ def load_yaml_dict(root: Dict[str, Any], validate: bool = True) -> SimConfig:
     if "max_devices" in root:
         cfg.max_devices = int(root["max_devices"])
     if "halo_overlap" in root:
-        cfg.halo_overlap = bool(root["halo_overlap"])
+        cfg.halo_overlap = _coerce_tristate(root["halo_overlap"])
     if "steps_per_pass" in root:
         cfg.steps_per_pass = int(root["steps_per_pass"])
     if "distributed" in root:
@@ -397,8 +409,19 @@ _STR_KEYS = (
 _BC_KEYS = ("bc.left", "bc.right", "bc.bottom", "bc.top", "bc")
 _BOOL_KEYS = (
     "strict_reference_compat", "write_final", "debug_nans", "mesh.enable",
-    "output.enable", "halo_overlap",
+    "output.enable",
 )
+_TRISTATE_KEYS = ("halo_overlap",)  # true | false | auto
+
+
+def _coerce_tristate(raw) -> object:
+    """true/false/auto (bools pass through; strings use the bool aliases)."""
+    if isinstance(raw, bool):
+        return raw
+    s = str(raw).strip().lower()
+    if s == "auto":
+        return "auto"
+    return s in ("1", "true", "yes", "on")
 
 
 def parse_cli_overrides(args: Sequence[str]) -> Dict[str, Any]:
@@ -423,9 +446,14 @@ def parse_cli_overrides(args: Sequence[str]) -> Dict[str, Any]:
             return bc_from_string(raw)
         if key in _BOOL_KEYS:
             return raw.strip().lower() in ("1", "true", "yes", "on")
+        if key in _TRISTATE_KEYS:
+            return _coerce_tristate(raw)
         return raw
 
-    known = set(_INT_KEYS) | set(_FLOAT_KEYS) | set(_STR_KEYS) | set(_BC_KEYS) | set(_BOOL_KEYS)
+    known = (
+        set(_INT_KEYS) | set(_FLOAT_KEYS) | set(_STR_KEYS) | set(_BC_KEYS)
+        | set(_BOOL_KEYS) | set(_TRISTATE_KEYS)
+    )
 
     # Flags handled elsewhere in the CLI stack: --config by
     # extract_config_path, help/version by runtime/cli.py.

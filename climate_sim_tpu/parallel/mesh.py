@@ -137,6 +137,26 @@ def _topology_aware_grid(devs, n_y: int, n_x: int):
         return None
 
 
+def dcn_granule_count(devices) -> int:
+    """Number of DCN granules the device set spans; 1 = all-ICI (or a
+    virtual/CPU mesh with no DCN at all).
+
+    The granule convention matches :func:`_topology_aware_grid` /
+    ``mesh_utils.create_hybrid_device_mesh``: a *slice* when the platform
+    exposes ``slice_index``, else a process.  Mesh edges between granules
+    ride DCN (~10-100x ICI latency), which is what the auto policies for
+    ``halo_overlap`` and ``steps_per_pass`` key on (docs/performance.md
+    "Weak scaling bounded by LATENCY")."""
+    devs = list(devices)
+    if not devs:
+        return 1
+    if hasattr(devs[0], "slice_index"):
+        return len({d.slice_index for d in devs})
+    if all(getattr(d, "platform", "") == "tpu" for d in devs):
+        return len({d.process_index for d in devs})
+    return 1  # CPU/virtual device sets have no DCN topology to honor
+
+
 def make_mesh(
     n_x: int, n_y: int, devices: Optional[Sequence[jax.Device]] = None
 ) -> Mesh:

@@ -169,6 +169,46 @@ def setup_precision(cfg: SimConfig) -> None:
         jax.config.update("jax_debug_nans", True)
 
 
+def resolve_auto_policies(cfg: SimConfig, mesh) -> SimConfig:
+    """Resolve ``halo_overlap="auto"`` and ``steps_per_pass=0`` against the
+    mesh topology (the measured policies quoted in config.py field docs).
+
+    * halo_overlap auto: enable iff the mesh crosses DCN granules AND the
+      per-shard tile is <= 1024² points (the stitch premium is negative or
+      ~zero there and +46-63% at 2048²+, docs/performance.md "When does
+      overlap pay?").  Forced true/false pass through.
+    * steps_per_pass auto (0): 16 on DCN-crossing meshes (per-step exchange
+      latency ~2L/k — doubling k halves the dominant DCN term at ~zero
+      single-chip cost), else the on-chip default 8 (left as 0 here;
+      pick_steps_per_pass applies it).
+    """
+    from ..parallel.mesh import dcn_granule_count
+
+    dcn = dcn_granule_count(mesh.devices.ravel()) if mesh is not None else 1
+    overlap = cfg.halo_overlap
+    if overlap == "auto":
+        overlap = False
+        if mesh is not None and dcn > 1:
+            px, py = mesh.shape["x"], mesh.shape["y"]
+            if cfg.nx % px == 0 and cfg.ny % py == 0:
+                overlap = (cfg.nx // px) * (cfg.ny // py) <= 1024 * 1024
+        if overlap:
+            _log(
+                "[info] halo_overlap=auto -> enabled (mesh crosses"
+                f" {dcn} DCN granules, shard tile <= 1024^2)"
+            )
+    spp = cfg.steps_per_pass
+    if spp == 0 and dcn > 1:
+        spp = 16
+        _log(
+            "[info] steps_per_pass=auto -> 16 (mesh crosses"
+            f" {dcn} DCN granules; halves the per-step exchange-latency term)"
+        )
+    if overlap != cfg.halo_overlap or spp != cfg.steps_per_pass:
+        cfg = dataclasses.replace(cfg, halo_overlap=overlap, steps_per_pass=spp)
+    return cfg
+
+
 def prepare(cfg: SimConfig, devices=None):
     """Resolve dtype, dt clamp, mesh, sharded/single advance, and the IC.
 
@@ -208,6 +248,7 @@ def prepare(cfg: SimConfig, devices=None):
     if cfg.mesh.enable and len(devs) > 1:
         px, py = choose_mesh_shape(len(devs), cfg.nx, cfg.ny, cfg.mesh.x, cfg.mesh.y)
         mesh = make_mesh(px, py, devs)
+    cfg = resolve_auto_policies(cfg, mesh)
 
     def place_ic(sharding):
         # Multi-process: materialize the IC sharded at birth (a host-array

@@ -14,11 +14,16 @@ needs and the virtual mesh can measure exactly (it is a property of the
 dataflow graph, not of link speed):
 
 * slab path: the kernel depends on the exchanged slabs, so the exchange
-  rounds serialize ahead of compute.  The dataflow graph has 2 rounds
-  (x faces, then y slabs built from the x-extended rows); the measured
-  slope lands near 4 because the host-callback runtime also serializes
-  the two *directions* within a round, which real links run concurrently
-  — read the measurement as the structural bound slope ∈ [2, 4].
+  rounds serialize ahead of compute.  The STRUCTURAL slope is computed
+  exactly from the chunk program's jaxpr critical path
+  (climate_sim_tpu.parallel.analysis.ppermute_critical_depth,
+  pinned by tests/test_parallel.py::test_structural_exchange_depth_per_pass
+  at 2 rounds/pass: x faces, then y slabs built from the x-extended
+  rows); the measured callback slope lands near 4 because the
+  host-callback runtime also serializes the two *directions* within a
+  round, which real links run concurrently — the measurement validates
+  the graph count as a (direction-doubled) upper bound, the jaxpr count
+  is the model input.
 * overlap path: the interior kernel has no halo dependency (PROVEN
   structurally — tests/test_parallel.py::
   test_overlap_interior_kernel_independent_of_ppermutes walks the jaxpr),
@@ -167,6 +172,15 @@ def main() -> int:
 
     print(f"mesh x={px} y={py}, grid {nx}x{ny} "
           f"({args.tile}² per shard), {steps} steps = {args.passes} passes")
+
+    # ---- structural slope: exact, from the jaxpr critical path ----
+    from climate_sim_tpu.parallel.analysis import ppermute_critical_depth
+
+    slab_adv = build_slab()
+    structural = ppermute_critical_depth(slab_adv(8), u0)  # one k=8 pass
+    print(f"structural slope (jaxpr ppermute critical depth, one pass):"
+          f" {structural}")
+
     slope_slab = measure(build_slab, "slab   ")
     measure(build_overlap, "overlap")  # dependency-count only; see docstring
 
@@ -174,21 +188,20 @@ def main() -> int:
         return 1
 
     # ---- model at hardware rates ----
-    # Structural slope (x round, then y round) = 2; the measured slope is
-    # the callback-serialized upper bound (~4: directions also serialize).
-    print(f"\nmeasured slope {slope_slab:.2f} brackets the structural"
-          " graph depth 2 (directions within a round fly concurrently on"
-          " real links) — model with both:")
+    print(f"\nmeasured callback slope {slope_slab:.2f} vs structural"
+          f" {structural}: the callback runtime serializes the two"
+          " directions of each round, which real links run concurrently —"
+          f" the model uses the structural {structural}, the measurement"
+          " is its direction-doubled upper bound:")
     for tile in (args.tile, 4096):
         t_slab = 8 * tile * tile / (args.hw_slab_gpts * 1e9)  # s per pass
         print(f"  per-shard {tile}² (hardware per-pass "
               f"{t_slab * 1e6:.1f} us at {args.hw_slab_gpts} Gpt/s),"
-              " eff(L) = T_pass / (T_pass + slope*L):")
+              f" eff(L) = T_pass / (T_pass + {structural}*L):")
         for name, lat in [("ICI ~1.5us", 1.5e-6), ("DCN 25us", 25e-6),
                           ("DCN 50us", 50e-6), ("DCN 100us", 100e-6)]:
-            lo = t_slab / (t_slab + 4.0 * lat)
-            hi = t_slab / (t_slab + 2.0 * lat)
-            print(f"    {name:10s}: eff = {lo:6.1%} .. {hi:6.1%}")
+            eff = t_slab / (t_slab + structural * lat)
+            print(f"    {name:10s}: eff = {eff:6.1%}")
     print("\noverlap: latency hiding is an XLA-scheduler property the"
           " host-serialized mesh cannot show (structural independence is"
           " the tested claim); the zero-latency stitch premium by tile"

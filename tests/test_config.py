@@ -228,3 +228,23 @@ def test_steps_per_pass_parse_and_validate(tmp_path):
         merged_config(None, ["--steps_per_pass=33"])
     with pytest.raises(ValueError, match="steps_per_pass"):
         merged_config(None, ["--steps_per_pass=-1"])
+
+
+def test_halo_overlap_tristate(tmp_path):
+    """halo_overlap accepts true|false|auto everywhere (field default,
+    YAML, CLI) and validate() rejects anything else."""
+    assert SimConfig().halo_overlap == "auto"
+    assert merged_config(None, ["--halo_overlap=true"]).halo_overlap is True
+    assert merged_config(None, ["--halo_overlap=false"]).halo_overlap is False
+    assert merged_config(None, ["--halo_overlap=auto"]).halo_overlap == "auto"
+    y = tmp_path / "c.yaml"
+    y.write_text("halo_overlap: auto\n")
+    assert merged_config(str(y), []).halo_overlap == "auto"
+    y.write_text("halo_overlap: true\n")
+    assert merged_config(str(y), []).halo_overlap is True
+    y.write_text("halo_overlap: false\n")
+    assert merged_config(str(y), ["--halo_overlap=auto"]).halo_overlap == "auto"
+    cfg = SimConfig()
+    cfg.halo_overlap = "bogus"
+    with pytest.raises(ValueError, match="halo_overlap"):
+        cfg.validate()

@@ -217,3 +217,41 @@ def test_overlap_with_one_sided_periodic_warns(capsys):
                       bottom=BCType.PERIODIC, top=BCType.PERIODIC)
     drv.prepare(cfg)
     assert "1 step/pass" not in capsys.readouterr().out
+
+
+def test_auto_policy_resolution(monkeypatch):
+    """halo_overlap=auto / steps_per_pass=0 resolve against the mesh's DCN
+    granule count (config.py field docs quote the measured policy): all-ICI
+    meshes keep overlap off and the on-chip pass depth; DCN-crossing meshes
+    enable overlap only for <=1024^2 shard tiles and deepen passes to 16.
+    Forced true/false pass through untouched."""
+    import dataclasses
+
+    import climate_sim_tpu.parallel.mesh as pmesh
+    from climate_sim_tpu.parallel.mesh import make_mesh
+
+    cfg = SimConfig(nx=128, ny=128, D=0.05, dt=0.1, steps=2, out_every=2)
+    mesh = make_mesh(4, 2)
+
+    # all-ICI (virtual CPU mesh): overlap off, pass depth left to default
+    r = drv.resolve_auto_policies(cfg, mesh)
+    assert r.halo_overlap is False and r.steps_per_pass == 0
+    # no mesh at all
+    r = drv.resolve_auto_policies(cfg, None)
+    assert r.halo_overlap is False and r.steps_per_pass == 0
+
+    # DCN-crossing mesh (synthetic granule count)
+    monkeypatch.setattr(pmesh, "dcn_granule_count", lambda devs: 2)
+    r = drv.resolve_auto_policies(cfg, mesh)  # 32x64 tiles: small
+    assert r.halo_overlap is True and r.steps_per_pass == 16
+
+    big = dataclasses.replace(cfg, nx=8192, ny=8192)  # 2048x4096 tiles
+    r = drv.resolve_auto_policies(big, mesh)
+    assert r.halo_overlap is False and r.steps_per_pass == 16
+
+    # forced values and explicit depth pass through
+    forced = dataclasses.replace(big, halo_overlap=True, steps_per_pass=8)
+    r = drv.resolve_auto_policies(forced, mesh)
+    assert r.halo_overlap is True and r.steps_per_pass == 8
+    off = dataclasses.replace(cfg, halo_overlap=False)
+    assert drv.resolve_auto_policies(off, mesh).halo_overlap is False

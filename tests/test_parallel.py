@@ -441,3 +441,85 @@ def test_wrap_traffic_kept_on_periodic_axes():
     assert all(_is_truncated(p, 2) for p in y_perms), (
         f"non-periodic y axis ships wrap traffic: {y_perms}"
     )
+
+
+def test_dcn_granule_count_synthetic():
+    """Granule convention over synthetic device sets: slices when the
+    platform exposes slice_index, else processes (TPU only); CPU/virtual
+    sets have no DCN topology."""
+    from climate_sim_tpu.parallel.mesh import dcn_granule_count
+
+    class Dev:
+        def __init__(self, platform="tpu", process_index=0, slice_index=None):
+            self.platform = platform
+            self.process_index = process_index
+            if slice_index is not None:
+                self.slice_index = slice_index
+
+    assert dcn_granule_count([Dev(slice_index=0), Dev(slice_index=0)]) == 1
+    assert dcn_granule_count(
+        [Dev(slice_index=0), Dev(slice_index=1), Dev(slice_index=1)]
+    ) == 2
+    assert dcn_granule_count([Dev(process_index=0), Dev(process_index=1)]) == 2
+    assert dcn_granule_count([Dev() for _ in range(4)]) == 1
+    assert dcn_granule_count([Dev(platform="cpu", process_index=i) for i in range(4)]) == 1
+    assert dcn_granule_count(jax.devices()) == 1
+    assert dcn_granule_count([]) == 1
+
+
+def test_structural_exchange_depth_per_pass():
+    """Pin the exchange-serialization slope STRUCTURALLY (the r03 latency
+    injection could only bracket it in [2, 4] — the host callback runtime
+    serializes the two directions of a round that real links run
+    concurrently).  The jaxpr critical-path count is exact: 2 rounds per
+    pass (x faces, then y slabs built from the x-extended rows — the same
+    chain as the reference's columns-then-full-rows exchange,
+    halo.cpp:28-46) on every production path; the staged carrier torus
+    adds 2 staging rounds."""
+    from climate_sim_tpu.ops.init import gaussian_hotspot
+    from climate_sim_tpu.ops.step import make_interior_step
+    from climate_sim_tpu.parallel import halo as H
+    from climate_sim_tpu.parallel.analysis import ppermute_critical_depth
+    from jax.sharding import NamedSharding
+
+    cfg = SimConfig(nx=1024, ny=512, D=0.05, vx=0.5, vy=-0.25, dt=0.1,
+                    steps=8, out_every=8)
+    cfg.bc = BCConfig(BCType.DIRICHLET, BCType.NEUMANN,
+                      BCType.DIRICHLET, BCType.NEUMANN)
+    mesh = make_mesh(4, 2)
+    u = jax.device_put(gaussian_hotspot(cfg, jnp.float32), field_sharding(mesh))
+
+    slab = H.build_sharded_multistep_advance(cfg, mesh, cfg.dt, interpret=True)
+    assert ppermute_critical_depth(slab(8), u) == 2
+    ovl = H.build_sharded_overlap_advance(cfg, mesh, cfg.dt, interpret=True)
+    assert ppermute_critical_depth(ovl(8), u) == 2
+    ps = H.build_sharded_advance(cfg, mesh, cfg.dt,
+                                 make_interior_step(cfg, cfg.dt))
+    assert ppermute_critical_depth(ps(1), u) == 2  # per step == per pass
+
+    torus = SimConfig(nx=1024, ny=512, D=0.05, vx=0.5, vy=-0.25, dt=0.1,
+                      steps=8, out_every=8)
+    torus.bc = BCConfig(*(BCType.PERIODIC,) * 4)
+    slab_t = H.build_sharded_multistep_advance(torus, mesh, torus.dt,
+                                               interpret=True)
+    assert ppermute_critical_depth(slab_t(8), u) == 2
+
+    # Carrier: 2 rounds plain; +2 when periodic pad staging is live (the
+    # wrap-head ppermutes feed the slab exchange).
+    icfg = SimConfig(nx=1000, ny=504, D=0.05, vx=0.5, vy=-0.25, dt=0.1,
+                     steps=8, out_every=8)
+    car = H.build_carrier_slab_advance(icfg, mesh, icfg.dt, interpret=True)
+    assert car is not None
+    rep = NamedSharding(mesh, PartitionSpec(None, None))
+    uc = car.embed(jax.device_put(gaussian_hotspot(icfg, jnp.float32), rep))
+    assert ppermute_critical_depth(car(8), uc) == 2
+    icfg_t = SimConfig(nx=1000, ny=504, D=0.05, vx=0.5, vy=-0.25, dt=0.1,
+                       steps=8, out_every=8)
+    icfg_t.bc = BCConfig(*(BCType.PERIODIC,) * 4)
+    car_t = H.build_carrier_slab_advance(icfg_t, mesh, icfg_t.dt,
+                                         interpret=True)
+    assert car_t is not None
+    uct = car_t.embed(
+        jax.device_put(gaussian_hotspot(icfg_t, jnp.float32), rep)
+    )
+    assert ppermute_critical_depth(car_t(8), uct) == 4
