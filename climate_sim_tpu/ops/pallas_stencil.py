@@ -84,17 +84,19 @@ _MXU_PRECISION = {
 _PREF_BX = 2048
 
 
-def _pick_block_rows(n_rows: int, row_bytes: int, halo: int) -> Optional[int]:
+def _pick_block_rows(
+    n_rows: int, row_bytes: int, halo: int, sub: int = 8
+) -> Optional[int]:
     """Largest divisor BY of ``n_rows`` with (BY + 2*halo) * row_bytes within
-    budget, preferring BY in [64, 512] and multiples of 8 (f32 sublane).
-    None if nothing fits."""
+    budget, preferring BY in [64, 512] and multiples of the sublane tile
+    ``sub`` (8 for f32, 16 for bf16).  None if nothing fits."""
     divisors = [d for d in range(1, n_rows + 1) if n_rows % d == 0]
     fits = [d for d in divisors if (d + 2 * halo) * row_bytes <= _VMEM_BUDGET_BYTES]
     if not fits:
         return None
     for pool in (
-        [d for d in fits if 64 <= d <= 512 and d % 8 == 0],
-        [d for d in fits if d % 8 == 0],
+        [d for d in fits if 64 <= d <= 512 and d % sub == 0],
+        [d for d in fits if d % sub == 0],
         fits,
     ):
         if pool:
@@ -186,6 +188,7 @@ def _build_kernel_body(
     chained: bool = False,
     carrier: bool = False,
     slab_padless: bool = False,
+    sub: int = 8,
 ):
     """The kernel function (closure over all static parameters).
 
@@ -249,8 +252,8 @@ def _build_kernel_body(
                 start = 0  # single block: keep the slice start static
             else:
                 start = jnp.asarray(block, jnp.int32) * jnp.int32(BY)
-                if BY % 8 == 0:
-                    start = pl.multiple_of(start, 8)
+                if BY % sub == 0:
+                    start = pl.multiple_of(start, sub)
             return [(
                 None,
                 pltpu.make_async_copy(
@@ -266,17 +269,17 @@ def _build_kernel_body(
         cmain = pl.multiple_of(bx * jnp.int32(BX), 128)
 
         if slab_padless:
-            # PADLESS sharded-tile fast path: full-width blocks with NO
-            # x-pad lanes — both x ghost sides ride the packed ghost-column
-            # schedule (see slab_x_sched_pair), so the buffer is exactly
-            # (Rbuf, mx) and only row segments are DMA'd: the tile plus,
-            # at the first/last row-block, the compact y-slab rows (the
-            # y slab's 128-wide x pads are schedule input only, sliced off
-            # here at its 128-aligned _XPAD offset).
-            tile_ref, yhalo_ref = refs
-            upt = pl.multiple_of(jnp.maximum(base - jnp.int32(khalo), 0), 8)
+            # PADLESS sharded-tile fast path: full-width blocks, buffer
+            # lanes [0, BX) from row segments of the tile (plus, at the
+            # first/last row-block, the compact y-slab rows, sliced at the
+            # slab's 128-aligned _XPAD offset) and lanes [BX, BX+128) from
+            # ONE unconditional copy of the packed x ghost strip (its rows
+            # line up with the buffer window: strip row p = tile row
+            # p - khalo, including the y extensions).
+            tile_ref, yhalo_ref, xs_ref = refs
+            upt = pl.multiple_of(jnp.maximum(base - jnp.int32(khalo), 0), sub)
             dnt = pl.multiple_of(
-                jnp.minimum(base + jnp.int32(BY), jnp.int32(ny - khalo)), 8
+                jnp.minimum(base + jnp.int32(BY), jnp.int32(ny - khalo)), sub
             )
             first_y, last_y = by == 0, by == nby - 1
             out = []
@@ -286,8 +289,8 @@ def _build_kernel_body(
                 nonlocal i
                 if ycond is not None:
                     out.append((ycond, pltpu.make_async_copy(
-                        yhalo_ref.at[pl.ds(yrow0, n), pl.ds(_XPAD, W)],
-                        dst.at[pl.ds(dst_r, n), :],
+                        yhalo_ref.at[pl.ds(yrow0, n), pl.ds(_XPAD, BX)],
+                        dst.at[pl.ds(dst_r, n), pl.ds(0, BX)],
                         sems.at[slot, i],
                     )))
                     i += 1
@@ -296,14 +299,19 @@ def _build_kernel_body(
                     tcond = None
                 out.append((tcond, pltpu.make_async_copy(
                     tile_ref.at[pl.ds(trow0, n), :],
-                    dst.at[pl.ds(dst_r, n), :],
+                    dst.at[pl.ds(dst_r, n), pl.ds(0, BX)],
                     sems.at[slot, i],
                 )))
                 i += 1
 
             rowseg(0, khalo, first_y, 0, upt)
-            rowseg(khalo, BY, None, None, pl.multiple_of(base, 8))
+            rowseg(khalo, BY, None, None, pl.multiple_of(base, sub))
             rowseg(khalo + BY, khalo, last_y, khalo, dnt)
+            out.append((None, pltpu.make_async_copy(
+                xs_ref.at[pl.ds(pl.multiple_of(base, sub), Rbuf), :],
+                dst.at[:, pl.ds(BX, 128)],
+                sems.at[slot, i],
+            )))
             return out
 
         if slab_mode:
@@ -314,9 +322,9 @@ def _build_kernel_body(
             # position; every size is static, clamped starts keep even the
             # not-taken descriptors in bounds.
             tile_ref, xhalo_ref, yhalo_ref = refs
-            upt = pl.multiple_of(jnp.maximum(base - jnp.int32(khalo), 0), 8)
+            upt = pl.multiple_of(jnp.maximum(base - jnp.int32(khalo), 0), sub)
             dnt = pl.multiple_of(
-                jnp.minimum(base + jnp.int32(BY), jnp.int32(ny - khalo)), 8
+                jnp.minimum(base + jnp.int32(BY), jnp.int32(ny - khalo)), sub
             )
             clt = pl.multiple_of(jnp.maximum(cmain - jnp.int32(_XPAD), 0), 128)
             crt = pl.multiple_of(
@@ -370,7 +378,7 @@ def _build_kernel_body(
                     i += 2
 
             seg(0, khalo, first_y, 0, upt)
-            seg(khalo, BY, None, None, pl.multiple_of(base, 8))
+            seg(khalo, BY, None, None, pl.multiple_of(base, sub))
             seg(khalo + BY, khalo, last_y, khalo, dnt)
             return out
 
@@ -385,9 +393,9 @@ def _build_kernel_body(
         (hbm_ref,) = refs
         ny32 = jnp.int32(ny)
         nxg32 = jnp.int32(nxg)
-        up0 = pl.multiple_of(jax.lax.rem(base - jnp.int32(khalo) + ny32, ny32), 8)
-        dn0 = pl.multiple_of(jax.lax.rem(base + jnp.int32(BY), ny32), 8)
-        main0 = pl.multiple_of(base, 8)
+        up0 = pl.multiple_of(jax.lax.rem(base - jnp.int32(khalo) + ny32, ny32), sub)
+        dn0 = pl.multiple_of(jax.lax.rem(base + jnp.int32(BY), ny32), sub)
+        main0 = pl.multiple_of(base, sub)
         cleft = pl.multiple_of(
             jax.lax.rem(cmain - jnp.int32(_XPAD) + nxg32, nxg32), 128
         )
@@ -420,9 +428,9 @@ def _build_kernel_body(
         return copies
 
     if slab_padless:
-        # Three row segments, edge segments conditionally sourced from the
-        # compact y slab (first/last row-block) or the tile: <= 5 copies.
-        n_dma = 5
+        # Three row segments (edge segments conditionally sourced from the
+        # compact y slab or the tile) + one unconditional strip copy.
+        n_dma = 6
     elif slab_mode:
         n_dma = 17
     elif fused_dma:
@@ -443,7 +451,7 @@ def _build_kernel_body(
         if nby == 1:
             r0 = 0  # single row-block: static window
         else:
-            r0 = pl.multiple_of(by * jnp.int32(BY), 8)
+            r0 = pl.multiple_of(by * jnp.int32(BY), sub)
         return ref[pl.ds(r0, Rbuf), t]
 
     def apply_fixups(src, bx, by, flags, t=0, sched_y_ref=None, sched_x_ref=None):
@@ -540,8 +548,8 @@ def _build_kernel_body(
         if sched_x_on:
             sched_x_ref, refs = refs[0], refs[1:]
         if slab_padless:
-            flags_ref, tile_ref, yh_ref, out_ref, a_scratch, b_scratch, sems = refs
-            in_refs = (tile_ref, yh_ref)
+            flags_ref, tile_ref, yh_ref, xs_ref, out_ref, a_scratch, b_scratch, sems = refs
+            in_refs = (tile_ref, yh_ref, xs_ref)
         elif slab_mode:
             flags_ref, tile_ref, xh_ref, yh_ref, out_ref, a_scratch, b_scratch, sems = refs
             in_refs = (tile_ref, xh_ref, yh_ref)
@@ -604,18 +612,18 @@ def _build_kernel_body(
 
             if sel_left:
                 if slab_padless:
-                    # Every shard patches lane 0 from the packed schedule
-                    # (interior shards' ghosts are neighbor data, edge
-                    # shards' are BCs — both folded into the schedule
-                    # outside the kernel), so the mask is NOT flag-gated.
-                    sel_mask_l = lane == jnp.int32(0)
+                    # Physical-edge shards patch their border consumer
+                    # with the BC (flag-gated); interior/torus shards take
+                    # the strip ghost edge straight through the roll wrap
+                    # — no select fires for them at all.
+                    sel_mask_l = _sel_mask(0, None, 0)
                 else:
                     sel_mask_l = _sel_mask(
                         xoff, (bx == 0) if nbx > 1 else None, 0
                     )
             if sel_right:
-                if slab_padless:
-                    sel_mask_r = lane == jnp.int32(W - 1)
+                if slab_padless and not carrier:
+                    sel_mask_r = _sel_mask(BX - 1, None, 1)
                 elif carrier:
                     # Carrier mode (padded indivisible grid): the true
                     # right edge sits at a runtime TILE column, flags[5]
@@ -686,13 +694,65 @@ def _build_kernel_body(
                 return a
             return compute_dtype.type(bc_value if kind == "dirichlet" else 0.0)
 
+        # Carrier ONE-SIDED-periodic wrap-block consumer patches: a
+        # one-sided axis's wrap ghost block (staged/delivered true data
+        # from the opposite edge) evolves in-buffer as if the axis were a
+        # torus — but the opposite edge is a physical BC side, so the wrap
+        # block's OUTERMOST line must see that BC, not the wrapped
+        # neighbor.  Exactly one roll operand is affected per axis: e.g.
+        # bottom=periodic ⇒ the block holds global rows [ny-kh, ny) at the
+        # first row-block's bottom slab rows, and row ny-1's yp consumer
+        # (sublane khalo-1) must read bc(top) instead of global row 0.
+        # The select-value trick makes every BC kind free (Neumann mirror
+        # = the lane's own value).  This is what lets the carrier fuse the
+        # reference's dev.yaml-style one-sided mixes at full k — the
+        # strip-mode paths need precomputed ghost schedules for the same
+        # semantics (reference: boundary.cpp:12-54 applies BCs orthogonal
+        # to decomposition, decomp.cpp:29-30).
+        wrap_yp_mask = wrap_ym_mask = wrap_xp_mask = wrap_xm_mask = None
+        if carrier and chained:
+            ii = jax.lax.broadcasted_iota
+            if fix_bottom is None and fix_top is not None and wyp != 0.0:
+                s = ii(jnp.int32, (Rbuf, W), 0)
+                wrap_yp_mask = _gate(
+                    s == jnp.int32(khalo - 1),
+                    (by == 0) if nby > 1 else None, 2,
+                )
+            if fix_top is None and fix_bottom is not None and wym != 0.0:
+                s = ii(jnp.int32, (Rbuf, W), 0)
+                trow2 = s - jnp.int32(khalo) + by * jnp.int32(BY)
+                wrap_ym_mask = _gate(trow2 == flags_ref[4], None, 3)
+            if fix_left is None and fix_right is not None and wxp != 0.0:
+                ll = ii(jnp.int32, (Rbuf, W), 1)
+                # The staged left wrap block's outer line: last lane of the
+                # left ghost strip (padless: the roll-wrap strip's tail
+                # lane; strip-pad: the pad column left of the tile).
+                wrap_lane = W - 1 if slab_padless else xoff - 1
+                wrap_xp_mask = _gate(
+                    ll == jnp.int32(wrap_lane),
+                    (bx == 0) if nbx > 1 else None, 0,
+                )
+            if fix_right is None and fix_left is not None and wxm != 0.0:
+                ll = ii(jnp.int32, (Rbuf, W), 1)
+                lcol2 = ll - jnp.int32(xoff) + bx * jnp.int32(BX)
+                wrap_xm_mask = _gate(lcol2 == flags_ref[5], None, 1)
+
         if chained:
             # Value-chained sub-steps: identical math to the full-slab
             # store form (same rolls, same staleness-creep invariant), but
             # each sub-step's result feeds the next as a value — no
             # ping-pong ref store — and ALL four sides' fixups ride
-            # masked selects on the rolled operands.
+            # masked selects on the rolled operands.  In padless slab mode
+            # the strip lanes [BX, BX+128) evolve with the SAME rolls (the
+            # zero gaps absorb cross-boundary creep within budget), so the
+            # ghost edge lanes hold the neighbor's edge evolved t steps.
+            # bf16 builds compute the chain in f32 (bf16-STORAGE mode):
+            # HBM/VMEM traffic at 2 bytes/point, ONE bf16 rounding per
+            # k-step pass instead of ~10 per sub-step — the VPU runs f32
+            # either way, so this costs only the two casts.
             a = view[:, :]
+            if compute_dtype == jnp.dtype(jnp.bfloat16):
+                a = a.astype(jnp.float32)
             for t in range(k):
                 new = wc * a
                 if wym != 0.0:
@@ -701,6 +761,10 @@ def _build_kernel_body(
                         ym_v = jnp.where(
                             row_mask_b, sel_val_y(fix_bottom, a, t), ym_v
                         )
+                    if wrap_ym_mask is not None:
+                        ym_v = jnp.where(
+                            wrap_ym_mask, sel_val_y(fix_bottom, a, t), ym_v
+                        )
                     new += wym * ym_v
                 if wyp != 0.0:
                     yp_v = pltpu.roll(a, R - 1, 0)
@@ -708,19 +772,33 @@ def _build_kernel_body(
                         yp_v = jnp.where(
                             row_mask_t, sel_val_y(fix_top, a, t), yp_v
                         )
+                    if wrap_yp_mask is not None:
+                        yp_v = jnp.where(
+                            wrap_yp_mask, sel_val_y(fix_top, a, t), yp_v
+                        )
                     new += wyp * yp_v
                 if wxm != 0.0:
                     xm_v = pltpu.roll(a, 1, 1)
                     if sel_mask_l is not None:
                         xm_v = jnp.where(sel_mask_l, sel_val(fix_left, a, t), xm_v)
+                    if wrap_xm_mask is not None:
+                        xm_v = jnp.where(
+                            wrap_xm_mask, sel_val(fix_left, a, t), xm_v
+                        )
                     new += wxm * xm_v
                 if wxp != 0.0:
                     xp_v = pltpu.roll(a, W - 1, 1)
                     if sel_mask_r is not None:
-                        xp_v = jnp.where(sel_mask_r, sel_val(fix_right, a, t, khalo if slab_padless else 0), xp_v)
+                        xp_v = jnp.where(sel_mask_r, sel_val(fix_right, a, t), xp_v)
+                    if wrap_xp_mask is not None:
+                        xp_v = jnp.where(
+                            wrap_xp_mask, sel_val(fix_right, a, t), xp_v
+                        )
                     new += wxp * xp_v
                 a = new
-            out_ref[:, :] = a[khalo : khalo + BY, xoff : xoff + BX]
+            out_ref[:, :] = a[khalo : khalo + BY, xoff : xoff + BX].astype(
+                compute_dtype
+            )
             return
 
         if mxu:
@@ -774,7 +852,7 @@ def _build_kernel_body(
                 if wxp != 0.0:
                     xp_v = pltpu.roll(a, W - 1, 1)
                     if sel_mask_r is not None:
-                        xp_v = jnp.where(sel_mask_r, sel_val(fix_right, a, t, khalo if slab_padless else 0), xp_v)
+                        xp_v = jnp.where(sel_mask_r, sel_val(fix_right, a, t), xp_v)
                     new += wxp * xp_v
                 dst[:, :] = new
             else:
@@ -833,6 +911,7 @@ def _chain_geometry(
     itemsize: int,
     padless_ok: bool,
     bx_default: int,
+    sub: int = 8,
 ) -> Optional[tuple]:
     """Pick (BX, BY) for a value-chained build.
 
@@ -867,7 +946,7 @@ def _chain_geometry(
             continue
         wc = bxc if (padless_ok and bxc == nx) else bxc + 2 * _XPAD
         byc = max(
-            (d for d in range(8, min(ny, 256) + 1, 8)
+            (d for d in range(sub, min(ny, 256) + 1, sub)
              if ny % d == 0
              and (d + 2 * khalo) * wc * itemsize <= 10 * 1024 * 1024),
             default=None,
@@ -921,20 +1000,26 @@ def _build_multistep_call_cached(
     columns are garbage that sits exactly outside the validity trapezoid).
     """
     compute_dtype = jnp.dtype(dtype_name)
+    # Sublane tile height: 8 rows for 4-byte dtypes, 16 for bf16 — every
+    # hardware DMA row start/size and block height must respect it.
+    sub = 16 if compute_dtype == jnp.dtype(jnp.bfloat16) else 8
     if khalo < k:
         return None
-    # Mosaic supports f32 vector arithmetic; f64 is unlowerable on TPU and
-    # bf16 would need 16-sublane tiles.  Non-f32 dtypes take the jnp/XLA
-    # fallback when compiling for hardware (interpret mode keeps them for
+    # Mosaic supports f32 and (with 16-sublane tiles) bf16 vector
+    # arithmetic; f64 is unlowerable on TPU — it takes the jnp/XLA
+    # fallback when compiling for hardware (interpret mode keeps it for
     # CPU parity tests).  jax_enable_x64 also disqualifies hardware
     # lowering: index normalization then emits i64 ref indices, which
     # Mosaic rejects.  The flag is part of the lru_cache key (shim above),
     # so toggling x64 between builds re-probes instead of serving stale
     # results.  This guard checks the CALLER's requested mode, before any
     # backend-driven interpret upgrade below: interpret=False means
-    # "hardware semantics" on every backend, so a bf16/x64 run falls back
+    # "hardware semantics" on every backend, so an f64/x64 run falls back
     # to XLA identically on CPU tests and real TPUs.
-    if not interpret and (compute_dtype != jnp.float32 or x64):
+    if not interpret and (
+        compute_dtype not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16))
+        or x64
+    ):
         return None
     # Scheduled ghost rows/columns (one-sided periodic; see
     # _ghost_schedule / _ghost_schedule_x / slab_ghost_schedule /
@@ -986,22 +1071,34 @@ def _build_multistep_call_cached(
     )
     by_forced = None
     if slab_padless:
-        # PADLESS slab mode: full-width blocks, no x-pad lanes — both x
-        # ghost sides ride the packed column schedule (slab_x_sched_pair),
-        # exactly like padless-x dropped the dead strip lanes on the
-        # single-device path.  Requires the chained select form; the
-        # width-knee cap (_MAX_CHAIN_W) gates eligibility — past it the
-        # strip layout with narrower blocks wins, caller falls back.
+        # PADLESS slab mode: full-width blocks whose buffer is exactly
+        # (Rbuf, mx + 128) — the last lane tile holds the packed x ghost
+        # strips (slab_x_strip_pair), which EVOLVE WITH the main array
+        # (the rolls give ghost columns their true inner neighbors; zero
+        # gaps absorb cut creep), and the main border lanes are patched by
+        # masked selects from the strip's evolved ghost edge lanes — the
+        # padless-x trick applied to neighbor data.  Requires the chained
+        # select form; the width-knee cap (_MAX_CHAIN_W) gates
+        # eligibility — past it the strip-pad layout with narrower blocks
+        # wins, caller falls back.
         if not slab_mode or substep_override not in (None, "chain"):
             return None
-        if nx % 128 or ny % 8 or khalo % 8:
+        if nx % 128 or ny % sub or khalo % sub:
             return None
-        if fix_left != "sched" or fix_right != "sched":
+        # One-sided-periodic schedules are strip-pad-layout machinery.
+        if "sched" in (fix_left, fix_right, fix_bottom, fix_top):
             return None
-        best = _chain_geometry(nx, ny, khalo, compute_dtype.itemsize, True, nx)
+        # Both ghost blocks must fit one lane tile; the cut-to-edge creep
+        # budget (khalo >= k) is guaranteed by the khalo < k guard above.
+        if 2 * khalo > 128:
+            return None
+        best = _chain_geometry(
+            nx, ny, khalo, compute_dtype.itemsize, True, nx, sub
+        )
         if best is None or best[0] != nx:
             return None
-        BX = W = nx
+        BX = nx
+        W = nx + 128  # main lanes + the packed ghost-strip lane tile
         xoff = 0
         BY = best[1]
         if by_override and ny % by_override == 0 and by_override % 8 == 0:
@@ -1031,7 +1128,7 @@ def _build_multistep_call_cached(
             and not bx_override and not by_override
         ):
             best = _chain_geometry(
-                nx, ny, khalo, compute_dtype.itemsize, padless_ok, BX
+                nx, ny, khalo, compute_dtype.itemsize, padless_ok, BX, sub
             )
             if best is not None:
                 BX, by_forced = best
@@ -1048,21 +1145,25 @@ def _build_multistep_call_cached(
         xoff = khalo
     if not slab_padless:
         row_bytes = W * compute_dtype.itemsize
-        BY = by_forced if by_forced is not None else _pick_block_rows(ny, row_bytes, khalo)
+        BY = by_forced if by_forced is not None else _pick_block_rows(
+            ny, row_bytes, khalo, sub
+        )
         if by_override and ny % by_override == 0 and by_override % 8 == 0:
             BY = by_override
         if BY is None:
             return None
-        if (fused_dma or slab_mode) and (BY % 8 or khalo % 8 or nx % 128 or ny % 8):
+        if (fused_dma or slab_mode) and (
+            BY % sub or khalo % sub or nx % 128 or ny % sub
+        ):
             return None
-        if not interpret and not (fused_dma or slab_mode) and BY % 8 and ny // BY > 1:
+        if not interpret and not (fused_dma or slab_mode) and BY % sub and ny // BY > 1:
             # Assembled-mode hardware DMA slices rows at block*BY, which
             # must sit on the 8-row sublane tile; a misaligned BY only
             # lowers in interpret mode.  (nby == 1 starts at 0 and is
             # always aligned.)
             return None
         R = BY + 2 * khalo
-        Rbuf = R if (fused_dma or slab_mode) else -(-R // 8) * 8
+        Rbuf = R if (fused_dma or slab_mode) else -(-R // sub) * sub
         nbx = nx // BX
         nby = ny // BY
         n_blocks = nbx * nby
@@ -1101,6 +1202,12 @@ def _build_multistep_call_cached(
     else:  # None or "chain" (mxu is impossible here: its override is
         # consumed by the elif above)
         chained = fullslab
+    if compute_dtype == jnp.dtype(jnp.bfloat16) and not chained and not interpret:
+        # bf16-STORAGE numerics (f32 arithmetic, one rounding per pass)
+        # exist only in the chained form; the store/trapezoid forms would
+        # silently compute bf16 arithmetic — decline, callers fall back
+        # to the (also storage-semantics) jnp step.
+        return None
 
     kernel, n_dma = _build_kernel_body(
         k=k, khalo=khalo, R=R, Rbuf=Rbuf, W=W, BY=BY, BX=BX, nx=BX, nxg=nx,
@@ -1112,6 +1219,7 @@ def _build_multistep_call_cached(
         prepadded=prepadded, sharded=sharded, slab_mode=slab_mode,
         compute_dtype=compute_dtype, fullslab=fullslab, mxu=mxu,
         chained=chained, carrier=carrier, slab_padless=slab_padless,
+        sub=sub,
     )
 
     in_rows = ny if (fused_dma or slab_mode) else ny + 2 * khalo + (Rbuf - R)
@@ -1119,7 +1227,7 @@ def _build_multistep_call_cached(
     bytes_accessed += ny * nx * compute_dtype.itemsize
     flops = 9 * ny * nx * k  # 5-pt weighted stencil per sub-step
 
-    n_any = 3 if slab_mode else 1
+    n_any = 3 if slab_mode else 1  # slab: tile+xhalo+yhalo / tile+yhalo+xstrip
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * n_any
     if sharded:
         in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
@@ -1382,7 +1490,10 @@ def multistep_kernel_step(
         float(dt), float(cfg.D), float(cfg.vx), float(cfg.vy),
         float(cfg.dx), float(cfg.dy), 0.0, *fixes, wrap_x,
     )
-    khalo8 = -(-k // 8) * 8  # fused-DMA halo: k rounded up to a sublane tile
+    # fused-DMA halo: k rounded up to the dtype's sublane tile (8 f32 /
+    # 16 bf16 — row-segment DMA starts must sit on it).
+    sub = 16 if jnp.dtype(u.dtype) == jnp.dtype(jnp.bfloat16) else 8
+    khalo8 = -(-k // sub) * sub
     call = _build_multistep_call(
         ny, nx, k, khalo8, *rest, True, False, False, False,
         jnp.dtype(u.dtype).name, interpret,
@@ -1789,6 +1900,61 @@ def slab_ghost_schedule_x(
     return jnp.concatenate([sched, jnp.zeros((H, 128 - k), dtype)], axis=1)
 
 
+def slab_x_strip_pair(
+    tile: jnp.ndarray,
+    xhalo: jnp.ndarray,
+    yhalo: jnp.ndarray,
+    khalo: int,
+) -> jnp.ndarray:
+    """The (my + 2*khalo, 128) x-GHOST-STRIP input of the PADLESS slab
+    kernel layout (``slab_padless``): both sides' exchanged ghost blocks,
+    y-extended by the y slabs (whose x pads carry diagonal-neighbor
+    data), packed into one lane tile POSITIONED SO THE CIRCULAR LANE
+    ROLLS DELIVER THEM — appended as buffer lanes [BX, BX+128):
+
+    * lanes [0, khalo) (buffer [BX, BX+khalo)): RIGHT ghost block in
+      increasing-x order — its edge column sits at buffer lane BX, which
+      the xp roll wraps to the main right border lane BX-1;
+    * lanes [128-khalo, 128) (buffer [W-khalo, W)): LEFT ghost block,
+      edge column at buffer lane W-1, which the xm roll wraps to main
+      lane 0;
+    * zeros between.
+
+    The wrap adjacency is exact in BOTH directions: the main border lanes
+    read the ghost edges through the rolls, and the ghost edges read the
+    main borders as their own inner neighbors — so the strips evolve WITH
+    the main array under the ordinary rolls, no selects and no cross-lane
+    splats at all on interior/torus shards (physical-edge shards patch
+    their border consumer with the BC by flag-gated select, the free
+    kinds).  Cut-side creep (1 lane/sub-step from each block's outer cut)
+    reaches the consumed edge columns only after khalo >= k sub-steps.
+
+    Two earlier designs measured slower: evolving the strips OUTSIDE the
+    kernel into per-sub-step ghost-column schedules (~300 tiny sequential
+    XLA ops per pass — halved the slab rate), and in-kernel strips read
+    via per-sub-step column-splat selects (the sublane->lane broadcast
+    cost ~10%).  Row p corresponds to tile row p - khalo (the kernel's
+    per-block window convention).
+    """
+    my, mx = tile.shape
+
+    def yext(cols: slice):
+        return yhalo[:khalo, cols], yhalo[khalo:, cols]
+
+    def block(from_xhalo: slice, y_cols: slice):
+        gb, gt = yext(y_cols)
+        return jnp.concatenate([gb, xhalo[:, from_xhalo], gt], axis=0)
+
+    # NB: xhalo is [pad | gl | gr | pad] (gr at _XPAD); yhalo is
+    # [pad | gl | tile | gr | pad] (gr at _XPAD + mx).
+    rg = block(slice(_XPAD, _XPAD + khalo),
+               slice(_XPAD + mx, _XPAD + mx + khalo))
+    lg = block(slice(_XPAD - khalo, _XPAD),
+               slice(_XPAD - khalo, _XPAD))
+    gap = jnp.zeros((my + 2 * khalo, 128 - 2 * khalo), tile.dtype)
+    return jnp.concatenate([rg, gap, lg], axis=1)
+
+
 def sharded_tile_slab_multistep(
     tile,
     xhalo,
@@ -1801,6 +1967,7 @@ def sharded_tile_slab_multistep(
     probe: bool = False,
     probe_shape=None,
     probe_dtype: str = "float32",
+    khalo: int = 0,
 ):
     """Sharded-tile FAST path: advance one shard's (my, mx) tile k steps
     straight from the tile + compact halo slabs (no padded-tile
@@ -1817,14 +1984,36 @@ def sharded_tile_slab_multistep(
     """
     my, mx = probe_shape if probe else tile.shape
     fixes, side_y, side_x, _ = _fixes_and_sides(cfg, k, x_sched=True)
-    # khalo is k rounded up to a sublane tile: remainder passes (k < 8)
-    # exchange 8-wide slabs and simply use fewer sub-steps.
-    khalo8 = -(-k // 8) * 8
+    # khalo is k rounded up to the dtype's sublane tile (the caller's
+    # exchange depth when given): remainder passes exchange same-width
+    # slabs and simply run fewer sub-steps.
+    dtype_name = probe_dtype if probe else jnp.dtype(tile.dtype).name
+    sub = 16 if dtype_name == "bfloat16" else 8
+    khalo8 = khalo or -(-k // sub) * sub
+    rest = (
+        float(dt), float(cfg.D), float(cfg.vx), float(cfg.vy),
+        float(cfg.dx), float(cfg.dy), 0.0,
+    )
+    # PADLESS fast path (no one-sided periodicity): the buffer is
+    # (Rbuf, mx + 128) — main lanes plus ONE packed ghost-strip lane tile
+    # that evolves with the main array (slab_x_strip_pair) — instead of
+    # the 2x128 strip-pad lanes, and 6 DMAs instead of 17.  The kernel
+    # declines (None) past the chain width knee or for non-chain substep
+    # overrides; the strip-pad layout below then serves.
+    if side_y is None and side_x is None:
+        pcall = _build_multistep_call(
+            my, mx, k, khalo8, *rest, *fixes,
+            False, False, False, True, True, dtype_name, interpret,
+            slab_padless=True,
+        )
+        if pcall is not None:
+            if probe:
+                return pcall
+            strip = slab_x_strip_pair(tile, xhalo, yhalo, khalo8)
+            return pcall(edge_flags.astype(jnp.int32), tile, yhalo, strip)
     call = _build_multistep_call(
-        my, mx, k, khalo8, float(dt), float(cfg.D), float(cfg.vx), float(cfg.vy),
-        float(cfg.dx), float(cfg.dy), 0.0, *fixes,
-        False, False, False, True, True,
-        probe_dtype if probe else jnp.dtype(tile.dtype).name, interpret,
+        my, mx, k, khalo8, *rest, *fixes,
+        False, False, False, True, True, dtype_name, interpret,
     )
     if probe or call is None:
         return call
@@ -1877,6 +2066,7 @@ def carrier_tile_slab_multistep(
     probe: bool = False,
     probe_shape=None,
     probe_dtype: str = "float32",
+    khalo: int = 0,
 ):
     """Slab-path pass for one shard of a PADDED CARRIER (grids indivisible
     along both mesh axes — the Pallas upgrade of
@@ -1889,25 +2079,45 @@ def carrier_tile_slab_multistep(
     ``right``/``top`` mark the shard holding the true edge and
     ``ghost_row``/``ghost_col`` are the tile-local positions of its ghost
     line — consumed by traced-position masked selects in the chained
-    kernel form (see _build_kernel_body carrier=True).  Two-sided-periodic
-    sides carry no fixup at all: the caller stages true wrap blocks into
-    the pad region before each pass.  One-sided-periodic configs are not
-    supported here (returns None; the jnp carrier path takes over).
+    kernel form (see _build_kernel_body carrier=True).  Periodic sides
+    carry no fixup: the caller stages true wrap blocks into the pad
+    region before each pass (both blocks for a torus axis, one for a
+    one-sided axis), and a ONE-sided axis's wrap block additionally gets
+    the in-kernel consumer patch that pins the opposite side's BC at its
+    outer line (wrap_*_mask in _build_kernel_body) — so the reference's
+    dev.yaml-style mixes fuse at full k on any carrier grid.
     """
-    if one_sided_periodic(cfg):
-        return None
     my, mx = probe_shape if probe else tile.shape
     compat = cfg.strict_reference_compat
     fixes = (
         _fixup_side(cfg.bc.left, compat), _fixup_side(cfg.bc.right, compat),
         _fixup_side(cfg.bc.bottom, compat), _fixup_side(cfg.bc.top, compat),
     )
-    khalo8 = -(-k // 8) * 8
+    # The caller's staging/exchange depth (KH) fixes the slab layout; a
+    # remainder pass (k < KH) runs fewer sub-steps on the same shapes.
+    khalo8 = khalo or -(-k // 8) * 8
+    rest = (
+        float(dt), float(cfg.D), float(cfg.vx), float(cfg.vy),
+        float(cfg.dx), float(cfg.dy), 0.0,
+    )
+    dtype_name = probe_dtype if probe else jnp.dtype(tile.dtype).name
+    # PADLESS roll-wrap layout first (same win as the aligned slab path:
+    # no strip-pad lanes, 6 DMAs); the runtime true-edge selects compose
+    # with it — only the strip-pad layout below serves tiles past the
+    # chain width knee.
+    pcall = _build_multistep_call(
+        my, mx, k, khalo8, *rest, *fixes,
+        False, False, False, True, True, dtype_name, interpret,
+        carrier=True, slab_padless=True,
+    )
+    if pcall is not None:
+        if probe:
+            return pcall
+        strip = slab_x_strip_pair(tile, xhalo, yhalo, khalo8)
+        return pcall(flags6.astype(jnp.int32), tile, yhalo, strip)
     call = _build_multistep_call(
-        my, mx, k, khalo8, float(dt), float(cfg.D), float(cfg.vx),
-        float(cfg.vy), float(cfg.dx), float(cfg.dy), 0.0, *fixes,
-        False, False, False, True, True,
-        probe_dtype if probe else jnp.dtype(tile.dtype).name, interpret,
+        my, mx, k, khalo8, *rest, *fixes,
+        False, False, False, True, True, dtype_name, interpret,
         carrier=True,
     )
     if probe or call is None:
@@ -1942,6 +2152,13 @@ def make_pallas_interior_step(
     def step(up: jnp.ndarray) -> jnp.ndarray:
         out = prepadded_kernel_step(up, cfg, dt, interpret)
         if out is None:
+            if up.dtype == jnp.bfloat16:
+                # bf16 storage semantics (one rounding/step, f32 math) —
+                # matches the multi-step kernel's chained-form cast.
+                return fused_step(
+                    up.astype(jnp.float32), cfg.D, cfg.vx, cfg.vy, dt,
+                    cfg.dx, cfg.dy,
+                ).astype(jnp.bfloat16)
             return fused_step(up, cfg.D, cfg.vx, cfg.vy, dt, cfg.dx, cfg.dy)
         return out
 

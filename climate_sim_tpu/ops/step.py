@@ -47,6 +47,15 @@ def make_interior_step(cfg: SimConfig, dt: float) -> Callable[[jnp.ndarray], jnp
             kernel = "jnp"
 
     def step(up: jnp.ndarray) -> jnp.ndarray:
+        if up.dtype == jnp.bfloat16:
+            # bf16 is a STORAGE format here like in the multi-step kernel
+            # (one rounding per step, f32 arithmetic) — raw bf16 stencil
+            # arithmetic measured ~4x the storage-rounding error.
+            out = fused_step(
+                up.astype(jnp.float32), cfg.D, cfg.vx, cfg.vy, dt,
+                cfg.dx, cfg.dy,
+            )
+            return out.astype(jnp.bfloat16)
         return fused_step(up, cfg.D, cfg.vx, cfg.vy, dt, cfg.dx, cfg.dy)
 
     return step

@@ -310,17 +310,18 @@ def build_sharded_multistep_advance(
         ).astype(jnp.int32)
 
     wrap_x, wrap_y = axis_wrap_flags(cfg)
+    sub = 16 if dtype_name == "bfloat16" else 8
     if use_slabs:
         def tile_pass(u_local: jnp.ndarray, kk: int) -> jnp.ndarray:
-            # Slabs are always 8 wide (sublane-aligned khalo); a remainder
-            # pass just runs fewer sub-steps on the same slab shape.
-            khalo8 = -(-kk // 8) * 8
+            # Slabs are one sublane tile wide (8 f32 / 16 bf16); a
+            # remainder pass just runs fewer sub-steps on the same shape.
+            khalo8 = -(-kk // sub) * sub
             xhalo, yhalo = exchange_halos_slabs(
                 u_local, px, py, khalo8, wrap_x, wrap_y
             )
             return sharded_tile_slab_multistep(
                 u_local, xhalo, yhalo, edge_flags(), cfg, dt, kk,
-                interpret=interpret,
+                interpret=interpret, khalo=khalo8,
             )
     else:
         def tile_pass(u_local: jnp.ndarray, kk: int) -> jnp.ndarray:
@@ -371,6 +372,11 @@ def build_sharded_overlap_advance(
     px = mesh.shape["x"]
     py = mesh.shape["y"]
     if cfg.nx % px or cfg.ny % py:
+        return None
+    if dtype_name == "bfloat16" and not interpret:
+        # The overlap band split's half-sublane geometry (_hb) assumes the
+        # f32 8-row tile; bf16 runs take the slab path (which supports it)
+        # or the per-step fallback instead.
         return None
     mx = cfg.nx // px
     my = cfg.ny // py
@@ -487,8 +493,12 @@ def build_sharded_advance(
     return advance
 
 
-def _carrier_axis_plan(n: int, p: int, periodic: bool, align: int, kh: int = 8):
+def _carrier_axis_plan(n: int, p: int, periodic: str, align: int, kh: int = 8):
     """Per-axis carrier geometry for :func:`build_carrier_slab_advance`.
+
+    ``periodic`` is the axis's wrap mode: ``"none"`` (both sides physical),
+    ``"two"`` (torus), ``"low"`` (only the low side — bottom/left — is
+    periodic), ``"high"`` (only the high side).
 
     Returns ``(m, edge, l)`` — per-shard extent ``m`` (an ``align``
     multiple), the shard index ``edge`` holding the true physical edge, and
@@ -497,25 +507,45 @@ def _carrier_axis_plan(n: int, p: int, periodic: bool, align: int, kh: int = 8):
     of the global carrier (the reference instead gives the last rank the
     remainder, decomp.cpp:29-30 — shard_map needs uniform shards).
 
-    A two-sided-periodic axis additionally requires the edge in the LAST
-    shard with ``>= 2*kh`` pad lines (room for the wrap-head and
-    tail-mirror staging blocks, disjoint) and ``>= kh`` true lines as the
-    tail-mirror source.
+    Staging-room constraints by mode (each staged block is ``kh`` lines):
+
+    * ``"two"``: edge in the LAST shard, ``>= 2*kh`` pad lines (wrap-head
+      and tail-mirror blocks, disjoint), ``>= kh`` true lines as tail
+      source.
+    * ``"low"``: edge in the LAST shard (the cyclic exchange must deliver
+      its tail to shard 0), ``>= kh`` pad lines for the tail-mirror,
+      ``>= kh`` true lines.
+    * ``"high"``: ``>= kh`` pad lines ON THE EDGE SHARD for the wrap-head
+      block (any edge shard index works — the block lives inside its
+      tile).
     """
     m0 = n // p
     if n % p == 0 and m0 % align == 0:
-        return m0, p - 1, m0  # uniform + aligned: no pad at all
+        # Uniform + aligned: no pad at all.  Periodic modes need no
+        # staging either — the cyclic slab exchange IS the wrap.
+        return m0, p - 1, m0
     m = -(-(-(-n // p)) // align) * align
-    if not periodic:
+    if periodic == "none":
         e = -(-n // m) - 1
         return m, e, n - e * m
-    if p == 1:
-        while m - n < 2 * kh:
+    if n < kh:  # too few true lines to source any wrap block
+        return None
+    if periodic == "high":
+        while True:
+            e = -(-n // m) - 1
+            l = n - e * m
+            if m - l >= kh and l >= kh:
+                return m, e, l
             m += align
-        return m, 0, n
+    # "two" / "low": edge pinned to the last shard.
+    need_pad = 2 * kh if periodic == "two" else kh
+    if p == 1:
+        while m - n < need_pad:
+            m += align
+        return (m, 0, n) if n >= kh else None
     while (p - 1) * m < n:
         l = n - (p - 1) * m
-        if p * m - n >= 2 * kh and l >= kh:
+        if p * m - n >= need_pad and l >= kh:
             return m, p - 1, l
         m += align
     return None
@@ -563,7 +593,6 @@ def build_carrier_slab_advance(
     from ..ops.pallas_stencil import (
         _stencil_weights,
         carrier_tile_slab_multistep,
-        one_sided_periodic,
         pick_steps_per_pass,
     )
 
@@ -574,34 +603,68 @@ def build_carrier_slab_advance(
         nx % px == 0 and ny % py == 0
         and (nx // px) % 128 == 0 and (ny // py) % 8 == 0
     )
-    if aligned or one_sided_periodic(cfg):
+    if aligned:
         return None
     compat = cfg.strict_reference_compat
     per = BCType.PERIODIC
-    per_x = not compat and cfg.bc.left == per and cfg.bc.right == per
-    per_y = not compat and cfg.bc.bottom == per and cfg.bc.top == per
-    KH = 8  # staging depth = the sublane-aligned slab width (k <= 8)
-    plan_x = _carrier_axis_plan(nx, px, per_x, 128, KH)
-    plan_y = _carrier_axis_plan(ny, py, per_y, 8, KH)
-    if plan_x is None or plan_y is None:
+
+    def axis_mode(lo: BCType, hi: BCType) -> str:
+        if compat:
+            return "none"  # compat periodic = stale zeros, never wraps
+        if lo == per and hi == per:
+            return "two"
+        if lo == per:
+            return "low"
+        if hi == per:
+            return "high"
+        return "none"
+
+    mode_x = axis_mode(cfg.bc.left, cfg.bc.right)
+    mode_y = axis_mode(cfg.bc.bottom, cfg.bc.top)
+    # Staging depth = the sublane-aligned slab width; k caps at it (the
+    # wrap blocks are KH lines deep, valid for at most KH sub-steps).
+    # steps_per_pass > 8 (e.g. the DCN auto-depth 16) raises it — but a
+    # deeper depth needs more staging room, which some periodic geometries
+    # cannot provide (e.g. 2*KH pad lines on a torus axis), so fall back
+    # to KH=8 rather than declining the grid outright.
+    kh_candidates = [16, 8] if (cfg.steps_per_pass or 8) > 8 else [8]
+
+    def try_plans(kh):
+        plan_x = _carrier_axis_plan(nx, px, mode_x, 128, kh)
+        plan_y = _carrier_axis_plan(ny, py, mode_y, 8, kh)
+        if plan_x is None or plan_y is None:
+            return None
+        mx, e_x, lx = plan_x
+        my, e_y, ly = plan_y
+        # Tiny tiles / extreme pad waste: the jnp fallbacks are simpler
+        # and the throughput difference is irrelevant at these sizes.
+        if my < 32 or mx < 128 or ly < kh or lx < kh:
+            return None
+        if (my * py) * (mx * px) > 2 * ny * nx:
+            return None
+        return mx, e_x, lx, my, e_y, ly
+
+    KH = kh_candidates[0]
+    geom = try_plans(KH)
+    if geom is None and len(kh_candidates) > 1:
+        KH = kh_candidates[1]
+        geom = try_plans(KH)
+    if geom is None:
         return None
-    mx, e_x, lx = plan_x
-    my, e_y, ly = plan_y
-    # Tiny tiles / extreme pad waste: the jnp fallbacks are simpler and the
-    # throughput difference is irrelevant at these sizes.
-    if my < 32 or mx < 128 or ly < KH or lx < KH:
-        return None
-    if (my * py) * (mx * px) > 2 * ny * nx:
-        return None
+    mx, e_x, lx, my, e_y, ly = geom
 
     tile_cfg = dataclasses.replace(cfg, nx=mx, ny=my)
-    # Carrier passes cap at the KH staging depth: the periodic wrap-head /
-    # tail-mirror blocks are KH lines deep, valid for at most KH sub-steps.
-    k = min(KH, pick_steps_per_pass(tile_cfg, cfg.out_every or 8))
+    # y_sched/x_sched=True: the carrier fuses one-sided-periodic mixes at
+    # full k via the in-kernel wrap-block consumer patches (no ghost
+    # schedules needed; see carrier_tile_slab_multistep).
+    k = min(KH, pick_steps_per_pass(
+        tile_cfg, cfg.out_every or 8, y_sched=True, x_sched=True
+    ))
     if any(
         carrier_tile_slab_multistep(
             None, None, None, None, cfg, dt, kk, interpret,
             probe=True, probe_shape=(my, mx), probe_dtype=dtype_name,
+            khalo=KH,
         ) is None
         for kk in range(1, k + 1)
     ):
@@ -641,45 +704,66 @@ def build_carrier_slab_advance(
         lx_loc = jnp.where(xi < e_x, mx, jnp.where(xi == e_x, lx, 0))
         return jnp.where((rowi < ly_loc) & (coli < lx_loc), c, 0)
 
-    def stage_y(c):
+    def stage_y_tail(c):
         # Tail-mirror on EVERY axis size: the cyclic slab exchange (the
         # identity when py == 1) sources shard 0's bottom ghost from the
         # tile's last rows, which must therefore hold the true last rows.
         on = lax.axis_index("y") == py - 1
         tail = c[ly - KH : ly, :]
-        c = c.at[my - KH :, :].set(jnp.where(on, tail, c[my - KH :, :]))
+        return c.at[my - KH :, :].set(jnp.where(on, tail, c[my - KH :, :]))
+
+    def stage_y_head(c):
+        # Wrap-head: the edge shard's pad rows [ly, ly+KH) := the first KH
+        # global rows (one ppermute from shard 0) — the true top edge's
+        # upper neighbors for a wrapping top side.
+        on = lax.axis_index("y") == e_y
         head = (
-            lax.ppermute(c[:KH, :], "y", [(0, py - 1)]) if py > 1 else c[:KH, :]
+            c[:KH, :] if py == 1 or e_y == 0
+            else lax.ppermute(c[:KH, :], "y", [(0, e_y)])
         )
         return c.at[ly : ly + KH, :].set(jnp.where(on, head, c[ly : ly + KH, :]))
 
-    def stage_x(c):
+    def stage_x_tail(c):
         on = lax.axis_index("x") == px - 1
         tail = c[:, lx - KH : lx]
-        c = c.at[:, mx - KH :].set(jnp.where(on, tail, c[:, mx - KH :]))
+        return c.at[:, mx - KH :].set(jnp.where(on, tail, c[:, mx - KH :]))
+
+    def stage_x_head(c):
+        on = lax.axis_index("x") == e_x
         head = (
-            lax.ppermute(c[:, :KH], "x", [(0, px - 1)]) if px > 1 else c[:, :KH]
+            c[:, :KH] if px == 1 or e_x == 0
+            else lax.ppermute(c[:, :KH], "x", [(0, e_x)])
         )
         return c.at[:, lx : lx + KH].set(jnp.where(on, head, c[:, lx : lx + KH]))
 
-    stage_y_on = per_y and my * py != ny
-    stage_x_on = per_x and mx * px != nx
+    # Which blocks each wrap mode needs: the tail-mirror feeds the LOW
+    # side's ghost (via the cyclic exchange), the wrap-head feeds the HIGH
+    # side's; a fully-aligned axis (l == m) wraps through the exchange
+    # alone and stages nothing.
+    stage_y_tail_on = mode_y in ("two", "low") and ly != my
+    stage_y_head_on = mode_y in ("two", "high") and ly != my
+    stage_x_tail_on = mode_x in ("two", "low") and lx != mx
+    stage_x_head_on = mode_x in ("two", "high") and lx != mx
 
     wrap_xh, wrap_yh = axis_wrap_flags(cfg)
 
     def tile_pass(c_local: jnp.ndarray, kk: int) -> jnp.ndarray:
         if damp_pads:
             c_local = zero_pads(c_local)
-        if stage_y_on:
-            c_local = stage_y(c_local)
-        if stage_x_on:
-            c_local = stage_x(c_local)
+        if stage_y_tail_on:
+            c_local = stage_y_tail(c_local)
+        if stage_y_head_on:
+            c_local = stage_y_head(c_local)
+        if stage_x_tail_on:
+            c_local = stage_x_tail(c_local)
+        if stage_x_head_on:
+            c_local = stage_x_head(c_local)
         xhalo, yhalo = exchange_halos_slabs(
             c_local, px, py, KH, wrap_xh, wrap_yh
         )
         return carrier_tile_slab_multistep(
             c_local, xhalo, yhalo, shard_flags(), cfg, dt, kk,
-            interpret=interpret,
+            interpret=interpret, khalo=KH,
         )
 
     advance = _make_chunk_advance(tile_pass, k, mesh, spec)

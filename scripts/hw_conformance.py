@@ -108,31 +108,53 @@ def main() -> int:
     # scorer picks the intermediate BX=3072 candidate — that multi-block
     # padded layout must lower and match on hardware too.
     cases.append(("wide_knee_mixed", BCS["mixed"], 6144, 256, False))
+    # ONE-SIDED periodic x indivisible grids: the carrier's in-kernel
+    # wrap-block consumer patches (the previously-rejected envelope cell).
+    cases.append(("carrier_os_y", (D, N, P, D), 1000, 504, False))
+    cases.append(("carrier_os_x", (D, P, N, D), 1000, 504, False))
+    # bf16 STORAGE mode (f32 in-kernel arithmetic, one rounding per pass):
+    # 16-sublane tiles, khalo=16 — must lower on hardware; tolerance is
+    # bf16-rounding class (~2^-8 per pass + the IC cast), not f32's.
+    cases.append(("bf16_mixed", BCS["mixed"], args.nx, args.ny, "bf16"))
+    cases.append(("bf16_dirichlet4", BCS["dirichlet4"], args.nx, args.ny, "bf16"))
 
     for name, bcs, nx, ny, compat in cases:
         k16 = compat == "k16"
-        compat = False if k16 else compat
+        bf16 = compat == "bf16"
+        compat = False if (k16 or bf16) else compat
         cfg = cfg_for(bcs, nx, ny, compat)
         if k16:
             cfg.steps_per_pass = 16
         u = gaussian_hotspot(cfg, jnp.float32)
         # park mass against edges so edge handling is visible
         u = u + 0.4 * jnp.roll(u, ny // 2 - 2, 0) + 0.4 * jnp.roll(u, nx // 2 - 2, 1)
-        ref = oracle(u, cfg)
+        dtype_name = "float32"
+        tol = args.tol
+        if bf16:
+            u = u.astype(jnp.bfloat16)  # the oracle sees the same cast IC
+            dtype_name = "bfloat16"
+            # Storage-mode paths round once per pass (measured ~3e-3 at
+            # 16 steps); the per-step fallback rounds every step —
+            # worst-case ~steps * 2^-9 * scale ≈ 3e-2 at 16 steps
+            # (measured 2.9e-2).  One tolerance covers the whole path
+            # matrix; the tight per-pass bound is asserted in
+            # tests/test_pallas.py.
+            tol = 4e-2
+        ref = oracle(jnp.asarray(u, jnp.float64), cfg)
         scale = max(1.0, np.abs(ref).max())
 
         runs = {"single": lambda: build_single_device_advance(cfg, cfg.dt)(args.steps)(
             jax.device_put(u))}
         us = jax.device_put(u, field_sharding(mesh))
-        adv = build_sharded_multistep_advance(cfg, mesh, cfg.dt)
+        adv = build_sharded_multistep_advance(cfg, mesh, cfg.dt, dtype_name=dtype_name)
         if adv is not None:
             runs["sharded_multistep"] = lambda adv=adv: adv(args.steps)(us)
         runs["sharded_perstep"] = lambda: build_sharded_advance(
             cfg, mesh, cfg.dt, make_interior_step(cfg, cfg.dt))(args.steps)(us)
-        ov = build_sharded_overlap_advance(cfg, mesh, cfg.dt)
+        ov = build_sharded_overlap_advance(cfg, mesh, cfg.dt, dtype_name=dtype_name)
         if ov is not None:
             runs["sharded_overlap"] = lambda ov=ov: ov(args.steps)(us)
-        car = build_carrier_slab_advance(cfg, mesh, cfg.dt)
+        car = build_carrier_slab_advance(cfg, mesh, cfg.dt, dtype_name=dtype_name)
         if car is not None:
             runs["carrier"] = lambda car=car: car.extract(
                 car(args.steps)(car.embed(jax.device_put(u)))
@@ -142,7 +164,7 @@ def main() -> int:
             try:
                 out = np.asarray(jax.device_get(fn()), np.float64)
                 err = np.abs(out - ref).max() / scale
-                ok = np.isfinite(err) and err <= args.tol
+                ok = np.isfinite(err) and err <= tol
             except Exception as e:  # pragma: no cover - hardware-dependent
                 err, ok = float("nan"), False
                 print(f"EXC  {name:16s} {path:18s} {e}", file=sys.stderr)

@@ -60,23 +60,23 @@ def run_carrier(cfg, mesh_shape, steps):
 
 def test_axis_plan_geometry():
     # divisible + aligned: no pad
-    assert _carrier_axis_plan(1024, 4, False, 128) == (256, 3, 256)
+    assert _carrier_axis_plan(1024, 4, "none", 128) == (256, 3, 256)
     # indivisible: next 128-multiple of ceil(1000/4)=250 -> 256
-    assert _carrier_axis_plan(1000, 4, False, 128) == (256, 3, 232)
+    assert _carrier_axis_plan(1000, 4, "none", 128) == (256, 3, 232)
     # divisible but MISALIGNED tiles (500 % 128 != 0) also get a carrier
-    m, e, l = _carrier_axis_plan(1000, 2, False, 128)
+    m, e, l = _carrier_axis_plan(1000, 2, "none", 128)
     assert m % 128 == 0 and e * m < 1000 <= (e + 1) * m and l == 1000 - e * m
     # rounding may push the edge off the last shard (non-periodic is fine
     # with trailing all-pad shards)
-    m, e, l = _carrier_axis_plan(36, 4, False, 8)
+    m, e, l = _carrier_axis_plan(36, 4, "none", 8)
     assert (m, e, l) == (16, 2, 4)
     # periodic needs >= 16 pad lines and >= 8 true lines in the edge shard
-    m, e, l = _carrier_axis_plan(1000, 2, True, 8)
+    m, e, l = _carrier_axis_plan(1000, 2, "two", 8)
     assert e == 1 and 2 * m - 1000 >= 16 and l >= 8
     # single-shard aligned periodic axis: no pad (self-exchange wraps)
-    assert _carrier_axis_plan(1000, 1, True, 8) == (1000, 0, 1000)
+    assert _carrier_axis_plan(1000, 1, "two", 8) == (1000, 0, 1000)
     # single-shard MISALIGNED periodic axis: pad >= 16 beyond the extent
-    m, e, l = _carrier_axis_plan(1000, 1, True, 128)
+    m, e, l = _carrier_axis_plan(1000, 1, "two", 128)
     assert (e, l) == (0, 1000) and m - 1000 >= 16 and m % 128 == 0
 
 
@@ -148,13 +148,43 @@ def test_carrier_chunk_remainder():
     np.testing.assert_allclose(got[0], got[1], atol=5e-5)
 
 
-def test_carrier_rejects_one_sided_periodic():
-    cfg = make_cfg(
-        1000, 1000,
-        (BCType.PERIODIC, BCType.DIRICHLET, BCType.NEUMANN, BCType.NEUMANN),
-    )
-    mesh = make_mesh(4, 2)
-    assert build_carrier_slab_advance(cfg, mesh, cfg.dt, interpret=True) is None
+ONE_SIDED = [
+    # every orientation of the reference's dev.yaml-style one-sided mixes
+    (BCType.PERIODIC, BCType.DIRICHLET, BCType.NEUMANN, BCType.NEUMANN),
+    (BCType.DIRICHLET, BCType.PERIODIC, BCType.NEUMANN, BCType.DIRICHLET),
+    (BCType.DIRICHLET, BCType.NEUMANN, BCType.PERIODIC, BCType.DIRICHLET),
+    (BCType.NEUMANN, BCType.DIRICHLET, BCType.DIRICHLET, BCType.PERIODIC),
+    # both axes one-sided at once
+    (BCType.PERIODIC, BCType.DIRICHLET, BCType.DIRICHLET, BCType.PERIODIC),
+    (BCType.DIRICHLET, BCType.PERIODIC, BCType.PERIODIC, BCType.DIRICHLET),
+]
+
+
+@pytest.mark.parametrize("bcs", ONE_SIDED)
+def test_carrier_one_sided_periodic_matches_oracle(bcs):
+    """One-sided-periodic mixes on indivisible grids run the Pallas carrier
+    at full k (previously the one rejected envelope cell, ~7x slower on the
+    padded-GSPMD jnp path): the staged wrap block's outer line is re-pinned
+    to the opposite side's BC by the in-kernel consumer patch
+    (wrap_*_mask), so the block evolves with the one-sided semantics the
+    oracle defines (reference: any-shape x any-BC envelope,
+    decomp.cpp:29-30 + boundary.cpp:12-54)."""
+    cfg = make_cfg(1000, 504, bcs)
+    got = run_carrier(cfg, (4, 2), 16)
+    assert got is not None, "carrier declined a one-sided-periodic grid"
+    np.testing.assert_allclose(got[0], got[1], atol=5e-5)
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (1, 8), (8, 1)])
+def test_carrier_one_sided_periodic_mesh_shapes(mesh_shape):
+    """One-sided wrap staging across different mesh factorizations (the
+    head ppermute targets the edge shard, which needs not be the last)."""
+    cfg = make_cfg(1000, 504,
+                   (BCType.DIRICHLET, BCType.PERIODIC,
+                    BCType.PERIODIC, BCType.NEUMANN))
+    got = run_carrier(cfg, mesh_shape, 16)
+    assert got is not None
+    np.testing.assert_allclose(got[0], got[1], atol=5e-5)
 
 
 def test_carrier_rejects_aligned_divisible():
@@ -279,3 +309,17 @@ def test_carrier_restart_from_own_snapshot(tmp_path):
         np.asarray(jax.device_get(res3.u)),
         atol=1e-6,
     )
+
+
+@pytest.mark.parametrize("bcs", [MIX, P4,
+                                 (BCType.DIRICHLET, BCType.PERIODIC,
+                                  BCType.PERIODIC, BCType.NEUMANN)])
+def test_carrier_steps_per_pass_16(bcs):
+    """steps_per_pass=16 raises the carrier staging depth to KH=16 (the
+    DCN auto-depth): 16-line wrap blocks, 16-wide slab exchange, and
+    remainder passes on the same KH-16 layout — all vs the oracle."""
+    cfg = make_cfg(1000, 504, bcs)
+    cfg.steps_per_pass = 16
+    got = run_carrier(cfg, (4, 2), 19)  # 16 + remainder 3
+    assert got is not None, "carrier declined at KH=16"
+    np.testing.assert_allclose(got[0], got[1], atol=5e-5)
