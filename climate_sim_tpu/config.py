@@ -415,13 +415,20 @@ _TRISTATE_KEYS = ("halo_overlap",)  # true | false | auto
 
 
 def _coerce_tristate(raw) -> object:
-    """true/false/auto (bools pass through; strings use the bool aliases)."""
+    """true/false/auto (bools pass through; strings use the bool aliases).
+    Unrecognized strings RAISE rather than silently coercing to False —
+    a typo like 'aato' must not force-disable the policy the user asked
+    for (validate() cannot catch it: coercion runs first)."""
     if isinstance(raw, bool):
         return raw
     s = str(raw).strip().lower()
     if s == "auto":
         return "auto"
-    return s in ("1", "true", "yes", "on")
+    if s in ("1", "true", "yes", "on"):
+        return True
+    if s in ("0", "false", "no", "off"):
+        return False
+    raise ValueError(f"expected true|false|auto, got {raw!r}")
 
 
 def parse_cli_overrides(args: Sequence[str]) -> Dict[str, Any]:

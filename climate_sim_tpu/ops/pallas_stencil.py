@@ -1101,7 +1101,7 @@ def _build_multistep_call_cached(
         W = nx + 128  # main lanes + the packed ghost-strip lane tile
         xoff = 0
         BY = best[1]
-        if by_override and ny % by_override == 0 and by_override % 8 == 0:
+        if by_override and ny % by_override == 0 and by_override % sub == 0:
             BY = by_override
         R = BY + 2 * khalo
         Rbuf = R
@@ -1148,7 +1148,7 @@ def _build_multistep_call_cached(
         BY = by_forced if by_forced is not None else _pick_block_rows(
             ny, row_bytes, khalo, sub
         )
-        if by_override and ny % by_override == 0 and by_override % 8 == 0:
+        if by_override and ny % by_override == 0 and by_override % sub == 0:
             BY = by_override
         if BY is None:
             return None
@@ -1202,11 +1202,12 @@ def _build_multistep_call_cached(
     else:  # None or "chain" (mxu is impossible here: its override is
         # consumed by the elif above)
         chained = fullslab
-    if compute_dtype == jnp.dtype(jnp.bfloat16) and not chained and not interpret:
+    if compute_dtype == jnp.dtype(jnp.bfloat16) and not chained:
         # bf16-STORAGE numerics (f32 arithmetic, one rounding per pass)
         # exist only in the chained form; the store/trapezoid forms would
-        # silently compute bf16 arithmetic — decline, callers fall back
-        # to the (also storage-semantics) jnp step.
+        # silently compute bf16 arithmetic — decline in interpret mode
+        # too (CPU parity must match hardware), callers fall back to the
+        # (also storage-semantics) fused_step_storage jnp step.
         return None
 
     kernel, n_dma = _build_kernel_body(
@@ -2147,19 +2148,16 @@ def make_pallas_interior_step(
 ) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Interior step for the sharded path: padded tile -> updated interior,
     falling back to the jnp oracle when no block layout fits."""
-    from .stencil import fused_step
+    from .stencil import fused_step_storage
 
     def step(up: jnp.ndarray) -> jnp.ndarray:
         out = prepadded_kernel_step(up, cfg, dt, interpret)
         if out is None:
-            if up.dtype == jnp.bfloat16:
-                # bf16 storage semantics (one rounding/step, f32 math) —
-                # matches the multi-step kernel's chained-form cast.
-                return fused_step(
-                    up.astype(jnp.float32), cfg.D, cfg.vx, cfg.vy, dt,
-                    cfg.dx, cfg.dy,
-                ).astype(jnp.bfloat16)
-            return fused_step(up, cfg.D, cfg.vx, cfg.vy, dt, cfg.dx, cfg.dy)
+            # bf16 storage semantics (one rounding/step, f32 math) —
+            # matches the multi-step kernel's chained-form cast.
+            return fused_step_storage(
+                up, cfg.D, cfg.vx, cfg.vy, dt, cfg.dx, cfg.dy
+            )
         return out
 
     return step
@@ -2284,7 +2282,7 @@ def build_multistep_advance(
     x side ignore the knob.
     """
     from .boundary import pad_with_ghosts
-    from .stencil import fused_step
+    from .stencil import fused_step_storage
 
     compat = cfg.strict_reference_compat
 
@@ -2349,7 +2347,7 @@ def build_multistep_advance(
         )
 
     def jnp_step(u):
-        return fused_step(
+        return fused_step_storage(
             pad_with_ghosts(u, cfg.bc, 0.0, compat),
             cfg.D, cfg.vx, cfg.vy, dt, cfg.dx, cfg.dy,
         )

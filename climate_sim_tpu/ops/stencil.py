@@ -102,3 +102,17 @@ def fused_step(
     if vx != 0.0 or vy != 0.0:
         out = advection_step(up, out, vx, vy, dt, dx, dy)
     return out
+
+
+def fused_step_storage(up, D, vx, vy, dt, dx, dy):
+    """:func:`fused_step` with bf16-STORAGE semantics: bf16 inputs compute
+    in f32 and round once on output (matching the Pallas chained kernel's
+    per-pass cast — raw bf16 stencil arithmetic measured ~4-10x the
+    storage-rounding error).  Other dtypes pass through unchanged; every
+    jnp fallback path the driver can route a bf16 run to must call THIS,
+    not fused_step, or its numerics silently degrade."""
+    if up.dtype == jnp.bfloat16:
+        return fused_step(
+            up.astype(jnp.float32), D, vx, vy, dt, dx, dy
+        ).astype(jnp.bfloat16)
+    return fused_step(up, D, vx, vy, dt, dx, dy)

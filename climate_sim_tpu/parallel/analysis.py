@@ -56,7 +56,12 @@ def _chain(jx, in_depths: Sequence[int]) -> int:
         if eqn.primitive.name == "ppermute":
             d += 1
         elif subs:
-            d += max(_chain(s, [d] * len(s.invars)) - d for s in subs)
+            # Floor at d: an empty/identity sub-jaxpr (outvars aliasing
+            # invars, zero eqns) returns 0, which must not RESET the
+            # accumulated chain passing through it.
+            d += max(
+                max(_chain(s, [d] * len(s.invars)) - d, 0) for s in subs
+            )
         for v in eqn.outvars:
             env[v] = d
         out = max(out, d)

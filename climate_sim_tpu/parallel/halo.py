@@ -802,7 +802,7 @@ def build_padded_gspmd_advance(
     class; the Pallas fast paths require divisible layouts.
     """
     from ..ops.boundary import pad_with_ghosts
-    from ..ops.stencil import fused_step
+    from ..ops.stencil import fused_step_storage
 
     ny, nx = cfg.ny, cfg.nx
     py, px = mesh.shape["y"], mesh.shape["x"]
@@ -819,7 +819,9 @@ def build_padded_gspmd_advance(
     def one_step(carrier_arr):
         u = carrier_arr[:ny, :nx]
         up = pad_with_ghosts(u, cfg.bc, 0.0, compat)
-        return embed(fused_step(up, cfg.D, cfg.vx, cfg.vy, dt, cfg.dx, cfg.dy))
+        return embed(fused_step_storage(
+            up, cfg.D, cfg.vx, cfg.vy, dt, cfg.dx, cfg.dy
+        ))
 
     @functools.lru_cache(maxsize=None)
     def advance(k: int):

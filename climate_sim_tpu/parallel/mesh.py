@@ -146,7 +146,16 @@ def dcn_granule_count(devices) -> int:
     exposes ``slice_index``, else a process.  Mesh edges between granules
     ride DCN (~10-100x ICI latency), which is what the auto policies for
     ``halo_overlap`` and ``steps_per_pass`` key on (docs/performance.md
-    "Weak scaling bounded by LATENCY")."""
+    "Weak scaling bounded by LATENCY").
+
+    Known limitation of the process fallback: a runtime that exposes no
+    ``slice_index`` cannot distinguish a multi-host SINGLE-slice pod
+    (all-ICI) from a true multi-slice job, so it classifies host count as
+    granules — on such (older-libtpu) pods the auto policies then apply
+    the DCN settings on ICI links: steps_per_pass=16 costs ~3% per shard
+    and overlap only engages for <=1024^2 tiles where its premium is
+    ~zero, so the misclassification is mild; set the knobs explicitly to
+    override.  Modern runtimes expose slice_index and are exact."""
     devs = list(devices)
     if not devs:
         return 1

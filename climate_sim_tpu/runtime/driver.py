@@ -187,8 +187,15 @@ def resolve_auto_policies(cfg: SimConfig, mesh) -> SimConfig:
     dcn = dcn_granule_count(mesh.devices.ravel()) if mesh is not None else 1
     overlap = cfg.halo_overlap
     if overlap == "auto":
+        from ..ops.pallas_stencil import one_sided_periodic
+
         overlap = False
-        if mesh is not None and dcn > 1:
+        if mesh is not None and dcn > 1 and not one_sided_periodic(cfg):
+            # One-sided-periodic mixes cap the overlap path at 1 step per
+            # pass (no ghost-schedule plumbing in its region kernels) —
+            # per-step exchanges over DCN, the opposite of what overlap
+            # buys — so auto never picks it for them; the slab path fuses
+            # those configs at full depth.
             px, py = mesh.shape["x"], mesh.shape["y"]
             if cfg.nx % px == 0 and cfg.ny % py == 0:
                 overlap = (cfg.nx // px) * (cfg.ny // py) <= 1024 * 1024

@@ -248,3 +248,15 @@ def test_halo_overlap_tristate(tmp_path):
     cfg.halo_overlap = "bogus"
     with pytest.raises(ValueError, match="halo_overlap"):
         cfg.validate()
+
+
+def test_halo_overlap_typo_raises():
+    """A tristate typo must raise, not silently force-disable the policy
+    (validate() cannot catch it — coercion runs first; review finding)."""
+    with pytest.raises(ValueError, match="true|false|auto"):
+        merged_config(None, ["--halo_overlap=aato"])
+    import yaml as _yaml  # noqa: F401
+    from climate_sim_tpu.config import load_yaml_dict
+
+    with pytest.raises(ValueError, match="true|false|auto"):
+        load_yaml_dict({"halo_overlap": "enable"})

@@ -249,6 +249,17 @@ def test_auto_policy_resolution(monkeypatch):
     r = drv.resolve_auto_policies(big, mesh)
     assert r.halo_overlap is False and r.steps_per_pass == 16
 
+    # one-sided-periodic mixes never get auto-overlap (the overlap path
+    # caps them at 1 step/pass — per-step exchanges over DCN, the
+    # opposite of latency hiding; review finding)
+    from climate_sim_tpu.config import BCConfig, BCType
+
+    osided = dataclasses.replace(cfg)
+    osided.bc = BCConfig(BCType.DIRICHLET, BCType.DIRICHLET,
+                         BCType.PERIODIC, BCType.DIRICHLET)
+    r = drv.resolve_auto_policies(osided, mesh)
+    assert r.halo_overlap is False and r.steps_per_pass == 16
+
     # forced values and explicit depth pass through
     forced = dataclasses.replace(big, halo_overlap=True, steps_per_pass=8)
     r = drv.resolve_auto_policies(forced, mesh)

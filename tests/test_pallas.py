@@ -692,3 +692,32 @@ def test_bf16_sharded_slab_path():
         ref = reference_step(ref, cfg, cfg.dt)
     d = np.abs(np.asarray(out, np.float32) - np.asarray(ref))
     assert d.max() < 8e-3, f"bf16 sharded slab error too large: {d.max()}"
+
+
+def test_bf16_storage_semantics_in_every_fallback(monkeypatch):
+    """Every jnp path a bf16 run can fall to must use fused_step_storage
+    (f32 arithmetic, one rounding per step) — raw bf16 stencil arithmetic
+    is ~4-10x worse and must be unreachable (code-review finding)."""
+    from climate_sim_tpu.ops.stencil import fused_step, fused_step_storage
+
+    cfg = make_cfg(64, 64, MIX1)
+    u = gaussian_hotspot(cfg, jnp.float32)
+    up = pad_with_ghosts(u, cfg.bc, 0.0, False)
+    want = fused_step(up, cfg.D, cfg.vx, cfg.vy, cfg.dt, cfg.dx, cfg.dy)
+    got = fused_step_storage(
+        up.astype(jnp.bfloat16), cfg.D, cfg.vx, cfg.vy, cfg.dt, cfg.dx, cfg.dy
+    )
+    assert got.dtype == jnp.bfloat16
+    # one storage rounding + IC cast, NOT per-op bf16 error
+    d = np.abs(np.asarray(got, np.float32) - np.asarray(want))
+    assert d.max() < 6e-3
+
+    # the store/trapezoid kernel forms decline bf16 in interpret mode too
+    # (CPU parity with the hardware decline)
+    from climate_sim_tpu.ops.pallas_stencil import multistep_kernel_step
+
+    monkeypatch.setenv("CLIMATE_SIM_SUBSTEP", "fullslab")
+    out = multistep_kernel_step(
+        gaussian_hotspot(cfg, jnp.bfloat16), cfg, cfg.dt, 8, interpret=True
+    )
+    assert out is None, "non-chained bf16 form must decline everywhere"
