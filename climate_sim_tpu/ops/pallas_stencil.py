@@ -216,11 +216,8 @@ def _build_kernel_body(
     # relayout that measured ~6% of TOTAL kernel time per Neumann x side
     # (the mirror needs the column read; Dirichlet pays only the store,
     # ~1%).  With the select, the Neumann "mirror" is the lane's own
-    # value — no cross-lane motion at all — and a "sched" side's column
-    # (read from the ghost-column schedule ref) is lane-splat-broadcast
-    # into the select instead of stored into the ghost lane, removing
-    # the per-sub-step cross-lane ghost store.  Row fixups are
-    # lane-layout friendly and stay as writes.
+    # value — no cross-lane motion at all.  Row fixups are lane-layout
+    # friendly and stay as writes in the store form.
     sel_left = fullslab and fix_left is not None
     sel_right = fullslab and fix_right is not None
     # Chained (value-chained) sub-steps: drop the ping-pong ref store —
@@ -229,10 +226,9 @@ def _build_kernel_body(
     # forbids ref-write fixups entirely, so the y-side fixups move onto
     # sublane-masked selects on the y-rolls (the row sibling of the
     # sel_left/sel_right lane trick): the Neumann "mirror" seen through
-    # the roll is the row's OWN value, Dirichlet/compat are splats, and a
-    # "sched" side broadcasts the schedule row.  Net op count per
-    # sub-step: -1 (the store) +1 per y side needing a fixup — a measured
-    # win for <= 1 fixup y side, the build site gates on that.
+    # the roll is the row's OWN value, Dirichlet/compat are splats.  Net
+    # op count per sub-step: -1 (the store) +1 per y side needing a
+    # fixup — measured a win for every class (docs/performance.md).
     sel_bottom = chained and fix_bottom is not None
     sel_top = chained and fix_top is not None
 
@@ -442,54 +438,18 @@ def _build_kernel_body(
         del n  # shape comes from the mirror line
         return _bc_ghost_line(kind, mirror, bc_value)
 
-    def _sched_col_window(ref, by, t):
-        """Sub-step ``t``'s ghost column from the column schedule, windowed
-        to block ``by``'s rows (schedule row p = tile row p - khalo, so the
-        window start is the block's row start, 8-aligned).  Single source
-        for the fixup-write path and the lane-masked-select path — the row
-        mapping must stay identical between them."""
-        if nby == 1:
-            r0 = 0  # single row-block: static window
-        else:
-            r0 = pl.multiple_of(by * jnp.int32(BY), sub)
-        return ref[pl.ds(r0, Rbuf), t]
-
-    def apply_fixups(src, bx, by, flags, t=0, sched_y_ref=None, sched_x_ref=None):
+    def apply_fixups(src, bx, by, flags, t=0):
         """Re-apply physical-edge BCs at the ghost lines, writing into the
         ``src`` ref in place (the ``apply_boundary`` analogue, every step).
         Each side fires only on blocks at that edge of the (bx, by) grid
         AND, when ``flags`` (a (4,) int32 SMEM ref of physical-edge flags
         [left, right, bottom, top], sharded mode) is present, only on
         shards whose tile side is a physical boundary — interior blocks/
-        shards keep their neighbor-halo data.
-
-        A ``"sched"`` y-side (one-sided periodic; see _ghost_schedule)
-        re-supplies its ghost row from ``sched_y_ref[t]``: the opposite
-        edge's row evolved ``t`` steps, windowed to this block's columns
-        (schedule column p = global column p - _XPAD, so the window start
-        is exactly the block's main-column start, 128-aligned).  A
-        ``"sched"`` x-side reads lane ``t`` of the column schedule
-        (``sched_x_ref``) instead, windowed to this block's rows
-        (schedule row p = tile row p - khalo, so the window start is the
-        block's row start, 8-aligned).  Both may be active at once
-        (both-axes one-sided): each side reads its own ref."""
-        def sched_row():
-            # Schedule column p = global column p - _XPAD; buffer lane c
-            # holds global column bx*BX + c - xoff, so the window starts
-            # at bx*BX + _XPAD - xoff (= bx*BX normally, _XPAD padless-x).
-            if nbx == 1:
-                c0 = _XPAD - xoff  # single x-block: static window
-            else:
-                c0 = pl.multiple_of(bx * jnp.int32(BX), 128) + (_XPAD - xoff)
-            return sched_y_ref[t, pl.ds(c0, W)]
-
-        def sched_col():
-            return _sched_col_window(sched_x_ref, by, t)
+        shards keep their neighbor-halo data.  (Store-form only; the
+        chained form's fixups all ride masked selects.)"""
+        del t
         if fix_left is not None and not sel_left:
-            if fix_left == "sched":
-                col = sched_col()
-            else:
-                col = _bc_line(fix_left, Rbuf, src[:, xoff])
+            col = _bc_line(fix_left, Rbuf, src[:, xoff])
             cond = (bx == 0) if nbx > 1 else True
             if flags is not None:
                 cond = jnp.logical_and(cond, flags[0] != 0)
@@ -497,10 +457,7 @@ def _build_kernel_body(
                 col = jnp.where(cond, col, src[:, xoff - 1])
             src[:, xoff - 1] = col
         if fix_right is not None and not sel_right:
-            if fix_right == "sched":
-                col = sched_col()
-            else:
-                col = _bc_line(fix_right, Rbuf, src[:, xoff + nx - 1])
+            col = _bc_line(fix_right, Rbuf, src[:, xoff + nx - 1])
             cond = (bx == nbx - 1) if nbx > 1 else True
             if flags is not None:
                 cond = jnp.logical_and(cond, flags[1] != 0)
@@ -509,10 +466,7 @@ def _build_kernel_body(
             src[:, xoff + nx] = col
         # y sides: only the first/last row-blocks touch a physical y edge.
         if fix_bottom is not None:
-            if fix_bottom == "sched":
-                row = sched_row()
-            else:
-                row = _bc_line(fix_bottom, W, src[khalo, :])
+            row = _bc_line(fix_bottom, W, src[khalo, :])
             cond = by == 0
             if flags is not None:
                 cond = jnp.logical_and(cond, flags[2] != 0)
@@ -520,10 +474,7 @@ def _build_kernel_body(
         if fix_top is not None:
             # Physical top edge sits at buffer row R-khalo for the LAST
             # row-block.
-            if fix_top == "sched":
-                row = sched_row()
-            else:
-                row = _bc_line(fix_top, W, src[R - khalo - 1, :])
+            row = _bc_line(fix_top, W, src[R - khalo - 1, :])
             cond = by == nby - 1
             if flags is not None:
                 cond = jnp.logical_and(cond, flags[3] != 0)
@@ -538,15 +489,7 @@ def _build_kernel_body(
                 def _(c=c):
                     getattr(c, action)()
 
-    sched_y_on = "sched" in (fix_bottom, fix_top)
-    sched_x_on = "sched" in (fix_left, fix_right)
-
     def kernel(*refs):
-        sched_y_ref = sched_x_ref = None
-        if sched_y_on:
-            sched_y_ref, refs = refs[0], refs[1:]
-        if sched_x_on:
-            sched_x_ref, refs = refs[0], refs[1:]
         if slab_padless:
             flags_ref, tile_ref, yh_ref, xs_ref, out_ref, a_scratch, b_scratch, sems = refs
             in_refs = (tile_ref, yh_ref, xs_ref)
@@ -664,16 +607,11 @@ def _build_kernel_body(
                         (by == nby - 1) if nby > 1 else None, 3,
                     )
 
-        def sel_val(kind, a, t, lane0=0):
+        def sel_val(kind, a, t):
             # Ghost value seen through the select: the Neumann mirror is
             # the edge lane's OWN value (zero data motion); Dirichlet /
-            # compat-zero are constants; a "sched" side's ghost column is
-            # the schedule ref's sub-step-t column, splat across lanes
-            # (the mask picks the edge lane).  ``lane0`` offsets into the
-            # PACKED two-side schedule (padless slab mode: left side at
-            # lanes [0, k), right side at [khalo, khalo + k)).
-            if kind == "sched":
-                return _sched_col_window(sched_x_ref, by, lane0 + t)[:, None]
+            # compat-zero are constants.
+            del t
             if kind == "neumann":
                 return a
             return compute_dtype.type(bc_value if kind == "dirichlet" else 0.0)
@@ -682,36 +620,35 @@ def _build_kernel_body(
             # Row sibling of sel_val: the ghost row seen through the y-roll
             # select.  Neumann mirror = the row's own value (ym brings
             # a[khalo-1] to row khalo, whose mirror is a[khalo] — the same
-            # row of ``a``); "sched" broadcasts the schedule's sub-step-t
-            # row across sublanes (the mask picks the ghost consumer row).
-            if kind == "sched":
-                if nbx == 1:
-                    c0 = _XPAD - xoff  # see sched_row: schedule col = global + _XPAD
-                else:
-                    c0 = pl.multiple_of(bx * jnp.int32(BX), 128) + (_XPAD - xoff)
-                return sched_y_ref[t, pl.ds(c0, W)][None, :]
+            # row of ``a``).
+            del t
             if kind == "neumann":
                 return a
             return compute_dtype.type(bc_value if kind == "dirichlet" else 0.0)
 
-        # Carrier ONE-SIDED-periodic wrap-block consumer patches: a
-        # one-sided axis's wrap ghost block (staged/delivered true data
-        # from the opposite edge) evolves in-buffer as if the axis were a
-        # torus — but the opposite edge is a physical BC side, so the wrap
-        # block's OUTERMOST line must see that BC, not the wrapped
-        # neighbor.  Exactly one roll operand is affected per axis: e.g.
-        # bottom=periodic ⇒ the block holds global rows [ny-kh, ny) at the
-        # first row-block's bottom slab rows, and row ny-1's yp consumer
+        # ONE-SIDED-periodic wrap-block consumer patches (every chained
+        # layout): a one-sided axis's wrap ghost data (true data from the
+        # opposite edge — delivered by the mod-extent fused-DMA segments,
+        # the exchanged slabs, or the carrier's staging) evolves in-buffer
+        # as if the axis were a torus — but the opposite edge is a
+        # physical BC side, so the wrap block's OUTERMOST line must see
+        # that BC, not the wrapped neighbor.  Exactly one roll operand is
+        # affected per axis: e.g. bottom=periodic ⇒ the block holds global
+        # rows [ny-kh, ny) below the tile, and row ny-1's yp consumer
         # (sublane khalo-1) must read bc(top) instead of global row 0.
         # The select-value trick makes every BC kind free (Neumann mirror
-        # = the lane's own value).  This is what lets the carrier fuse the
-        # reference's dev.yaml-style one-sided mixes at full k — the
-        # strip-mode paths need precomputed ghost schedules for the same
-        # semantics (reference: boundary.cpp:12-54 applies BCs orthogonal
-        # to decomposition, decomp.cpp:29-30).
+        # = the lane's own value).  This is the whole one-sided mechanism
+        # — it replaced the r02-r03 external ghost-row/column schedules,
+        # which computed the same values outside the kernel at ~10x the
+        # code and measurable per-pass cost.  EXCEPTION: padless fused x
+        # (xoff == 0) needs no x patch at all — the main array itself
+        # wraps through the roll, and the fixed side's ordinary fixup
+        # select is the barrier.  (Reference semantics: boundary.cpp:12-54
+        # applies BCs orthogonal to decomposition, decomp.cpp:29-30.)
         wrap_yp_mask = wrap_ym_mask = wrap_xp_mask = wrap_xm_mask = None
-        if carrier and chained:
+        if chained:
             ii = jax.lax.broadcasted_iota
+            x_self_wrapped = fused_dma and xoff == 0 and not slab_mode
             if fix_bottom is None and fix_top is not None and wyp != 0.0:
                 s = ii(jnp.int32, (Rbuf, W), 0)
                 wrap_yp_mask = _gate(
@@ -720,22 +657,41 @@ def _build_kernel_body(
                 )
             if fix_top is None and fix_bottom is not None and wym != 0.0:
                 s = ii(jnp.int32, (Rbuf, W), 0)
-                trow2 = s - jnp.int32(khalo) + by * jnp.int32(BY)
-                wrap_ym_mask = _gate(trow2 == flags_ref[4], None, 3)
-            if fix_left is None and fix_right is not None and wxp != 0.0:
+                if carrier:
+                    # true edge at a runtime tile row (flags[4])
+                    trow2 = s - jnp.int32(khalo) + by * jnp.int32(BY)
+                    wrap_ym_mask = _gate(trow2 == flags_ref[4], None, 3)
+                else:
+                    # wrap block = the top halo rows of the last row-block
+                    wrap_ym_mask = _gate(
+                        s == jnp.int32(R - khalo),
+                        (by == nby - 1) if nby > 1 else None, 3,
+                    )
+            if fix_left is None and fix_right is not None and wxp != 0.0 \
+                    and not x_self_wrapped:
                 ll = ii(jnp.int32, (Rbuf, W), 1)
-                # The staged left wrap block's outer line: last lane of the
-                # left ghost strip (padless: the roll-wrap strip's tail
-                # lane; strip-pad: the pad column left of the tile).
+                # The left wrap data's outer line: last lane of the left
+                # ghost strip (padless slab: the roll-wrap strip's tail
+                # lane; strip/assembled: the pad column left of the tile).
                 wrap_lane = W - 1 if slab_padless else xoff - 1
                 wrap_xp_mask = _gate(
                     ll == jnp.int32(wrap_lane),
                     (bx == 0) if nbx > 1 else None, 0,
                 )
-            if fix_right is None and fix_left is not None and wxm != 0.0:
+            if fix_right is None and fix_left is not None and wxm != 0.0 \
+                    and not x_self_wrapped:
                 ll = ii(jnp.int32, (Rbuf, W), 1)
-                lcol2 = ll - jnp.int32(xoff) + bx * jnp.int32(BX)
-                wrap_xm_mask = _gate(lcol2 == flags_ref[5], None, 1)
+                if carrier:
+                    # true edge at a runtime tile column (flags[5])
+                    lcol2 = ll - jnp.int32(xoff) + bx * jnp.int32(BX)
+                    wrap_xm_mask = _gate(lcol2 == flags_ref[5], None, 1)
+                else:
+                    # wrap block = the right ghost strip's first lane
+                    wrap_lane = BX if slab_padless else xoff + nx
+                    wrap_xm_mask = _gate(
+                        ll == jnp.int32(wrap_lane),
+                        (bx == nbx - 1) if nbx > 1 else None, 1,
+                    )
 
         if chained:
             # Value-chained sub-steps: identical math to the full-slab
@@ -820,7 +776,7 @@ def _build_kernel_body(
             src = bufs[t % 2]
             dst = bufs[(t + 1) % 2]
             if not prepadded:
-                apply_fixups(src, bx, by, flags_ref, t, sched_y_ref, sched_x_ref)
+                apply_fixups(src, bx, by, flags_ref, t)
             if fullslab:
                 # Full-slab form: compute ALL (Rbuf, W) points every
                 # sub-step with circular rolls for the four neighbor
@@ -1021,17 +977,6 @@ def _build_multistep_call_cached(
         or x64
     ):
         return None
-    # Scheduled ghost rows/columns (one-sided periodic; see
-    # _ghost_schedule / _ghost_schedule_x / slab_ghost_schedule /
-    # slab_ghost_schedule_x) ride small pipelined VMEM inputs.  Both the
-    # single-device fused-DMA and the sharded slab layouts plumb row AND
-    # column schedules (both at once for both-axes-one-sided configs);
-    # the assembled and pre-padded paths plumb neither.
-    sched_y = fix_bottom == "sched" or fix_top == "sched"
-    sched_x = fix_left == "sched" or fix_right == "sched"
-    sched_on = sched_y or sched_x
-    if sched_on and not (slab_mode or (fused_dma and not sharded)):
-        return None
     if not interpret:
         # Mosaic lowers only on TPU; an explicitly-requested Pallas kernel
         # on any other backend runs in interpret mode (correct, slow) rather
@@ -1048,26 +993,23 @@ def _build_multistep_call_cached(
     chain_intent = substep_override in (None, "chain")
     # PADLESS-X eligibility: with full-width blocks the 2*_XPAD
     # ghost-strip lanes can be dropped entirely (buffer = exactly
-    # (Rbuf, nx)) in two cases:
-    #  - physical x edges handled by lane-masked selects (fix_left/right
-    #    set, no wrap data): the circular lane rolls wrap garbage across
-    #    the x edge and the selects patch it out at the consumer lanes —
-    #    a staleness barrier, same argument as the pads.  Requires the
-    #    full-slab select form (trapezoid/mxu keep the padded layout).
-    #  - BOTH x sides true-periodic (wrap_x, no x fixups): the circular
-    #    roll's wrap IS the periodic neighbor — column 0's left neighbor
-    #    is column nx-1 by definition — so no strips, no selects, and no
-    #    staleness in x at all (every lane is live torus data).
-    # Either way the strips were 2*128/4096 = 6.25% redundant lanes at
-    # the headline width that every vector op computed.
+    # (Rbuf, nx)) for EVERY x BC combination:
+    #  - a physical x side (fix set) is a lane-masked select barrier: the
+    #    circular lane roll wraps garbage across that edge and the select
+    #    patches it out at the consumer lane — the staleness-barrier
+    #    argument of the pads;
+    #  - a live-periodic x side (fix None) needs nothing at all: the
+    #    circular roll's wrap IS the periodic neighbor — column 0's left
+    #    neighbor is column nx-1 by definition.  (For a ONE-sided x axis
+    #    the fixed side's select is simultaneously the barrier that stops
+    #    the wrap from acting as a torus — no extra patch needed in this
+    #    layout.)
+    # The strips were 2*128/4096 = 6.25% redundant lanes at the headline
+    # width that every vector op computed.
     padless_ok = (
         fused_dma
         and not slab_mode
         and substep_override in (None, "fullslab", "chain")
-        and (
-            (not wrap_x and fix_left is not None and fix_right is not None)
-            or (wrap_x and fix_left is None and fix_right is None)
-        )
     )
     by_forced = None
     if slab_padless:
@@ -1084,9 +1026,6 @@ def _build_multistep_call_cached(
         if not slab_mode or substep_override not in (None, "chain"):
             return None
         if nx % 128 or ny % sub or khalo % sub:
-            return None
-        # One-sided-periodic schedules are strip-pad-layout machinery.
-        if "sched" in (fix_left, fix_right, fix_bottom, fix_top):
             return None
         # Both ghost blocks must fit one lane tile; the cut-to-edge creep
         # budget (khalo >= k) is guaranteed by the khalo < k guard above.
@@ -1202,6 +1141,15 @@ def _build_multistep_call_cached(
     else:  # None or "chain" (mxu is impossible here: its override is
         # consumed by the elif above)
         chained = fullslab
+    os_x = (fix_left is None) != (fix_right is None)
+    os_y = (fix_bottom is None) != (fix_top is None)
+    if (os_x or os_y) and k > 1 and not chained:
+        # One-sided semantics at k > 1 need the wrap-block consumer
+        # patches, which ride the chained form's roll selects; the
+        # store/trapezoid A/B forms decline (callers fall back to k=1
+        # passes, whose wrap data is consumed before any evolution).
+        # Exception below: padless fused x needs no patch, but y might.
+        return None
     if compute_dtype == jnp.dtype(jnp.bfloat16) and not chained:
         # bf16-STORAGE numerics (f32 arithmetic, one rounding per pass)
         # exist only in the chained form; the store/trapezoid forms would
@@ -1232,23 +1180,6 @@ def _build_multistep_call_cached(
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * n_any
     if sharded:
         in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
-    if sched_on:
-        # Ghost schedules, whole-array VMEM blocks for every program
-        # (tiny), pipelined by pallas itself.  Row schedule (one-sided y):
-        # (k, nx + 2*_XPAD).  Column schedule (one-sided x):
-        # (ny + 2*khalo, 128) — lane t holds sub-step t's ghost column,
-        # so the in-kernel read is a plain column slice.  Input order when
-        # both are active: [row schedule, column schedule, ...].
-        sched_specs = []
-        if sched_y:
-            sched_specs.append(pl.BlockSpec(
-                (k, nx + 2 * _XPAD), lambda b: (0, 0), memory_space=pltpu.VMEM
-            ))
-        if sched_x:
-            sched_specs.append(pl.BlockSpec(
-                (ny + 2 * khalo, 128), lambda b: (0, 0), memory_space=pltpu.VMEM
-            ))
-        in_specs = sched_specs + in_specs
     call = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
@@ -1312,146 +1243,32 @@ def assemble_padded(u: jnp.ndarray, bc: BCConfig, k: int, compat: bool) -> jnp.n
     return jnp.concatenate([bp, m, tp], axis=0)
 
 
-def _ghost_schedule(
-    u: jnp.ndarray, cfg: SimConfig, dt: float, k: int, side: str
-) -> jnp.ndarray:
-    """Per-sub-step ghost rows for a one-sided-periodic Y side.
-
-    With e.g. ``bottom=periodic top=dirichlet`` (the reference's dev.yaml
-    mix), the bottom ghost row must equal the TOP interior row after t
-    steps, for every sub-step t of a fused pass — evolution the kernel
-    cannot do in-slab (the wrap halo's in-buffer neighbor is the wrong
-    row; see :func:`one_sided_periodic`).  Instead, evolve the source edge
-    STRIP (k+1 rows — staleness from the strip's interior cut creeps one
-    row/step, so the edge row stays exact through t = k-1) outside the
-    kernel with the jnp oracle step, recording the padded edge row before
-    each step.  Cost: O(k^2 * nx) vs the pass's O(k * ny * nx) — <1% for
-    any production grid.
-
-    Returns (k, nx + 2*_XPAD): column p holds global column p - _XPAD of
-    the evolved row — wrap columns for two-sided-periodic x, the +-1
-    BC ghost value parked at the pad's inner edge otherwise (deeper pad
-    columns are never read: the in-kernel x fixups stop validity creep at
-    physical x edges).
-    """
-    from .boundary import pad_with_ghosts
-    from .stencil import fused_step
-
-    S = min(cfg.ny, k + 1)
-    if side == "bottom":
-        strip = u[-S:, :]
-        bc = BCConfig(cfg.bc.left, cfg.bc.right, BCType.NEUMANN, cfg.bc.top)
-        ridx = S  # padded row of global row ny-1
-    else:
-        strip = u[:S, :]
-        bc = BCConfig(cfg.bc.left, cfg.bc.right, cfg.bc.bottom, BCType.NEUMANN)
-        ridx = 1  # padded row of global row 0
-    rows = []
-    cur = strip
-    for t in range(k):
-        up = pad_with_ghosts(cur, bc, 0.0, False)
-        rows.append(up[ridx, :])
-        if t + 1 < k:
-            cur = fused_step(up, cfg.D, cfg.vx, cfg.vy, dt, cfg.dx, cfg.dy)
-    rows = jnp.stack(rows)            # (k, nx + 2) incl. +-1 ghosts
-    interior = rows[:, 1:-1]
-    wrap_x = (
-        not cfg.strict_reference_compat
-        and cfg.bc.left == BCType.PERIODIC
-        and cfg.bc.right == BCType.PERIODIC
-    )
-    if wrap_x:
-        left = interior[:, -_XPAD:]
-        right = interior[:, :_XPAD]
-    else:
-        z = jnp.zeros((k, _XPAD - 1), u.dtype)
-        left = jnp.concatenate([z, rows[:, :1]], axis=1)
-        right = jnp.concatenate([rows[:, -1:], z], axis=1)
-    return jnp.concatenate([left, interior, right], axis=1)
-
-
-def _ghost_schedule_x(
-    u: jnp.ndarray, cfg: SimConfig, dt: float, k: int, khalo: int, side: str
-) -> jnp.ndarray:
-    """Per-sub-step ghost COLUMNS for a one-sided-periodic X side
-    (single-device fused-DMA layout) — the column sibling of
-    :func:`_ghost_schedule`.
-
-    Evolve the opposite x edge's strip (full height, k+1 columns —
-    staleness creeps one column/step from the interior cut) with the jnp
-    oracle step, re-pinning ALL other ghosts per sub-step via
-    ``pad_with_ghosts``: the far x side gets its real BC, and the y sides
-    get the config's real BCs — including a one-sided-periodic y wrap,
-    which re-pins from the strip's own opposite row (the strip is full
-    height, so it contains its own wrap source).  That makes this exact
-    for both-axes-one-sided configs with no cross-schedule coupling.
-
-    Returns (ny + 2*khalo, 128): lane t holds sub-step t's ghost column at
-    schedule row p = global row p - khalo, vertically wrap-tiled so the
-    kernel's per-block window (buffer rows are global rows mod ny in
-    fused-DMA mode) reads the right values at every block; rows behind the
-    physical-y fixup barriers are never consumed.
-    """
-    from .boundary import pad_with_ghosts
-    from .stencil import fused_step
-
-    S = min(cfg.nx, k + 1)
-    if side == "left":
-        strip = u[:, -S:]
-        bc = BCConfig(BCType.NEUMANN, cfg.bc.right, cfg.bc.bottom, cfg.bc.top)
-        cidx = S  # padded col of global col nx-1
-    else:
-        strip = u[:, :S]
-        bc = BCConfig(cfg.bc.left, BCType.NEUMANN, cfg.bc.bottom, cfg.bc.top)
-        cidx = 1  # padded col of global col 0
-    cols = []
-    cur = strip
-    for t in range(k):
-        up = pad_with_ghosts(cur, bc, 0.0, False)
-        cols.append(up[1:-1, cidx])
-        if t + 1 < k:
-            cur = fused_step(up, cfg.D, cfg.vx, cfg.vy, dt, cfg.dx, cfg.dy)
-    cols = jnp.stack(cols, axis=1)  # (ny, k)
-    idx = jnp.arange(-khalo, cfg.ny + khalo) % cfg.ny  # mod-ny wrap tiling
-    ext = cols[idx]
-    pad = jnp.zeros((ext.shape[0], 128 - k), u.dtype)
-    return jnp.concatenate([ext, pad], axis=1)
-
-
 def _fixes_and_sides(cfg: SimConfig, k: int, x_sched: bool = False):
     """The kernel-build BC parameters for a config at pass size k:
-    (fixes 4-list, scheduled y side, scheduled x side, wrap_x).
-    One-sided-periodic-y at k>1 marks the periodic side "sched"
-    (ghost-row schedule); with ``x_sched=True`` (layouts that plumb a
-    column schedule: the sharded slab path and the single-device
-    fused-DMA path) one-sided-periodic-x likewise marks its side
-    (ghost-COLUMN schedule).  BOTH may be set at once — a both-axes
-    one-sided config takes a row schedule and a column schedule
-    together.  ``wrap_x`` requests wrap data in the x pads; a scheduled
-    x side re-pins its ghost column per sub-step instead (the pads
-    behind that barrier are never consumed), so it suppresses the wrap
-    strips.  Single source for the build sites and the transpose-path
-    probe — they must agree byte-for-byte or a probe would stop
-    matching the runtime build."""
+    (fixes 4-list, None, None, wrap_x).
+
+    One-sided-periodic sides are live-periodic (fix None): the layouts
+    deliver true wrap data for them (circular roll wrap in padless
+    full-width x; mod-extent segments / exchanged slabs elsewhere) and
+    the CHAINED kernel re-pins the opposite side's BC at the wrap data's
+    outer line every sub-step (the ``wrap_*_mask`` consumer patches) — so
+    the wrap block evolves with the one-sided semantics instead of as a
+    torus.  This replaced the r02-r03 ghost-SCHEDULE machinery (opposite
+    edge strips evolved outside the kernel), which computed the same
+    values at higher cost and complexity.  The middle two return slots
+    (formerly the scheduled y/x sides) are kept for caller compatibility
+    and are always None.  ``wrap_x`` requests wrap data in the x pads
+    whenever any x side is live-periodic."""
+    del x_sched
     compat = cfg.strict_reference_compat
     fixes = [
         _fixup_side(cfg.bc.left, compat), _fixup_side(cfg.bc.right, compat),
         _fixup_side(cfg.bc.bottom, compat), _fixup_side(cfg.bc.top, compat),
     ]
-    side_y = None
-    side_x = None
-    if k > 1 and one_sided_periodic_y(cfg):
-        side_y = "bottom" if cfg.bc.bottom == BCType.PERIODIC else "top"
-        fixes[2 if side_y == "bottom" else 3] = "sched"
-    if k > 1 and x_sched and one_sided_periodic_x(cfg):
-        side_x = "left" if cfg.bc.left == BCType.PERIODIC else "right"
-        fixes[0 if side_x == "left" else 1] = "sched"
-    wrap_x = (
-        not compat
-        and (cfg.bc.left == BCType.PERIODIC or cfg.bc.right == BCType.PERIODIC)
-        and side_x is None
+    wrap_x = not compat and (
+        cfg.bc.left == BCType.PERIODIC or cfg.bc.right == BCType.PERIODIC
     )
-    return fixes, side_y, side_x, wrap_x
+    return fixes, None, None, wrap_x
 
 
 def multistep_kernel_step(
@@ -1480,13 +1297,13 @@ def multistep_kernel_step(
 
     ny, nx = u.shape
     compat = cfg.strict_reference_compat
-    # One-sided periodic sides are re-supplied per sub-step from
-    # precomputed schedules of the opposite edge's evolution: a ghost-row
-    # schedule for a y side, a ghost-column schedule for an x side — both
-    # at once for both-axes-one-sided configs (the schedules are
-    # independent: each strip is full-extent along the other axis, so it
-    # contains its own wrap source; see _ghost_schedule / _ghost_schedule_x).
-    fixes, side_y, side_x, wrap_x = _fixes_and_sides(cfg, k, x_sched=True)
+    # One-sided-periodic sides are live wrap data handled in-kernel: the
+    # padless full-width layout wraps x through the circular roll itself,
+    # the mod-extent DMA segments / assembled pads carry the y (and
+    # strip-mode x) wrap copies, and the chained form's wrap_*_mask
+    # consumer patches pin the opposite side's BC at each wrap block's
+    # outer line every sub-step — no precomputed schedules.
+    fixes, _sy, _sx, wrap_x = _fixes_and_sides(cfg, k, x_sched=True)
     rest = (
         float(dt), float(cfg.D), float(cfg.vx), float(cfg.vy),
         float(cfg.dx), float(cfg.dy), 0.0, *fixes, wrap_x,
@@ -1500,23 +1317,20 @@ def multistep_kernel_step(
         jnp.dtype(u.dtype).name, interpret,
     )
     if call is not None:
-        args = []
-        if side_y is not None:
-            args.append(_ghost_schedule(u, cfg, dt, k, side_y))
-        if side_x is not None:
-            args.append(_ghost_schedule_x(u, cfg, dt, k, khalo8, side_x))
-        return call(*args, u)
-    if side_y is not None or side_x is not None:
-        # Scheduled ghosts exist only in the fused-DMA layout; grids it
-        # cannot fit fall back to exact single-step passes.
-        return stepwise()
+        return call(u)
     call = _build_multistep_call(
         ny, nx, k, k, *rest, False, False, False, False,
         jnp.dtype(u.dtype).name, interpret,
     )
-    if call is None:
-        return None
-    return call(assemble_padded(u, cfg.bc, k, compat))
+    if call is not None:
+        return call(assemble_padded(u, cfg.bc, k, compat))
+    if k > 1 and one_sided_periodic(cfg):
+        # One-sided at k > 1 needs the chained wrap patches; layouts that
+        # decline (e.g. a sublane-misaligned assembled window) fall back
+        # to exact single-step passes, whose wrap ghosts are consumed
+        # before any in-buffer evolution.
+        return stepwise()
+    return None
 
 
 def prepadded_kernel_step(
@@ -1613,294 +1427,6 @@ def tile_region_multistep(
     return call(padded)
 
 
-def _corner_patch_states(
-    patch: jnp.ndarray,
-    cfg: SimConfig,
-    dt: float,
-    k: int,
-    far_x_kind: str,
-    far_y_kind: str,
-    x_far_high: bool,
-    y_far_high: bool,
-):
-    """Evolve the (khalo, khalo) corner wrap block standalone, returning
-    its state before each sub-step ``[P_0 .. P_{k-1}]``.
-
-    For both-axes one-sided-periodic meshes, each slab schedule's strip
-    contains a wrap block copied from the opposite corner of the global
-    field (delivered by the slab exchanges).  That block's correct
-    evolution needs the OPPOSITE edges' BCs at its two outer sides — and
-    both of those are the axes' NON-periodic sides, so the patch evolves
-    with no wrap inputs at all: re-pin the far-x/far-y ghost lines per
-    sub-step, let staleness creep from the two cut sides (khalo >= k
-    keeps the rows/columns the schedules read exact through t = k-1).
-    The schedules overwrite their strip's wrap block with ``P_t`` before
-    sub-step t, flag-gated to the shards whose block actually holds wrap
-    data."""
-    wc, wxm, wxp, wym, wyp = _stencil_weights(
-        dt, cfg.D, cfg.vx, cfg.vy, cfg.dx, cfg.dy
-    )
-    states = [patch]
-    cur = patch
-    for _ in range(k - 1):
-        h = cur.shape[0]
-        gx = _bc_ghost_line(far_x_kind, cur[:, -1] if x_far_high else cur[:, 0])
-        zx = jnp.zeros((h, 1), cur.dtype)
-        if x_far_high:
-            p = jnp.concatenate([zx, cur, gx[:, None]], axis=1)
-        else:
-            p = jnp.concatenate([gx[:, None], cur, zx], axis=1)
-        gy = _bc_ghost_line(far_y_kind, p[-1] if y_far_high else p[0])
-        zy = jnp.zeros((1, p.shape[1]), cur.dtype)
-        if y_far_high:
-            p = jnp.concatenate([zy, p, gy[None, :]], axis=0)
-        else:
-            p = jnp.concatenate([gy[None, :], p, zy], axis=0)
-        c = p[1:-1, 1:-1]
-        cur = (
-            wc * c
-            + wym * p[:-2, 1:-1] + wyp * p[2:, 1:-1]
-            + wxm * p[1:-1, :-2] + wxp * p[1:-1, 2:]
-        )
-        states.append(cur)
-    return states
-
-
-def slab_ghost_schedule(
-    yhalo: jnp.ndarray,
-    edge_flags: jnp.ndarray,
-    cfg: SimConfig,
-    dt: float,
-    k: int,
-    khalo: int,
-    side: str,
-    corner_states=None,
-) -> jnp.ndarray:
-    """Sharded ghost-row schedule from the exchanged y slab (shard-local).
-
-    For one-sided-periodic-y meshes the cyclic y ppermute already delivers
-    the OPPOSITE edge's khalo-row strip (with diagonal x context) to the
-    periodic-edge shards — exactly the evolution source the ghost schedule
-    needs (see :func:`_ghost_schedule`).  Evolve it k steps here with the
-    kernel's own 5-FMA weights, re-pinning the strip's physical ghosts per
-    step (the far y side with the REAL opposite BC, the x edges gated on
-    ``edge_flags``), recording the edge row before each step.
-
-    Runs inside shard_map on every shard; the result is only meaningful on
-    shards whose ``side`` is the physical edge — elsewhere the kernel's
-    flag gating ignores it.  Staleness creeps one row/column per step from
-    the strip's cut edge and the zero-padded slab columns: khalo >= k rows
-    and 128-wide pads keep the recorded rows exact through t = k-1.
-
-    Returns (k, mx + 2*_XPAD), same column convention as the slab.
-    """
-    W = yhalo.shape[1]
-    mx = W - 2 * _XPAD
-    strip = yhalo[:khalo] if side == "bottom" else yhalo[khalo:]
-    wc, wxm, wxp, wym, wyp = _stencil_weights(
-        dt, cfg.D, cfg.vx, cfg.vy, cfg.dx, cfg.dy
-    )
-    dtype = yhalo.dtype
-    bc_line = _bc_ghost_line  # bc_value is 0.0 throughout
-
-    fix_l = _fixup_side(cfg.bc.left, False)
-    fix_r = _fixup_side(cfg.bc.right, False)
-    far_kind = _fixup_side(
-        cfg.bc.top if side == "bottom" else cfg.bc.bottom, False
-    )
-
-    # Both-axes one-sided: the strip's x pad on the periodic-x side holds
-    # a wrap block from the opposite CORNER, whose evolution needs the
-    # far x BC (torus-roll evolution would contaminate the strip's edge
-    # interior columns from t = 2 on).  Evolve it standalone
-    # (_corner_patch_states) and re-supply it before each sub-step,
-    # flag-gated to the physical-x-edge shards that actually received
-    # wrap data there.
-    patch_states = None
-    if one_sided_periodic_x(cfg):
-        x_left = cfg.bc.left == BCType.PERIODIC
-        pad_cols = (
-            slice(_XPAD - khalo, _XPAD) if x_left
-            else slice(_XPAD + mx, _XPAD + mx + khalo)
-        )
-        x_flag = edge_flags[0] if x_left else edge_flags[1]
-        if corner_states is not None:
-            patch_states = corner_states
-        else:
-            far_x = _fixup_side(cfg.bc.right if x_left else cfg.bc.left, False)
-            patch_states = _corner_patch_states(
-                strip[:, pad_cols], cfg, dt, k, far_x, far_kind,
-                x_far_high=x_left, y_far_high=(side == "bottom"),
-            )
-
-    def x_fix(a):
-        # physical x edges re-pinned per step (flag-gated, like the kernel)
-        if fix_l is not None:
-            col = bc_line(fix_l, a[:, _XPAD])
-            a = a.at[:, _XPAD - 1].set(
-                jnp.where(edge_flags[0] != 0, col, a[:, _XPAD - 1])
-            )
-        if fix_r is not None:
-            col = bc_line(fix_r, a[:, _XPAD + mx - 1])
-            a = a.at[:, _XPAD + mx].set(
-                jnp.where(edge_flags[1] != 0, col, a[:, _XPAD + mx])
-            )
-        return a
-
-    rows = []
-    cur = strip
-    zrow = jnp.zeros((1, W), dtype)
-    for t in range(k):
-        if patch_states is not None and t > 0:
-            blk = jnp.where(x_flag != 0, patch_states[t], cur[:, pad_cols])
-            cur = cur.at[:, pad_cols].set(blk)
-        cur = x_fix(cur)
-        if side == "bottom":
-            edge = cur[-1]
-            far = bc_line(far_kind, edge) if far_kind is not None else edge
-            padded = jnp.concatenate([zrow, cur, far[None, :]], axis=0)
-        else:
-            edge = cur[0]
-            far = bc_line(far_kind, edge) if far_kind is not None else edge
-            padded = jnp.concatenate([far[None, :], cur, zrow], axis=0)
-        rows.append(edge)
-        if t + 1 < k:
-            c = padded[1:-1]
-            ym = padded[:-2]
-            yp = padded[2:]
-            xm = jnp.roll(c, 1, axis=1)
-            xp = jnp.roll(c, -1, axis=1)
-            cur = wc * c + wym * ym + wyp * yp + wxm * xm + wxp * xp
-    return jnp.stack(rows)
-
-
-def slab_ghost_schedule_x(
-    xhalo: jnp.ndarray,
-    yhalo: jnp.ndarray,
-    edge_flags: jnp.ndarray,
-    cfg: SimConfig,
-    dt: float,
-    k: int,
-    khalo: int,
-    side: str,
-    corner_states=None,
-) -> jnp.ndarray:
-    """Sharded ghost-COLUMN schedule for one-sided-periodic-x meshes.
-
-    The cyclic x ppermute delivers the opposite x edge's khalo-column
-    strip to the periodic-edge shards (``xhalo``), and the y slabs' x-pad
-    columns carry the SAME strip's y-neighbor extension (``yhalo`` is
-    exchanged after x, so its pads hold the neighbors' received x ghosts)
-    — together a (my + 2*khalo, khalo) strip with y context.  Evolve it
-    k steps with the kernel's weights, re-pinning the strip's physical
-    ghosts per step (the far x side with the REAL opposite BC; the y
-    ghost rows flag-gated like the kernel; two-sided-periodic-y wrap rows
-    evolve by creep, margin khalo >= k; ONE-sided-periodic-y wrap rows
-    are re-supplied per sub-step from :func:`_corner_patch_states`),
-    recording the edge column before each step.
-
-    Returns (my + 2*khalo, 128): lane t holds sub-step t's ghost column
-    (schedule row p = tile row p - khalo), so the kernel reads it as a
-    plain column slice.  Meaningful only on shards whose ``side`` is the
-    physical edge — elsewhere flag-gated garbage.
-
-    NOTE: axis-swapped sibling of :func:`slab_ghost_schedule` (same
-    evolve-and-record structure, pad/fixup positions transposed); both
-    share :func:`_stencil_weights` / :func:`_bc_ghost_line`, and the
-    k = khalo tightest-margin tests pin each against the oracle — change
-    them together.
-    """
-    W = yhalo.shape[1]
-    mx = W - 2 * _XPAD
-    my = xhalo.shape[0]
-    if side == "left":
-        # wrap source = global RIGHT edge strip, delivered into the left
-        # ghost block: xhalo cols [XPAD-khalo, XPAD); the y-extension
-        # sits at the same columns of the y slabs (their x pads carry the
-        # y-neighbors' received x ghosts).
-        x_cols = slice(_XPAD - khalo, _XPAD)
-        y_cols = slice(_XPAD - khalo, _XPAD)
-        far_kind = _fixup_side(cfg.bc.right, False)
-        edge_col = -1  # global col nx-1
-    else:
-        # wrap source = global LEFT edge strip, in the right ghost block:
-        # xhalo cols [XPAD, XPAD+khalo); yhalo cols [XPAD+mx, XPAD+mx+khalo)
-        # (the y slabs are mx+2k wide before their zero alignment pads).
-        x_cols = slice(_XPAD, _XPAD + khalo)
-        y_cols = slice(_XPAD + mx, _XPAD + mx + khalo)
-        far_kind = _fixup_side(cfg.bc.left, False)
-        edge_col = 0  # global col 0
-    strip = jnp.concatenate(
-        [yhalo[:khalo, y_cols], xhalo[:, x_cols], yhalo[khalo:, y_cols]],
-        axis=0,
-    )  # (my + 2*khalo, khalo)
-    H = my + 2 * khalo
-    wc, wxm, wxp, wym, wyp = _stencil_weights(
-        dt, cfg.D, cfg.vx, cfg.vy, cfg.dx, cfg.dy
-    )
-    dtype = xhalo.dtype
-    fix_b = _fixup_side(cfg.bc.bottom, False)
-    fix_t = _fixup_side(cfg.bc.top, False)
-
-    # Both-axes one-sided: the strip's y extension on the periodic-y side
-    # holds a wrap block from the opposite CORNER — evolve it standalone
-    # with the far y BC and re-supply per sub-step (see
-    # _corner_patch_states), flag-gated to physical-y-edge shards.
-    patch_states = None
-    if one_sided_periodic_y(cfg):
-        y_bottom = cfg.bc.bottom == BCType.PERIODIC
-        pad_rows = slice(0, khalo) if y_bottom else slice(my + khalo, H)
-        y_flag = edge_flags[2] if y_bottom else edge_flags[3]
-        if corner_states is not None:
-            patch_states = corner_states
-        else:
-            far_y = _fixup_side(cfg.bc.top if y_bottom else cfg.bc.bottom, False)
-            patch_states = _corner_patch_states(
-                strip[pad_rows], cfg, dt, k, far_kind, far_y,
-                x_far_high=(side == "left"), y_far_high=y_bottom,
-            )
-
-    def y_fix(a):
-        # the strip's physical y ghost rows, flag-gated like the kernel;
-        # periodic y sides keep their exchanged wrap rows (creep-exact)
-        if fix_b is not None:
-            row = _bc_ghost_line(fix_b, a[khalo])
-            a = a.at[khalo - 1].set(
-                jnp.where(edge_flags[2] != 0, row, a[khalo - 1])
-            )
-        if fix_t is not None:
-            row = _bc_ghost_line(fix_t, a[khalo + my - 1])
-            a = a.at[khalo + my].set(
-                jnp.where(edge_flags[3] != 0, row, a[khalo + my])
-            )
-        return a
-
-    cols = []
-    cur = strip
-    zcol = jnp.zeros((H, 1), dtype)
-    for t in range(k):
-        if patch_states is not None and t > 0:
-            blk = jnp.where(y_flag != 0, patch_states[t], cur[pad_rows])
-            cur = cur.at[pad_rows].set(blk)
-        cur = y_fix(cur)
-        edge = cur[:, edge_col]
-        far = _bc_ghost_line(far_kind, edge) if far_kind is not None else edge
-        if side == "left":
-            padded = jnp.concatenate([zcol, cur, far[:, None]], axis=1)
-        else:
-            padded = jnp.concatenate([far[:, None], cur, zcol], axis=1)
-        cols.append(edge)
-        if t + 1 < k:
-            c = padded[:, 1:-1]
-            xm = padded[:, :-2]
-            xp = padded[:, 2:]
-            ym = jnp.roll(c, 1, axis=0)
-            yp = jnp.roll(c, -1, axis=0)
-            cur = wc * c + wym * ym + wyp * yp + wxm * xm + wxp * xp
-    sched = jnp.stack(cols, axis=1)  # (H, k)
-    return jnp.concatenate([sched, jnp.zeros((H, 128 - k), dtype)], axis=1)
-
-
 def slab_x_strip_pair(
     tile: jnp.ndarray,
     xhalo: jnp.ndarray,
@@ -1976,15 +1502,14 @@ def sharded_tile_slab_multistep(
     layout).  ``probe=True`` (with ``probe_shape=(my, mx)``) reports layout
     availability.  Returns the updated interior, or None if no layout.
 
-    One-sided-periodic configs fuse at full k here too: the periodic
-    side's ghost line is re-supplied per sub-step from the shard-local
-    :func:`slab_ghost_schedule` (y sides) or
-    :func:`slab_ghost_schedule_x` (x sides), flag-gated to physical-edge
-    shards — both at once for both-axes-one-sided configs (the
-    cross-corner coupling is resolved by :func:`_corner_patch_states`).
+    One-sided-periodic configs fuse at full k here too: the cyclic slab
+    exchange delivers the opposite edge's strip to the periodic-edge
+    shards, and the kernel's flag-gated wrap_*_mask consumer patches pin
+    the far side's BC at the strip's outer line every sub-step — both
+    axes at once compose (the corner wrap data gets both patches).
     """
     my, mx = probe_shape if probe else tile.shape
-    fixes, side_y, side_x, _ = _fixes_and_sides(cfg, k, x_sched=True)
+    fixes, _sy, _sx, _ = _fixes_and_sides(cfg, k, x_sched=True)
     # khalo is k rounded up to the dtype's sublane tile (the caller's
     # exchange depth when given): remainder passes exchange same-width
     # slabs and simply run fewer sub-steps.
@@ -1995,64 +1520,29 @@ def sharded_tile_slab_multistep(
         float(dt), float(cfg.D), float(cfg.vx), float(cfg.vy),
         float(cfg.dx), float(cfg.dy), 0.0,
     )
-    # PADLESS fast path (no one-sided periodicity): the buffer is
-    # (Rbuf, mx + 128) — main lanes plus ONE packed ghost-strip lane tile
-    # that evolves with the main array (slab_x_strip_pair) — instead of
-    # the 2x128 strip-pad lanes, and 6 DMAs instead of 17.  The kernel
-    # declines (None) past the chain width knee or for non-chain substep
-    # overrides; the strip-pad layout below then serves.
-    if side_y is None and side_x is None:
-        pcall = _build_multistep_call(
-            my, mx, k, khalo8, *rest, *fixes,
-            False, False, False, True, True, dtype_name, interpret,
-            slab_padless=True,
-        )
-        if pcall is not None:
-            if probe:
-                return pcall
-            strip = slab_x_strip_pair(tile, xhalo, yhalo, khalo8)
-            return pcall(edge_flags.astype(jnp.int32), tile, yhalo, strip)
+    # PADLESS fast path: the buffer is (Rbuf, mx + 128) — main lanes plus
+    # ONE packed ghost-strip lane tile that evolves with the main array
+    # (slab_x_strip_pair) — instead of the 2x128 strip-pad lanes, and 6
+    # DMAs instead of 17.  The kernel declines (None) past the chain
+    # width knee or for non-chain substep overrides; the strip-pad layout
+    # below then serves.
+    pcall = _build_multistep_call(
+        my, mx, k, khalo8, *rest, *fixes,
+        False, False, False, True, True, dtype_name, interpret,
+        slab_padless=True,
+    )
+    if pcall is not None:
+        if probe:
+            return pcall
+        strip = slab_x_strip_pair(tile, xhalo, yhalo, khalo8)
+        return pcall(edge_flags.astype(jnp.int32), tile, yhalo, strip)
     call = _build_multistep_call(
         my, mx, k, khalo8, *rest, *fixes,
         False, False, False, True, True, dtype_name, interpret,
     )
     if probe or call is None:
         return call
-    # Both-axes: the two schedules' strips share ONE corner wrap block
-    # (identical source data, far BCs, and orientation) — evolve it once
-    # and hand the states to both builders, which keeps their corner data
-    # identical by construction and avoids a duplicate evolution.
-    corner = None
-    if side_y is not None and side_x is not None:
-        y_rows = (
-            slice(0, khalo8) if side_y == "bottom"
-            else slice(khalo8, 2 * khalo8)
-        )
-        x_cols = (
-            slice(_XPAD - khalo8, _XPAD) if side_x == "left"
-            else slice(_XPAD + mx, _XPAD + mx + khalo8)
-        )
-        far_x = _fixup_side(
-            cfg.bc.right if side_x == "left" else cfg.bc.left, False
-        )
-        far_y = _fixup_side(
-            cfg.bc.top if side_y == "bottom" else cfg.bc.bottom, False
-        )
-        corner = _corner_patch_states(
-            yhalo[y_rows, x_cols], cfg, dt, k, far_x, far_y,
-            x_far_high=(side_x == "left"), y_far_high=(side_y == "bottom"),
-        )
-    scheds = []
-    if side_y is not None:
-        scheds.append(slab_ghost_schedule(
-            yhalo, edge_flags, cfg, dt, k, khalo8, side_y, corner_states=corner
-        ))
-    if side_x is not None:
-        scheds.append(slab_ghost_schedule_x(
-            xhalo, yhalo, edge_flags, cfg, dt, k, khalo8, side_x,
-            corner_states=corner,
-        ))
-    return call(*scheds, edge_flags.astype(jnp.int32), tile, xhalo, yhalo)
+    return call(edge_flags.astype(jnp.int32), tile, xhalo, yhalo)
 
 
 def carrier_tile_slab_multistep(
@@ -2185,28 +1675,17 @@ def one_sided_periodic(cfg: SimConfig) -> bool:
     ``bottom=periodic top=dirichlet``.
 
     The oracle's convention (ops/boundary.py::_ghost_line) re-pins the wrap
-    ghost from the opposite edge's CURRENT line every step.  A multi-step
-    kernel pass cannot honor that with wrap DATA in the pads: the wrapped
-    halo copies evolve in-slab as if the axis were a full torus, missing the
-    other edge's BC, and the contamination reaches the periodic-edge output
-    rows from the second sub-step on.  Both-sides-periodic (a true torus
-    axis) and compat mode (periodic == stale zeros, re-suppliable per
-    sub-step) fuse fine.
-
-    The cap is lifted per axis with a **ghost schedule**: the periodic
-    side is treated like a physical edge whose ghost line at sub-step t
-    is the opposite edge's line evolved t steps, precomputed outside the
-    kernel (Y: :func:`_ghost_schedule` single-device,
-    :func:`slab_ghost_schedule` shard-local on the slab path.  X:
-    :func:`_ghost_schedule_x` single-device — :func:`transposed_config`
-    can alternatively transpose onto the y machinery —
-    :func:`slab_ghost_schedule_x` sharded).  BOTH axes one-sided at once
-    run a row and a column schedule together: each strip evolves
-    standalone (single-device strips are full-extent along the other
-    axis; the slab strips' corner wrap blocks are re-supplied from the
-    standalone :func:`_corner_patch_states` evolution).  Only the
-    assembled/overlap sharded fallbacks and grids the fused/slab layouts
-    cannot fit keep the exact k=1 cap.
+    ghost from the opposite edge's CURRENT line every step.  Naive wrap
+    DATA in the pads evolves in-slab as if the axis were a full torus,
+    missing the other edge's BC, from the second sub-step on.  Every
+    CHAINED layout fixes that in-kernel: the wrap block's outer line is
+    re-pinned to the opposite side's BC by a masked select on the rolled
+    operand (the ``wrap_*_mask`` consumer patches; for padless full-width
+    x the main array itself wraps through the roll, so the fixed side's
+    ordinary fixup select already is the barrier).  Only the overlap
+    path's region kernels (no wrap data in any region) and the
+    store/trapezoid A/B forms keep the exact k=1 cap — this predicate is
+    what they and the driver's policy checks consult.
     """
     return one_sided_periodic_x(cfg) or one_sided_periodic_y(cfg)
 
@@ -2242,109 +1721,25 @@ def pick_steps_per_pass(
     return max(1, k)
 
 
-def transposed_config(cfg: SimConfig) -> SimConfig:
-    """The same physics on the transposed (x, y) array: swap grid extents,
-    spacings, velocities, and BC sides (left/right <-> bottom/top).  The
-    stencil is symmetric under the swap, so advancing the transposed field
-    with the transposed config and transposing back is exact."""
-    import dataclasses
-
-    out = dataclasses.replace(
-        cfg, nx=cfg.ny, ny=cfg.nx, dx=cfg.dy, dy=cfg.dx, vx=cfg.vy, vy=cfg.vx
-    )
-    out.bc = BCConfig(
-        left=cfg.bc.bottom, right=cfg.bc.top,
-        bottom=cfg.bc.left, top=cfg.bc.right,
-    )
-    return out
-
-
 def build_multistep_advance(
     cfg: SimConfig, dt: float, interpret: bool = False
 ) -> Callable[[int], Callable]:
     """``advance(chunk)`` -> jitted fn advancing the global field ``chunk``
     steps via multi-step kernel passes (single-device / GSPMD path).
 
-    One-sided-periodic-**x**-only configs are advanced on the TRANSPOSED
-    field when the transposed grid fits the fused ghost-row-schedule
-    layout: two transposes per chunk (~2/chunk extra HBM passes) keep the
-    row-schedule kernel, measured faster than the direct ghost-COLUMN
-    schedule (191.5 vs 170.2 Gpt/s device-timeline at 4096² with the
-    lane-masked select fixups; 172.2 vs 142.0 wall before them).  Where
-    the transposed layout does not fit, multistep_kernel_step's direct
-    ``_ghost_schedule_x`` path still fuses at full k; both-axes-one-sided
-    configs always take the direct row+column-schedule path (transposing
-    cannot help there).  ``CLIMATE_SIM_X_SCHED=direct|transpose`` forces
-    the choice (perf-sweep A/B knob); forcing ``transpose`` where that
-    route is unavailable (the transposed layout does not lower, or the
-    config is both-axes one-sided) raises instead of silently measuring
-    the direct path under a "transpose" label.  Configs with no one-sided
-    x side ignore the knob.
+    One-sided-periodic configs fuse at full k in every chained layout:
+    live wrap data (the circular roll's own wrap in padless full-width x;
+    mod-extent DMA segments / assembled pads elsewhere) plus the
+    wrap_*_mask consumer patches.  The r03 transpose route for
+    one-sided-x (two transposes per chunk onto the y-schedule machinery,
+    and its CLIMATE_SIM_X_SCHED knob) is gone with the schedules it
+    worked around: the direct padless layout now handles x one-sidedness
+    with a single ordinary fixup select — no transposes, no schedule.
     """
     from .boundary import pad_with_ghosts
     from .stencil import fused_step_storage
 
     compat = cfg.strict_reference_compat
-
-    x_sched_pref = os.environ.get("CLIMATE_SIM_X_SCHED", "")
-    if x_sched_pref not in ("", "direct", "transpose"):
-        raise ValueError(
-            f"CLIMATE_SIM_X_SCHED={x_sched_pref!r}: must be 'direct' or"
-            " 'transpose'"
-        )
-    if (
-        one_sided_periodic_x(cfg)
-        and not one_sided_periodic_y(cfg)
-        and x_sched_pref != "direct"
-    ):
-        tcfg = transposed_config(cfg)
-        # Only worth it when the transposed grid actually takes the fused
-        # scheduled layout AT THE RUN'S DTYPE (probe one k=8 build, the
-        # exact parameters multistep_kernel_step would use — shared via
-        # _fixes_and_sides); otherwise the transposes buy nothing over the
-        # untransposed passes (e.g. bf16 on hardware never lowers).
-        tfix, _tside_y, _tside_x, twrap = _fixes_and_sides(tcfg, 8)
-        dtype_name = {"f32": "float32", "f64": "float64", "bf16": "bfloat16"}.get(
-            getattr(cfg, "precision", "f32"), "float32"
-        )
-        probe = _build_multistep_call(
-            tcfg.ny, tcfg.nx, 8, 8,
-            float(dt), float(cfg.D), float(tcfg.vx), float(tcfg.vy),
-            float(tcfg.dx), float(tcfg.dy), 0.0, *tfix, twrap,
-            True, False, False, False, dtype_name, interpret,
-        )
-        if probe is not None:
-            t_advance = build_multistep_advance(tcfg, dt, interpret)
-
-            @functools.lru_cache(maxsize=None)
-            def advance_t(chunk: int):
-                inner = t_advance(chunk)
-
-                def body(u):
-                    return jnp.transpose(inner(jnp.transpose(u)))
-
-                return jax.jit(body)
-
-            return advance_t
-        if x_sched_pref == "transpose":
-            # An A/B sweep must not silently measure the direct path under
-            # a "transpose" label: the forced route is unavailable for this
-            # config/dtype (the k=8 probe did not lower), so fail loudly.
-            raise ValueError(
-                "CLIMATE_SIM_X_SCHED=transpose: the transposed fused layout"
-                f" does not lower for this config (ny={cfg.ny}, nx={cfg.nx},"
-                f" precision={getattr(cfg, 'precision', 'f32')}); unset the"
-                " knob or use CLIMATE_SIM_X_SCHED=direct"
-            )
-    elif x_sched_pref == "transpose" and one_sided_periodic_x(cfg):
-        # Both-axes one-sided: transposing swaps which axis needs the column
-        # schedule without removing it, so there is no transpose route.
-        # (Configs with no one-sided x side ignore the knob, like "direct".)
-        raise ValueError(
-            "CLIMATE_SIM_X_SCHED=transpose only applies to"
-            " one-sided-periodic-x-ONLY configs (both-axes one-sided always"
-            " runs the direct row+column-schedule path)"
-        )
 
     def jnp_step(u):
         return fused_step_storage(

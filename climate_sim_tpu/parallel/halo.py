@@ -74,8 +74,8 @@ def _pshift(
 def axis_wrap_flags(cfg: SimConfig):
     """(wrap_x, wrap_y): does each mesh axis need wrap payloads in its halo
     exchange?  True when either side of the axis is live-periodic (two-sided
-    torus wrap, or a one-sided side whose ghost schedule evolves the
-    delivered opposite-edge strip).  Compat-mode periodic is a stale-zero
+    torus wrap, or a one-sided side whose wrap consumer patch pins the
+    delivered opposite-edge strip's far BC in-kernel).  Compat-mode periodic is a stale-zero
     no-op that never consumes wrap data (reference: boundary.cpp has no
     Periodic branch), so it truncates like Dirichlet/Neumann."""
     if cfg.strict_reference_compat:
@@ -269,10 +269,9 @@ def build_sharded_multistep_advance(
 
     tile_cfg = dataclasses.replace(cfg, nx=mx, ny=my)
     # y_sched/x_sched: the slab path fuses one-sided-periodic configs at
-    # full k via the shard-local ghost schedules (slab_ghost_schedule /
-    # slab_ghost_schedule_x) — including both axes one-sided at once
-    # (row + column schedules together, corner coupling resolved by
-    # _corner_patch_states).
+    # full k — the cyclic exchange delivers the opposite edge's strip and
+    # the kernel's wrap_*_mask consumer patches pin the far BC at its
+    # outer line every sub-step (both axes compose).
     k = pick_steps_per_pass(
         tile_cfg, cfg.out_every or 8, y_sched=True, x_sched=True
     )

@@ -192,7 +192,7 @@ def resolve_auto_policies(cfg: SimConfig, mesh) -> SimConfig:
         overlap = False
         if mesh is not None and dcn > 1 and not one_sided_periodic(cfg):
             # One-sided-periodic mixes cap the overlap path at 1 step per
-            # pass (no ghost-schedule plumbing in its region kernels) —
+            # pass (its region kernels carry no wrap blocks to patch) —
             # per-step exchanges over DCN, the opposite of what overlap
             # buys — so auto never picks it for them; the slab path fuses
             # those configs at full depth.
@@ -307,7 +307,7 @@ def prepare(cfg: SimConfig, devices=None):
                     and one_sided_periodic(cfg)
                     and is_controller()
                 ):
-                    # The overlap path plumbs no ghost schedules, so these
+                    # The overlap path's region kernels carry no wrap blocks, so these
                     # configs cap at one step per pass — per-step exchanges,
                     # the opposite of what overlap buys on a DCN mesh
                     # (docs/performance.md "When does overlap pay?").  Warn

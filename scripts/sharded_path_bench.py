@@ -47,7 +47,7 @@ def main() -> int:
                     choices=["bench", "dirichlet", "one_sided_y",
                              "one_sided_x", "both_one_sided"],
                     help="BC class (bench = the canonical mixed workload; "
-                         "the one-sided classes time the ghost-schedule "
+                         "the one-sided classes time the wrap-patch "
                          "paths)")
     a = ap.parse_args()
 

@@ -104,7 +104,7 @@ def main() -> int:
                     choices=["bench", "dirichlet", "torus", "one_sided_y",
                              "one_sided_x", "both_one_sided"],
                     help="BC class (the one-sided classes trace the "
-                         "ghost-schedule paths)")
+                         "wrap-consumer-patch paths)")
     a = ap.parse_args()
 
     outdir = a.analyze_only or a.trace_dir or tempfile.mkdtemp(prefix="tracerate_")

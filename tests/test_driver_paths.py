@@ -198,8 +198,8 @@ def test_overlap_flag_builds_sharded_path(tmp_path):
 
 def test_overlap_with_one_sided_periodic_warns(capsys):
     """halo_overlap + a one-sided-periodic BC mix caps the overlap path at
-    one step per pass (no ghost-schedule plumbing in the five region
-    kernels) — the driver must say so instead of silently running per-step
+    one step per pass (the five region kernels carry no wrap blocks to
+    patch) — the driver must say so instead of silently running per-step
     exchanges under a flag meant to hide exchange latency."""
     from climate_sim_tpu.config import BCConfig, BCType
 

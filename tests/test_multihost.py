@@ -185,12 +185,12 @@ def test_four_process_run_and_restart(tmp_path):
 
 @pytest.mark.slow
 def test_two_process_scheduled_kernel_matches_oracle(tmp_path):
-    """The ghost-schedule kernel paths under TRUE multi-controller
+    """The one-sided-periodic kernel paths under TRUE multi-controller
     execution: two coordinated processes form one 8-device mesh and run a
     BOTH-axes one-sided-periodic config with the Pallas slab kernel
-    (interpret mode on CPU devices) — the row + column schedules and the
-    shared corner-patch evolution execute inside a process-spanning
-    shard_map.  512x128 resolves to 128x64 tiles where the slab layout
+    (interpret mode on CPU devices) — wrap delivery via both cyclic
+    exchanges plus the kernel's composed wrap consumer patches, inside a
+    process-spanning shard_map.  512x128 resolves to 128x64 tiles where the slab layout
     engages at k >= 2.  Output is compared to the in-process oracle
     (atol; the kernel's weighted-stencil form re-associates, so the
     byte-parity check of the jnp tests does not apply)."""

@@ -374,11 +374,11 @@ ONE_SIDED = [
 def test_one_sided_periodic_matches_oracle(bcs, axis):
     """Exactly one side of an axis periodic (the reference's own dev.yaml
     mixes bottom=periodic top=dirichlet): the wrap ghost must track the
-    opposite edge's CURRENT line every step.  One-sided-y takes the fused
-    ghost-row schedule, one-sided-x the fused ghost-COLUMN schedule —
-    both at full k, both must stay oracle-exact.  (Regression: naive k=8
-    fusion contaminated the periodic-edge rows/cols at ~1e-3 for hotspots
-    near the edge.)"""
+    opposite edge's CURRENT line every step.  Fused at full k by live
+    wrap data + the wrap_*_mask consumer patches (padless x wraps through
+    the roll itself); must stay oracle-exact.  (Regression: naive k=8
+    torus fusion contaminated the periodic-edge rows/cols at ~1e-3 for
+    hotspots near the edge.)"""
     cfg = make_cfg(128, 64, bcs, vx=1.0, vy=0.5)
     u = gaussian_hotspot(cfg, jnp.float32)
     # park mass against the periodic edge so contamination is visible
@@ -389,25 +389,28 @@ def test_one_sided_periodic_matches_oracle(bcs, axis):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
-def test_one_sided_periodic_y_schedule_fuses_k8():
-    """One-sided-periodic-y configs fuse at full k via the ghost-row
-    schedule (2.65x measured on hardware vs the old k=1 cap,
-    docs/performance.md).  Covers both orientations, the x-blocked grid
-    (nbx > 1: dynamic schedule windows), a remainder pass, and x-wrap
-    corners; mass parked against the periodic edge."""
+def test_one_sided_periodic_chunks_fuse_full_k():
+    """One-sided configs fuse at full k through whole chunk programs:
+    both y orientations, an x-blocked grid (nbx > 1: the wrap patches
+    must gate on block position), x one-sidedness in both orientations
+    (direct padless, no transposes), and remainder passes; mass parked
+    against the periodic edge."""
     from climate_sim_tpu.ops.pallas_stencil import build_multistep_advance
 
     cases = [
-        # (nx, ny, bcs): full-width blocks, both orientations
-        (256, 256, (BCType.DIRICHLET, BCType.DIRICHLET, BCType.PERIODIC, BCType.NEUMANN)),
-        (256, 256, (BCType.DIRICHLET, BCType.DIRICHLET, BCType.NEUMANN, BCType.PERIODIC)),
-        # x both-periodic (wrap corners in the schedule) + x-blocked grid
-        (4096, 64, (BCType.PERIODIC, BCType.PERIODIC, BCType.DIRICHLET, BCType.PERIODIC)),
+        # (nx, ny, bcs, park-axis)
+        (256, 256, (BCType.DIRICHLET, BCType.DIRICHLET, BCType.PERIODIC, BCType.NEUMANN), 0),
+        (256, 256, (BCType.DIRICHLET, BCType.DIRICHLET, BCType.NEUMANN, BCType.PERIODIC), 0),
+        # x both-periodic (wrap corners) + x-blocked grid
+        (4096, 64, (BCType.PERIODIC, BCType.PERIODIC, BCType.DIRICHLET, BCType.PERIODIC), 0),
+        # one-sided x, both orientations + a torus-y corner case
+        (256, 384, (BCType.PERIODIC, BCType.NEUMANN, BCType.DIRICHLET, BCType.DIRICHLET), 1),
+        (256, 384, (BCType.DIRICHLET, BCType.PERIODIC, BCType.PERIODIC, BCType.PERIODIC), 1),
     ]
-    for nx, ny, bcs in cases:
+    for nx, ny, bcs, axis in cases:
         cfg = make_cfg(nx, ny, bcs, vx=0.3, vy=-0.5)
         u = gaussian_hotspot(cfg, jnp.float32)
-        u = u + 0.5 * jnp.roll(u, ny // 2 - 2, axis=0)
+        u = u + 0.5 * jnp.roll(u, u.shape[axis] // 2 - 2, axis=axis)
         ref = oracle(u, cfg, 19)
         adv = build_multistep_advance(cfg, cfg.dt, interpret=True)
         out = adv(19)(u)  # 2 x k=8 passes + a kk=3 remainder
@@ -415,104 +418,6 @@ def test_one_sided_periodic_y_schedule_fuses_k8():
             np.asarray(out), np.asarray(ref), atol=5e-5,
             err_msg=f"{nx}x{ny} {bcs}",
         )
-
-
-def test_one_sided_periodic_x_transposes_onto_schedule():
-    """One-sided-periodic-x-only advances run the y-schedule machinery on
-    the TRANSPOSED field by default (two transposes per chunk; measured
-    faster than the direct ghost-COLUMN schedule, see
-    build_multistep_advance).  Orientations, y-wrap corners, and a
-    remainder pass; mass parked at the periodic x edge."""
-    from climate_sim_tpu.ops.pallas_stencil import build_multistep_advance
-
-    for bcs in [
-        (BCType.PERIODIC, BCType.NEUMANN, BCType.DIRICHLET, BCType.DIRICHLET),
-        (BCType.NEUMANN, BCType.PERIODIC, BCType.DIRICHLET, BCType.DIRICHLET),
-        (BCType.DIRICHLET, BCType.PERIODIC, BCType.PERIODIC, BCType.PERIODIC),
-    ]:
-        cfg = make_cfg(256, 384, bcs, vx=-0.7, vy=0.9)
-        u = gaussian_hotspot(cfg, jnp.float32)
-        u = u + 0.5 * jnp.roll(u, cfg.nx // 2 - 2, axis=1)
-        ref = oracle(u, cfg, 19)
-        adv = build_multistep_advance(cfg, cfg.dt, interpret=True)
-        np.testing.assert_allclose(
-            np.asarray(adv(19)(u)), np.asarray(ref), atol=5e-5,
-            err_msg=str(bcs),
-        )
-
-
-def test_transposed_config_round_trip():
-    from climate_sim_tpu.ops.pallas_stencil import transposed_config
-
-    cfg = make_cfg(128, 64, MIX1, vx=1.0, vy=0.5)
-    cfg.dx, cfg.dy = 0.5, 2.0
-    t = transposed_config(cfg)
-    assert (t.nx, t.ny, t.dx, t.dy, t.vx, t.vy) == (64, 128, 2.0, 0.5, 0.5, 1.0)
-    assert (t.bc.left, t.bc.right, t.bc.bottom, t.bc.top) == (
-        cfg.bc.bottom, cfg.bc.top, cfg.bc.left, cfg.bc.right,
-    )
-    tt = transposed_config(t)
-    assert (tt.nx, tt.ny, tt.dx, tt.dy, tt.vx, tt.vy, tt.bc) == (
-        cfg.nx, cfg.ny, cfg.dx, cfg.dy, cfg.vx, cfg.vy, cfg.bc,
-    )
-
-
-def test_x_sched_knob_forces_direct_path(monkeypatch):
-    """CLIMATE_SIM_X_SCHED=direct skips the transpose wrapper entirely
-    (the direct ghost-COLUMN schedule advances the untransposed field,
-    oracle-exact); bad values fail loudly at build time."""
-    from climate_sim_tpu.ops import pallas_stencil as ps
-
-    bcs = (BCType.PERIODIC, BCType.NEUMANN, BCType.DIRICHLET, BCType.DIRICHLET)
-    cfg = make_cfg(256, 384, bcs, vx=-0.7, vy=0.9)
-    u = gaussian_hotspot(cfg, jnp.float32)
-    u = u + 0.5 * jnp.roll(u, cfg.nx // 2 - 2, axis=1)
-    ref = oracle(u, cfg, 19)
-
-    def _no_transpose(_cfg):
-        raise AssertionError("transpose path taken despite X_SCHED=direct")
-
-    monkeypatch.setenv("CLIMATE_SIM_X_SCHED", "direct")
-    monkeypatch.setattr(ps, "transposed_config", _no_transpose)
-    adv = ps.build_multistep_advance(cfg, cfg.dt, interpret=True)
-    np.testing.assert_allclose(np.asarray(adv(19)(u)), np.asarray(ref),
-                               atol=5e-5)
-
-    monkeypatch.setenv("CLIMATE_SIM_X_SCHED", "sideways")
-    with pytest.raises(ValueError, match="CLIMATE_SIM_X_SCHED"):
-        ps.build_multistep_advance(cfg, cfg.dt, interpret=True)
-
-
-def test_x_sched_transpose_fails_loudly_when_unavailable(monkeypatch):
-    """Forcing CLIMATE_SIM_X_SCHED=transpose where that route cannot run
-    must raise, not silently measure the direct path under a 'transpose'
-    label (A/B sweeps would otherwise record mislabeled numbers)."""
-    from climate_sim_tpu.ops import pallas_stencil as ps
-
-    monkeypatch.setenv("CLIMATE_SIM_X_SCHED", "transpose")
-
-    # ny=48: the TRANSPOSED grid's width has no 128-multiple divisor, so
-    # the probe build cannot lower and the transpose route is unavailable.
-    bcs = (BCType.PERIODIC, BCType.NEUMANN, BCType.DIRICHLET, BCType.DIRICHLET)
-    cfg = make_cfg(256, 48, bcs, vx=-0.7, vy=0.9)
-    with pytest.raises(ValueError, match="does not lower"):
-        ps.build_multistep_advance(cfg, cfg.dt, interpret=True)
-
-    # Both-axes one-sided: transposing swaps the axes without removing the
-    # column schedule — there is no transpose route at all.
-    bcs2 = (BCType.PERIODIC, BCType.NEUMANN, BCType.PERIODIC, BCType.DIRICHLET)
-    cfg2 = make_cfg(256, 384, bcs2, vx=-0.7, vy=0.9)
-    with pytest.raises(ValueError, match="both-axes"):
-        ps.build_multistep_advance(cfg2, cfg2.dt, interpret=True)
-
-    # Configs with no one-sided x side ignore the knob (a matrix sweep with
-    # the env var set must not crash its non-one-sided-x cases).
-    cfg3 = make_cfg(128, 64, MIX1)
-    u = gaussian_hotspot(cfg3, jnp.float32)
-    ref = oracle(u, cfg3, 8)
-    adv = ps.build_multistep_advance(cfg3, cfg3.dt, interpret=True)
-    np.testing.assert_allclose(np.asarray(adv(8)(u)), np.asarray(ref),
-                               atol=2e-5)
 
 
 def test_one_sided_periodic_y_odd_grid_falls_back_stepwise():
@@ -721,3 +626,36 @@ def test_bf16_storage_semantics_in_every_fallback(monkeypatch):
         gaussian_hotspot(cfg, jnp.bfloat16), cfg, cfg.dt, 8, interpret=True
     )
     assert out is None, "non-chained bf16 form must decline everywhere"
+
+
+def test_one_sided_x_runs_direct_padless_no_transpose():
+    """One-sided-periodic-x advances run DIRECTLY on the padless layout —
+    the circular roll's wrap is the periodic neighbor and the fixed
+    side's ordinary select is the barrier — with no transposes in the
+    program (the r03 transpose-onto-y-schedule route and its
+    CLIMATE_SIM_X_SCHED knob were removed with the schedules)."""
+    cfg = make_cfg(256, 128, (BCType.PERIODIC, BCType.DIRICHLET,
+                              BCType.NEUMANN, BCType.DIRICHLET))
+    u = gaussian_hotspot(cfg, jnp.float32)
+    adv = build_multistep_advance(cfg, cfg.dt, interpret=True)
+    out = adv(16)(u)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(oracle(u, cfg, 16)), atol=5e-5
+    )
+    jaxpr = jax.make_jaxpr(adv(16))(u)
+    names = {e.primitive.name for e in jaxpr.jaxpr.eqns}
+
+    def walk(jx, acc):
+        from jax._src import core as jcore
+        for e in jx.eqns:
+            acc.add(e.primitive.name)
+            for v in e.params.values():
+                items = v if isinstance(v, (list, tuple)) else (v,)
+                for s in items:
+                    if isinstance(s, jcore.ClosedJaxpr):
+                        walk(s.jaxpr, acc)
+                    elif isinstance(s, jcore.Jaxpr):
+                        walk(s, acc)
+        return acc
+
+    assert "transpose" not in walk(jaxpr.jaxpr, set(names))

@@ -287,7 +287,8 @@ def test_sharded_one_sided_y_schedule(mesh_shape, bcs):
     ((8, 1), (BCType.DIRICHLET, BCType.PERIODIC, BCType.PERIODIC, BCType.PERIODIC)),
 ])
 def test_sharded_one_sided_x_schedule(mesh_shape, bcs):
-    """Sharded ghost-COLUMN schedule (slab_ghost_schedule_x) across mesh
+    """Sharded one-sided-periodic-x fuses at full k (wrap delivery via the
+    cyclic x exchange + the kernel's wrap_x consumer patch) across mesh
     shapes: both orientations, y-wrap extensions, a px=1 self-wrap axis,
     and an 8-tall y split; mass parked at the periodic x edge; remainder
     pass included."""
@@ -341,10 +342,10 @@ def test_sharded_schedule_full_k8_tightest_margin(bcs, axis, mesh_shape):
     ((8, 1), (BCType.PERIODIC, BCType.DIRICHLET, BCType.NEUMANN, BCType.PERIODIC)),
 ])
 def test_sharded_both_axes_one_sided_schedules(mesh_shape, bcs):
-    """BOTH axes one-sided-periodic fuse at full k on the slab path: the
-    ghost-row and ghost-COLUMN schedules run together, with each strip's
-    corner wrap block re-supplied from the standalone corner-patch
-    evolution (_corner_patch_states).  All four corner orientations,
+    """BOTH axes one-sided-periodic fuse at full k on the slab path: wrap
+    data arrives via both cyclic exchanges (corner blocks included) and
+    the kernel applies both axes' wrap_*_mask consumer patches, which
+    compose on the corner wrap data.  All four corner orientations,
     self-wrap axes (1x8 / 8x1), and a remainder pass; mass parked against
     both periodic edges."""
     px, py = mesh_shape
