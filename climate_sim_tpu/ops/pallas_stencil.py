@@ -1392,20 +1392,24 @@ def tile_region_multistep(
     interpret: bool = False,
     probe: bool = False,
     probe_dtype: str = "float32",
+    khalo: int = 0,
 ):
     """Advance one REGION of a shard's tile k steps (the overlapped-halo
     pass building block, see parallel/halo.py::build_sharded_overlap_advance).
 
-    ``padded``: (ny_r + 2k, >= nx_r + 2k) input whose pads hold tile/halo
-    data.  ``flagged=True`` applies the config BC fixups gated on
-    ``edge_flags`` (4,) int32; ``flagged=False`` applies no fixups at all —
-    the pure shrinking-trapezoid interior case.  ``probe=True`` just reports
-    layout availability (returns the call or None; shapes are static).
+    ``padded``: (ny_r + 2*khalo, >= nx_r + 2*khalo) input whose pads hold
+    tile/halo data (``khalo`` defaults to k).  ``flagged=True`` applies the
+    config BC fixups gated on ``edge_flags`` (4,) int32; ``flagged=False``
+    applies no fixups at all — the pure shrinking-trapezoid interior case.
+    ``probe=True`` just reports layout availability (returns the call or
+    None; shapes are static).
+
+    One-sided-periodic configs fuse at full k when the build takes the
+    chained form (the wrap-block consumer patches ride its roll selects —
+    the overlap caller rounds khalo/band geometry to the 8-row sublane
+    tile to guarantee that); otherwise the builder declines and the
+    caller falls back.
     """
-    if k > 1 and flagged and one_sided_periodic(cfg):
-        # No multi-step layout exists for one-sided-periodic semantics
-        # (see one_sided_periodic); callers use k=1 passes instead.
-        return None
     compat = cfg.strict_reference_compat
     if flagged:
         fixes = (
@@ -1416,7 +1420,8 @@ def tile_region_multistep(
         fixes = (None, None, None, None)
     dtype_name = probe_dtype if probe else jnp.dtype(padded.dtype).name
     call = _build_multistep_call(
-        ny_r, nx_r, k, k, float(dt), float(cfg.D), float(cfg.vx), float(cfg.vy),
+        ny_r, nx_r, k, khalo or k, float(dt), float(cfg.D), float(cfg.vx),
+        float(cfg.vy),
         float(cfg.dx), float(cfg.dy), 0.0, *fixes,
         False, False, False, flagged, False, dtype_name, interpret,
     )
@@ -1682,10 +1687,11 @@ def one_sided_periodic(cfg: SimConfig) -> bool:
     re-pinned to the opposite side's BC by a masked select on the rolled
     operand (the ``wrap_*_mask`` consumer patches; for padless full-width
     x the main array itself wraps through the roll, so the fixed side's
-    ordinary fixup select already is the barrier).  Only the overlap
-    path's region kernels (no wrap data in any region) and the
-    store/trapezoid A/B forms keep the exact k=1 cap — this predicate is
-    what they and the driver's policy checks consult.
+    ordinary fixup select already is the barrier).  The overlap path's
+    band kernels fuse too (sublane-rounded band geometry so the chained
+    form engages — parallel/halo.py::build_sharded_overlap_advance); only
+    the store/trapezoid A/B forms keep the exact k=1 cap.  This predicate
+    is what layout/geometry decisions consult.
     """
     return one_sided_periodic_x(cfg) or one_sided_periodic_y(cfg)
 
@@ -1697,17 +1703,17 @@ def pick_steps_per_pass(
 
     Larger k amortizes HBM traffic but grows the halo (2k rows of redundant
     load + compute per block); k=8 also enables the fused-DMA input path.
-    One-sided-periodic configs are capped at k=1 (see
+    One-sided-periodic configs are capped at k=1 by default (see
     :func:`one_sided_periodic`) — each pass then rebuilds the wrap ghosts
     from the just-updated opposite edge, which is the oracle's semantics.
-    ``y_sched=True`` (callers whose layout supports the ghost-row
-    schedule: the single-device fused-DMA advance and the sharded slab
-    path) lifts the cap for one-sided-periodic-in-y configs;
-    ``x_sched=True`` (the same two layouts, via a ghost-COLUMN schedule)
-    likewise for one-sided-periodic-in-x — including BOTH axes one-sided
-    at once (row + column schedules together).  When no schedule-capable
-    layout fits the grid those callers fall back to k=1 passes
-    themselves.
+    ``y_sched=True`` / ``x_sched=True`` lift the cap for the respective
+    axis: callers whose layouts carry wrap data and apply the chained
+    form's wrap consumer patches (the single-device fused advance, the
+    sharded slab path, the carrier, and the overlap bands) fuse those
+    configs at full k — including BOTH axes one-sided at once.  When no
+    patch-capable layout fits the grid those callers fall back to k=1
+    passes themselves.  (The flag names are historical — they once gated
+    the r02–r03 ghost-schedule machinery the patches replaced.)
     """
     osx, osy = one_sided_periodic_x(cfg), one_sided_periodic_y(cfg)
     if (osx and not x_sched) or (osy and not y_sched):

@@ -365,8 +365,18 @@ def build_sharded_overlap_advance(
     hiding ICI/DCN latency; worthwhile for small tiles on large meshes.
     Enable with ``halo_overlap: true``.  Returns None when any of the five
     kernel layouts is unavailable (caller falls back).
+
+    One-sided-periodic configs fuse at full k here too: the exchanges
+    deliver the wrap blocks to the periodic-edge shards' band inputs, and
+    the band kernels' flag-gated wrap consumer patches pin the far BC at
+    each block's outer line every sub-step.  The patches require the
+    chained kernel form, so those configs round the band height AND the
+    halo depth up to the full 8-row sublane tile (coherent configs keep
+    the thinner half-sublane bands with exact-k halos).
     """
-    from ..ops.pallas_stencil import pick_steps_per_pass, tile_region_multistep
+    from ..ops.pallas_stencil import (
+        one_sided_periodic, pick_steps_per_pass, tile_region_multistep,
+    )
 
     px = mesh.shape["x"]
     py = mesh.shape["y"]
@@ -382,29 +392,43 @@ def build_sharded_overlap_advance(
     spec = PartitionSpec("y", "x")
 
     tile_cfg = dataclasses.replace(cfg, nx=mx, ny=my)
-    k = pick_steps_per_pass(tile_cfg, cfg.out_every or 8)
+    os_ = one_sided_periodic(cfg)
+    k = pick_steps_per_pass(
+        tile_cfg, cfg.out_every or 8, y_sched=True, x_sched=True
+    )
     # y-band height: kk rounded up to a half-sublane multiple, so the
     # interior height my - 2*hb stays 8-row aligned whenever my is —
     # Mosaic requires assembled-mode row-block DMA starts on the 8-row
     # sublane tile, and my - 2*kk has no aligned divisor for most kk.
+    # One-sided configs round to the FULL 8-row tile: every band build
+    # (remainder kk included) must land on R % 8 == 0 so the chained
+    # form — which hosts the wrap consumer patches — engages.
     def _hb(kk: int) -> int:
-        return -(-kk // 4) * 4
+        step = 8 if os_ else 4
+        return -(-kk // step) * step
+
+    # Halo depth: one-sided band kernels take sublane-rounded pads (the
+    # wrap block is then khalo >= kk deep — same creep budget as the slab
+    # path); coherent configs exchange exactly kk as before.
+    def _kh(kk: int) -> int:
+        return _hb(kk) if os_ else kk
 
     # Interior must be non-empty and every region layout must exist, for k
     # and every chunk remainder (all static).
     for kk in range(1, k + 1):
         hb = _hb(kk)
-        if my <= 2 * hb or mx <= 2 * kk:
+        kh = _kh(kk)
+        if my <= 2 * hb or mx <= 2 * kk or mx < kh or my < kh:
             return None
         shapes = [
-            (my - 2 * hb, mx - 2 * kk, False),  # interior (no fixups)
-            (hb, mx, True),                     # bottom/top bands
-            (my - 2 * hb, kk, True),            # left/right bands
+            (my - 2 * hb, mx - 2 * kk, False, kk),  # interior (no fixups)
+            (hb, mx, True, kh),                     # bottom/top bands
+            (my - 2 * hb, kk, True, kh),            # left/right bands
         ]
-        for (ny_r, nx_r, flg) in shapes:
+        for (ny_r, nx_r, flg, khl) in shapes:
             if tile_region_multistep(
                 None, None, cfg, dt, kk, ny_r, nx_r, flg, interpret,
-                probe=True, probe_dtype=dtype_name,
+                probe=True, probe_dtype=dtype_name, khalo=khl,
             ) is None:
                 return None
 
@@ -412,6 +436,7 @@ def build_sharded_overlap_advance(
 
     def tile_pass(u: jnp.ndarray, kk: int) -> jnp.ndarray:
         hb = _hb(kk)
+        kh = _kh(kk)
         xi = lax.axis_index("x")
         yi = lax.axis_index("y")
         l_ = (xi == 0).astype(jnp.int32)
@@ -420,8 +445,8 @@ def build_sharded_overlap_advance(
         t_ = (yi == py - 1).astype(jnp.int32)
         z = jnp.int32(0)
 
-        # (1) face exchanges.
-        mid, gb, gt = _exchange_parts(u, px, py, kk, wrap_x, wrap_y)
+        # (1) face exchanges (kh-deep; kh == kk unless one-sided).
+        mid, gb, gt = _exchange_parts(u, px, py, kh, wrap_x, wrap_y)
 
         # (2) interior (rows [hb, my-hb), cols [kk, mx-kk)): its kk-deep
         # input halo lies inside the raw tile — independent of every
@@ -433,20 +458,24 @@ def build_sharded_overlap_advance(
 
         # (3) edge bands consume the arrived halos.
         bot = tile_region_multistep(
-            jnp.concatenate([gb, mid[: hb + kk, :]], axis=0),
+            jnp.concatenate([gb, mid[: hb + kh, :]], axis=0),
             jnp.stack([l_, r_, b_, z]), cfg, dt, kk, hb, mx, True, interpret,
+            khalo=kh,
         )
         top = tile_region_multistep(
-            jnp.concatenate([mid[-(hb + kk) :, :], gt], axis=0),
+            jnp.concatenate([mid[-(hb + kh) :, :], gt], axis=0),
             jnp.stack([l_, r_, z, t_]), cfg, dt, kk, hb, mx, True, interpret,
+            khalo=kh,
         )
         left = tile_region_multistep(
-            mid[hb - kk : my - hb + kk, : 3 * kk],
-            jnp.stack([l_, z, z, z]), cfg, dt, kk, my - 2 * hb, kk, True, interpret,
+            mid[hb - kh : my - hb + kh, : kk + 2 * kh],
+            jnp.stack([l_, z, z, z]), cfg, dt, kk, my - 2 * hb, kk, True,
+            interpret, khalo=kh,
         )
         right = tile_region_multistep(
-            mid[hb - kk : my - hb + kk, -3 * kk :],
-            jnp.stack([z, r_, z, z]), cfg, dt, kk, my - 2 * hb, kk, True, interpret,
+            mid[hb - kh : my - hb + kh, -(kk + 2 * kh) :],
+            jnp.stack([z, r_, z, z]), cfg, dt, kk, my - 2 * hb, kk, True,
+            interpret, khalo=kh,
         )
 
         # (4) stitch.

@@ -187,15 +187,12 @@ def resolve_auto_policies(cfg: SimConfig, mesh) -> SimConfig:
     dcn = dcn_granule_count(mesh.devices.ravel()) if mesh is not None else 1
     overlap = cfg.halo_overlap
     if overlap == "auto":
-        from ..ops.pallas_stencil import one_sided_periodic
-
         overlap = False
-        if mesh is not None and dcn > 1 and not one_sided_periodic(cfg):
-            # One-sided-periodic mixes cap the overlap path at 1 step per
-            # pass (its region kernels carry no wrap blocks to patch) —
-            # per-step exchanges over DCN, the opposite of what overlap
-            # buys — so auto never picks it for them; the slab path fuses
-            # those configs at full depth.
+        if mesh is not None and dcn > 1:
+            # One-sided-periodic mixes qualify too: the overlap band
+            # kernels fuse them at full k via the wrap consumer patches
+            # (build_sharded_overlap_advance); a declined build falls back
+            # to the full-depth slab path either way.
             px, py = mesh.shape["x"], mesh.shape["y"]
             if cfg.nx % px == 0 and cfg.ny % py == 0:
                 overlap = (cfg.nx // px) * (cfg.ny // py) <= 1024 * 1024
@@ -296,30 +293,11 @@ def prepare(cfg: SimConfig, devices=None):
             # Pallas multi-step kernel per shard.  halo_overlap=true splits
             # interior/edge-band kernels so the ppermutes overlap compute.
             if cfg.halo_overlap:
-                from ..ops.pallas_stencil import one_sided_periodic
                 from ..parallel.halo import build_sharded_overlap_advance
 
                 advance = build_sharded_overlap_advance(
                     cfg, mesh, dt, dtype_name=jnp.dtype(dtype).name
                 )
-                if (
-                    advance is not None
-                    and one_sided_periodic(cfg)
-                    and is_controller()
-                ):
-                    # The overlap path's region kernels carry no wrap blocks, so these
-                    # configs cap at one step per pass — per-step exchanges,
-                    # the opposite of what overlap buys on a DCN mesh
-                    # (docs/performance.md "When does overlap pay?").  Warn
-                    # only when the overlap advance actually built: a
-                    # declined build falls back to the full-depth slab path
-                    # and the cap does not apply.
-                    _log(
-                        "[warn] halo_overlap=true with a one-sided-periodic"
-                        " BC mix caps at 1 step/pass (per-step exchanges);"
-                        " the slab path fuses these at full depth — consider"
-                        " halo_overlap=false"
-                    )
             if advance is None:
                 advance = build_sharded_multistep_advance(
                     cfg, mesh, dt, dtype_name=jnp.dtype(dtype).name

@@ -196,11 +196,11 @@ def test_overlap_flag_builds_sharded_path(tmp_path):
     assert callable(advance)
 
 
-def test_overlap_with_one_sided_periodic_warns(capsys):
-    """halo_overlap + a one-sided-periodic BC mix caps the overlap path at
-    one step per pass (the five region kernels carry no wrap blocks to
-    patch) — the driver must say so instead of silently running per-step
-    exchanges under a flag meant to hide exchange latency."""
+def test_overlap_with_one_sided_periodic_fuses(capsys):
+    """halo_overlap + a one-sided-periodic BC mix now fuses at full k (the
+    band kernels apply the wrap consumer patches on the exchanged wrap
+    blocks), so the driver must NOT emit the old 1-step/pass cap warning
+    — the combination is a first-class configuration."""
     from climate_sim_tpu.config import BCConfig, BCType
 
     cfg = SimConfig(nx=128, ny=128, D=0.05, dt=0.1, steps=2, out_every=2)
@@ -208,13 +208,6 @@ def test_overlap_with_one_sided_periodic_warns(capsys):
     cfg.halo_overlap = True
     cfg.bc = BCConfig(left=BCType.DIRICHLET, right=BCType.DIRICHLET,
                       bottom=BCType.PERIODIC, top=BCType.DIRICHLET)
-    drv.prepare(cfg)
-    out = capsys.readouterr().out
-    assert "halo_overlap" in out and "1 step/pass" in out
-
-    # A two-sided-periodic-y mix (no one-sided axis) stays silent.
-    cfg.bc = BCConfig(left=BCType.DIRICHLET, right=BCType.DIRICHLET,
-                      bottom=BCType.PERIODIC, top=BCType.PERIODIC)
     drv.prepare(cfg)
     assert "1 step/pass" not in capsys.readouterr().out
 
@@ -249,16 +242,16 @@ def test_auto_policy_resolution(monkeypatch):
     r = drv.resolve_auto_policies(big, mesh)
     assert r.halo_overlap is False and r.steps_per_pass == 16
 
-    # one-sided-periodic mixes never get auto-overlap (the overlap path
-    # caps them at 1 step/pass — per-step exchanges over DCN, the
-    # opposite of latency hiding; review finding)
+    # one-sided-periodic mixes qualify for auto-overlap too: the band
+    # kernels fuse them at full k via the wrap consumer patches (a
+    # declined build still falls back to the slab path in prepare()).
     from climate_sim_tpu.config import BCConfig, BCType
 
     osided = dataclasses.replace(cfg)
     osided.bc = BCConfig(BCType.DIRICHLET, BCType.DIRICHLET,
                          BCType.PERIODIC, BCType.DIRICHLET)
     r = drv.resolve_auto_policies(osided, mesh)
-    assert r.halo_overlap is False and r.steps_per_pass == 16
+    assert r.halo_overlap is True and r.steps_per_pass == 16
 
     # forced values and explicit depth pass through
     forced = dataclasses.replace(big, halo_overlap=True, steps_per_pass=8)

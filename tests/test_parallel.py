@@ -523,3 +523,67 @@ def test_structural_exchange_depth_per_pass():
         jax.device_put(gaussian_hotspot(icfg_t, jnp.float32), rep)
     )
     assert ppermute_critical_depth(car_t(8), uct) == 4
+
+
+@pytest.mark.parametrize("name,bcs,mesh_shape", [
+    # All six one-sided orientations, both mesh orientations, plus
+    # self-wrap meshes where the periodic axis has a single shard.
+    ("os_y_bottom", ("dirichlet", "neumann", "periodic", "dirichlet"), (2, 2)),
+    ("os_y_top", ("neumann", "dirichlet", "dirichlet", "periodic"), (2, 4)),
+    ("os_x_left", ("periodic", "dirichlet", "neumann", "dirichlet"), (4, 2)),
+    ("os_x_right", ("neumann", "periodic", "dirichlet", "neumann"), (2, 2)),
+    ("both_axes", ("periodic", "dirichlet", "periodic", "neumann"), (2, 2)),
+    ("both_axes_2", ("dirichlet", "periodic", "neumann", "periodic"), (2, 2)),
+    ("os_y_selfwrap", ("dirichlet", "neumann", "periodic", "dirichlet"), (8, 1)),
+    ("os_x_selfwrap", ("periodic", "dirichlet", "neumann", "dirichlet"), (1, 8)),
+])
+def test_overlap_one_sided_periodic_fuses_full_k(name, bcs, mesh_shape):
+    """The overlap path fuses one-sided-periodic configs at full k: the
+    face exchanges deliver the wrap blocks into the band inputs
+    (sublane-rounded halo depth) and the band kernels' flag-gated wrap
+    consumer patches pin the far BC at each block's outer line every
+    sub-step.  19 steps = two full k=8 passes plus a kk=3 remainder, so
+    the rounded remainder geometry is exercised too; mass is parked
+    against both wrap seams.  (Reference: the nonblocking-overlap path
+    works for every BC mix, halo.cpp:28-46 + boundary.cpp:12-54.)"""
+    from oracle import run_oracle
+
+    from climate_sim_tpu.parallel.halo import build_sharded_overlap_advance
+
+    px, py = mesh_shape
+    cfg = SimConfig(nx=1024, ny=256, D=0.05, vx=0.5, vy=-0.25, dt=0.1,
+                    steps=19, out_every=19)
+    cfg.bc = BCConfig(*(getattr(BCType, b.upper()) for b in bcs))
+    mesh = make_mesh(px, py)
+    adv = build_sharded_overlap_advance(cfg, mesh, cfg.dt, interpret=True)
+    assert adv is not None, "overlap build must not decline this geometry"
+    u0 = np.asarray(gaussian_ic(cfg.nx, cfg.ny), np.float32)
+    u0 = (u0 + 0.5 * np.roll(u0, cfg.ny // 2 - 2, 0)
+          + 0.5 * np.roll(u0, cfg.nx // 2 - 2, 1))
+    ref = run_oracle(u0.astype(np.float64), 19, cfg.D, cfg.vx, cfg.vy,
+                     cfg.dt, bc=bcs)
+    u = jax.device_put(jnp.asarray(u0, jnp.float32), field_sharding(mesh))
+    out = np.asarray(adv(19)(u))
+    np.testing.assert_allclose(out, ref, rtol=0, atol=5e-5)
+
+
+def test_overlap_one_sided_slope_stays_two():
+    """The fused one-sided overlap pass keeps the structural 2-round
+    exchange slope (x slabs, then y slabs built from the x-ghosted tile)
+    — the wrap consumer patches add no collectives."""
+    from climate_sim_tpu.ops.init import gaussian_hotspot
+    from climate_sim_tpu.parallel.analysis import ppermute_critical_depth
+    from climate_sim_tpu.parallel.halo import build_sharded_overlap_advance
+
+    mesh = make_mesh(4, 2)
+    for bcs in (("dirichlet", "neumann", "periodic", "dirichlet"),
+                ("periodic", "dirichlet", "periodic", "neumann")):
+        cfg = SimConfig(nx=1024, ny=512, D=0.05, vx=0.5, vy=-0.25, dt=0.1,
+                        steps=8, out_every=8)
+        cfg.bc = BCConfig(*(getattr(BCType, b.upper()) for b in bcs))
+        adv = build_sharded_overlap_advance(cfg, mesh, cfg.dt, interpret=True)
+        assert adv is not None
+        u = jax.device_put(
+            gaussian_hotspot(cfg, jnp.float32), field_sharding(mesh)
+        )
+        assert ppermute_critical_depth(adv(8), u) == 2
