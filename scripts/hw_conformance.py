@@ -68,9 +68,9 @@ def main() -> int:
         "mixed": (D, N, P, P),
         "one_sided_y": (P, P, P, D),
         "one_sided_x": (P, D, N, D),
-        # all four corner orientations: the sched fixups differ per side
-        # (left/right column writes, bottom/top ghost rows, four distinct
-        # corner-patch orientations), so every pair must lower on hardware
+        # all four corner orientations: the wrap consumer patches differ
+        # per side (which roll operand is patched, and with which BC), so
+        # every pair must lower on hardware
         "both_os_lb": (P, D, P, N),
         "both_os_rt": (D, P, N, P),
         "both_os_lt": (P, N, D, P),
@@ -117,6 +117,9 @@ def main() -> int:
     # bf16-rounding class (~2^-8 per pass + the IC cast), not f32's.
     cases.append(("bf16_mixed", BCS["mixed"], args.nx, args.ny, "bf16"))
     cases.append(("bf16_dirichlet4", BCS["dirichlet4"], args.nx, args.ny, "bf16"))
+    # bf16 x ONE-SIDED periodic: the wrap consumer patches inside the
+    # bf16 chained build (16-sublane tiles) must lower and match too.
+    cases.append(("bf16_os_y", (D, N, P, D), args.nx, args.ny, "bf16"))
 
     for name, bcs, nx, ny, compat in cases:
         k16 = compat == "k16"

@@ -659,3 +659,31 @@ def test_one_sided_x_runs_direct_padless_no_transpose():
         return acc
 
     assert "transpose" not in walk(jaxpr.jaxpr, set(names))
+
+
+@pytest.mark.parametrize("bcs", [
+    (BCType.DIRICHLET, BCType.NEUMANN, BCType.PERIODIC, BCType.DIRICHLET),
+    (BCType.PERIODIC, BCType.DIRICHLET, BCType.NEUMANN, BCType.DIRICHLET),
+    (BCType.PERIODIC, BCType.DIRICHLET, BCType.PERIODIC, BCType.NEUMANN),
+])
+def test_bf16_one_sided_periodic_fuses(bcs):
+    """bf16 STORAGE mode x one-sided-periodic: the wrap consumer patches
+    live in the chained form bf16 builds require, so these configs fuse
+    at full k in bf16 too (16-sublane tiles, khalo=16).  Error vs the f32
+    oracle stays at the one-rounding-per-pass scale, same budget as the
+    coherent bf16 tests."""
+    from climate_sim_tpu.ops.pallas_stencil import multistep_kernel_step
+
+    cfg = make_cfg(256, 256, bcs)
+    u32 = gaussian_hotspot(cfg, jnp.float32)
+    u32 = u32 + 0.4 * jnp.roll(u32, cfg.ny // 2 - 2, 0) \
+              + 0.4 * jnp.roll(u32, cfg.nx // 2 - 2, 1)
+    u = u32.astype(jnp.bfloat16)
+    out = multistep_kernel_step(u, cfg, cfg.dt, 8, interpret=True)
+    assert out is not None, "bf16 one-sided no longer builds a Pallas layout"
+    assert out.dtype == jnp.bfloat16
+    ref = u32
+    for _ in range(8):
+        ref = reference_step(ref, cfg, cfg.dt)
+    d = np.abs(np.asarray(out, np.float32) - np.asarray(ref))
+    assert d.max() < 1.6e-2, f"bf16 one-sided error too large: {d.max()}"
