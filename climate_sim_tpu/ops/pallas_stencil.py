@@ -438,7 +438,7 @@ def _build_kernel_body(
         del n  # shape comes from the mirror line
         return _bc_ghost_line(kind, mirror, bc_value)
 
-    def apply_fixups(src, bx, by, flags, t=0):
+    def apply_fixups(src, bx, by, flags):
         """Re-apply physical-edge BCs at the ghost lines, writing into the
         ``src`` ref in place (the ``apply_boundary`` analogue, every step).
         Each side fires only on blocks at that edge of the (bx, by) grid
@@ -447,7 +447,6 @@ def _build_kernel_body(
         shards whose tile side is a physical boundary — interior blocks/
         shards keep their neighbor-halo data.  (Store-form only; the
         chained form's fixups all ride masked selects.)"""
-        del t
         if fix_left is not None and not sel_left:
             col = _bc_line(fix_left, Rbuf, src[:, xoff])
             cond = (bx == 0) if nbx > 1 else True
@@ -607,21 +606,19 @@ def _build_kernel_body(
                         (by == nby - 1) if nby > 1 else None, 3,
                     )
 
-        def sel_val(kind, a, t):
+        def sel_val(kind, a):
             # Ghost value seen through the select: the Neumann mirror is
             # the edge lane's OWN value (zero data motion); Dirichlet /
             # compat-zero are constants.
-            del t
             if kind == "neumann":
                 return a
             return compute_dtype.type(bc_value if kind == "dirichlet" else 0.0)
 
-        def sel_val_y(kind, a, t):
+        def sel_val_y(kind, a):
             # Row sibling of sel_val: the ghost row seen through the y-roll
             # select.  Neumann mirror = the row's own value (ym brings
             # a[khalo-1] to row khalo, whose mirror is a[khalo] — the same
             # row of ``a``).
-            del t
             if kind == "neumann":
                 return a
             return compute_dtype.type(bc_value if kind == "dirichlet" else 0.0)
@@ -715,40 +712,40 @@ def _build_kernel_body(
                     ym_v = pltpu.roll(a, 1, 0)
                     if row_mask_b is not None:
                         ym_v = jnp.where(
-                            row_mask_b, sel_val_y(fix_bottom, a, t), ym_v
+                            row_mask_b, sel_val_y(fix_bottom, a), ym_v
                         )
                     if wrap_ym_mask is not None:
                         ym_v = jnp.where(
-                            wrap_ym_mask, sel_val_y(fix_bottom, a, t), ym_v
+                            wrap_ym_mask, sel_val_y(fix_bottom, a), ym_v
                         )
                     new += wym * ym_v
                 if wyp != 0.0:
                     yp_v = pltpu.roll(a, R - 1, 0)
                     if row_mask_t is not None:
                         yp_v = jnp.where(
-                            row_mask_t, sel_val_y(fix_top, a, t), yp_v
+                            row_mask_t, sel_val_y(fix_top, a), yp_v
                         )
                     if wrap_yp_mask is not None:
                         yp_v = jnp.where(
-                            wrap_yp_mask, sel_val_y(fix_top, a, t), yp_v
+                            wrap_yp_mask, sel_val_y(fix_top, a), yp_v
                         )
                     new += wyp * yp_v
                 if wxm != 0.0:
                     xm_v = pltpu.roll(a, 1, 1)
                     if sel_mask_l is not None:
-                        xm_v = jnp.where(sel_mask_l, sel_val(fix_left, a, t), xm_v)
+                        xm_v = jnp.where(sel_mask_l, sel_val(fix_left, a), xm_v)
                     if wrap_xm_mask is not None:
                         xm_v = jnp.where(
-                            wrap_xm_mask, sel_val(fix_left, a, t), xm_v
+                            wrap_xm_mask, sel_val(fix_left, a), xm_v
                         )
                     new += wxm * xm_v
                 if wxp != 0.0:
                     xp_v = pltpu.roll(a, W - 1, 1)
                     if sel_mask_r is not None:
-                        xp_v = jnp.where(sel_mask_r, sel_val(fix_right, a, t), xp_v)
+                        xp_v = jnp.where(sel_mask_r, sel_val(fix_right, a), xp_v)
                     if wrap_xp_mask is not None:
                         xp_v = jnp.where(
-                            wrap_xp_mask, sel_val(fix_right, a, t), xp_v
+                            wrap_xp_mask, sel_val(fix_right, a), xp_v
                         )
                     new += wxp * xp_v
                 a = new
@@ -776,7 +773,7 @@ def _build_kernel_body(
             src = bufs[t % 2]
             dst = bufs[(t + 1) % 2]
             if not prepadded:
-                apply_fixups(src, bx, by, flags_ref, t)
+                apply_fixups(src, bx, by, flags_ref)
             if fullslab:
                 # Full-slab form: compute ALL (Rbuf, W) points every
                 # sub-step with circular rolls for the four neighbor
@@ -803,12 +800,12 @@ def _build_kernel_body(
                 if wxm != 0.0:
                     xm_v = pltpu.roll(a, 1, 1)
                     if sel_mask_l is not None:
-                        xm_v = jnp.where(sel_mask_l, sel_val(fix_left, a, t), xm_v)
+                        xm_v = jnp.where(sel_mask_l, sel_val(fix_left, a), xm_v)
                     new += wxm * xm_v
                 if wxp != 0.0:
                     xp_v = pltpu.roll(a, W - 1, 1)
                     if sel_mask_r is not None:
-                        xp_v = jnp.where(sel_mask_r, sel_val(fix_right, a, t), xp_v)
+                        xp_v = jnp.where(sel_mask_r, sel_val(fix_right, a), xp_v)
                     new += wxp * xp_v
                 dst[:, :] = new
             else:
@@ -1243,9 +1240,9 @@ def assemble_padded(u: jnp.ndarray, bc: BCConfig, k: int, compat: bool) -> jnp.n
     return jnp.concatenate([bp, m, tp], axis=0)
 
 
-def _fixes_and_sides(cfg: SimConfig, k: int, x_sched: bool = False):
+def _fixes_and_sides(cfg: SimConfig, k: int):
     """The kernel-build BC parameters for a config at pass size k:
-    (fixes 4-list, None, None, wrap_x).
+    (fixes 4-list, wrap_x).
 
     One-sided-periodic sides are live-periodic (fix None): the layouts
     deliver true wrap data for them (circular roll wrap in padless
@@ -1255,11 +1252,8 @@ def _fixes_and_sides(cfg: SimConfig, k: int, x_sched: bool = False):
     the wrap block evolves with the one-sided semantics instead of as a
     torus.  This replaced the r02-r03 ghost-SCHEDULE machinery (opposite
     edge strips evolved outside the kernel), which computed the same
-    values at higher cost and complexity.  The middle two return slots
-    (formerly the scheduled y/x sides) are kept for caller compatibility
-    and are always None.  ``wrap_x`` requests wrap data in the x pads
-    whenever any x side is live-periodic."""
-    del x_sched
+    values at higher cost and complexity.  ``wrap_x`` requests wrap data
+    in the x pads whenever any x side is live-periodic."""
     compat = cfg.strict_reference_compat
     fixes = [
         _fixup_side(cfg.bc.left, compat), _fixup_side(cfg.bc.right, compat),
@@ -1268,7 +1262,7 @@ def _fixes_and_sides(cfg: SimConfig, k: int, x_sched: bool = False):
     wrap_x = not compat and (
         cfg.bc.left == BCType.PERIODIC or cfg.bc.right == BCType.PERIODIC
     )
-    return fixes, None, None, wrap_x
+    return fixes, wrap_x
 
 
 def multistep_kernel_step(
@@ -1303,7 +1297,7 @@ def multistep_kernel_step(
     # strip-mode x) wrap copies, and the chained form's wrap_*_mask
     # consumer patches pin the opposite side's BC at each wrap block's
     # outer line every sub-step — no precomputed schedules.
-    fixes, _sy, _sx, wrap_x = _fixes_and_sides(cfg, k, x_sched=True)
+    fixes, wrap_x = _fixes_and_sides(cfg, k)
     rest = (
         float(dt), float(cfg.D), float(cfg.vx), float(cfg.vy),
         float(cfg.dx), float(cfg.dy), 0.0, *fixes, wrap_x,
@@ -1514,7 +1508,7 @@ def sharded_tile_slab_multistep(
     axes at once compose (the corner wrap data gets both patches).
     """
     my, mx = probe_shape if probe else tile.shape
-    fixes, _sy, _sx, _ = _fixes_and_sides(cfg, k, x_sched=True)
+    fixes, _ = _fixes_and_sides(cfg, k)
     # khalo is k rounded up to the dtype's sublane tile (the caller's
     # exchange depth when given): remainder passes exchange same-width
     # slabs and simply run fewer sub-steps.
@@ -1696,28 +1690,20 @@ def one_sided_periodic(cfg: SimConfig) -> bool:
     return one_sided_periodic_x(cfg) or one_sided_periodic_y(cfg)
 
 
-def pick_steps_per_pass(
-    cfg: SimConfig, chunk: int, y_sched: bool = False, x_sched: bool = False
-) -> int:
+def pick_steps_per_pass(cfg: SimConfig, chunk: int) -> int:
     """Choose k (steps fused per HBM pass) for a ``chunk``-step program.
 
     Larger k amortizes HBM traffic but grows the halo (2k rows of redundant
     load + compute per block); k=8 also enables the fused-DMA input path.
-    One-sided-periodic configs are capped at k=1 by default (see
-    :func:`one_sided_periodic`) — each pass then rebuilds the wrap ghosts
-    from the just-updated opposite edge, which is the oracle's semantics.
-    ``y_sched=True`` / ``x_sched=True`` lift the cap for the respective
-    axis: callers whose layouts carry wrap data and apply the chained
-    form's wrap consumer patches (the single-device fused advance, the
-    sharded slab path, the carrier, and the overlap bands) fuse those
-    configs at full k — including BOTH axes one-sided at once.  When no
-    patch-capable layout fits the grid those callers fall back to k=1
-    passes themselves.  (The flag names are historical — they once gated
-    the r02–r03 ghost-schedule machinery the patches replaced.)
+    One-sided-periodic configs get no special cap: EVERY production layout
+    (the single-device fused advance, the sharded slab path, the carrier,
+    and the overlap bands) carries wrap data and applies the chained
+    form's wrap consumer patches (see :func:`one_sided_periodic`), fusing
+    those configs at full k — including both axes one-sided at once.
+    Layouts that cannot chain decline at build time and their callers
+    fall back to exact k=1 passes themselves (the r02–r03 schedule-era
+    ``y_sched``/``x_sched`` cap flags are gone with the machinery).
     """
-    osx, osy = one_sided_periodic_x(cfg), one_sided_periodic_y(cfg)
-    if (osx and not x_sched) or (osy and not y_sched):
-        return 1
     # cfg.steps_per_pass overrides the default depth of 8 (still clamped
     # by the chunk and the grid-extent safety floor): deeper passes trade
     # halo-redundant compute for fewer, larger exchanges — the latency
@@ -1755,7 +1741,7 @@ def build_multistep_advance(
 
     @functools.lru_cache(maxsize=None)
     def advance(chunk: int):
-        k = pick_steps_per_pass(cfg, chunk, y_sched=True, x_sched=True)
+        k = pick_steps_per_pass(cfg, chunk)
 
         def body(u):
             n = 0

@@ -268,13 +268,11 @@ def build_sharded_multistep_advance(
     spec = PartitionSpec("y", "x")
 
     tile_cfg = dataclasses.replace(cfg, nx=mx, ny=my)
-    # y_sched/x_sched: the slab path fuses one-sided-periodic configs at
-    # full k — the cyclic exchange delivers the opposite edge's strip and
-    # the kernel's wrap_*_mask consumer patches pin the far BC at its
-    # outer line every sub-step (both axes compose).
-    k = pick_steps_per_pass(
-        tile_cfg, cfg.out_every or 8, y_sched=True, x_sched=True
-    )
+    # The slab path fuses one-sided-periodic configs at full k — the
+    # cyclic exchange delivers the opposite edge's strip and the kernel's
+    # wrap_*_mask consumer patches pin the far BC at its outer line every
+    # sub-step (both axes compose).
+    k = pick_steps_per_pass(tile_cfg, cfg.out_every or 8)
     # Static layout probes for every pass size that can occur (k and the
     # chunk remainders) — all shapes are static, so this decides up front.
     # Prefer the slab-input fast path (tile + compact halo slabs, no padded
@@ -288,18 +286,28 @@ def build_sharded_multistep_advance(
             for kk in range(1, kmax + 1)
         )
 
+    def assembled_fits(kmax):
+        return all(
+            sharded_layout_available(cfg, dt, kk, mx, my, interpret, dtype_name)
+            for kk in range(1, kmax + 1)
+        )
+
     use_slabs = slabs_fit(k)
-    k_capped = pick_steps_per_pass(tile_cfg, cfg.out_every or 8)
-    if not use_slabs and k != k_capped:
-        # The slab layout (the only sched-capable sharded path) does not
-        # fit this tile: drop to the capped pass size for the fallbacks.
-        k = k_capped
-        use_slabs = slabs_fit(k)
-    if not use_slabs and not all(
-        sharded_layout_available(cfg, dt, kk, mx, my, interpret, dtype_name)
-        for kk in range(1, k + 1)
-    ):
-        return None
+    if not use_slabs and not assembled_fits(k):
+        from ..ops.pallas_stencil import one_sided_periodic
+
+        if k > 1 and one_sided_periodic(cfg):
+            # The assembled fallback hosts the wrap consumer patches only
+            # in the chained form, which this tile geometry declines at
+            # k > 1 — drop to exact k=1 passes instead (each pass rebuilds
+            # the wrap ghosts from the just-updated opposite edge, the
+            # oracle's semantics), rather than refusing the config.
+            k = 1
+            use_slabs = slabs_fit(1)
+            if not use_slabs and not assembled_fits(1):
+                return None
+        else:
+            return None
 
     def edge_flags():
         xi = lax.axis_index("x")
@@ -393,9 +401,7 @@ def build_sharded_overlap_advance(
 
     tile_cfg = dataclasses.replace(cfg, nx=mx, ny=my)
     os_ = one_sided_periodic(cfg)
-    k = pick_steps_per_pass(
-        tile_cfg, cfg.out_every or 8, y_sched=True, x_sched=True
-    )
+    k = pick_steps_per_pass(tile_cfg, cfg.out_every or 8)
     # y-band height: kk rounded up to a half-sublane multiple, so the
     # interior height my - 2*hb stays 8-row aligned whenever my is —
     # Mosaic requires assembled-mode row-block DMA starts on the 8-row
@@ -682,12 +688,9 @@ def build_carrier_slab_advance(
     mx, e_x, lx, my, e_y, ly = geom
 
     tile_cfg = dataclasses.replace(cfg, nx=mx, ny=my)
-    # y_sched/x_sched=True: the carrier fuses one-sided-periodic mixes at
-    # full k via the in-kernel wrap-block consumer patches (no ghost
-    # schedules needed; see carrier_tile_slab_multistep).
-    k = min(KH, pick_steps_per_pass(
-        tile_cfg, cfg.out_every or 8, y_sched=True, x_sched=True
-    ))
+    # The carrier fuses one-sided-periodic mixes at full k via the
+    # in-kernel wrap-block consumer patches (carrier_tile_slab_multistep).
+    k = min(KH, pick_steps_per_pass(tile_cfg, cfg.out_every or 8))
     if any(
         carrier_tile_slab_multistep(
             None, None, None, None, cfg, dt, kk, interpret,

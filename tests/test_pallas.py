@@ -432,7 +432,11 @@ def test_one_sided_periodic_y_odd_grid_falls_back_stepwise():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
 
 
-def test_one_sided_periodic_caps_pass_size():
+def test_one_sided_periodic_fuses_pass_size():
+    """pick_steps_per_pass no longer caps one-sided-periodic configs: every
+    production layout fuses them at full k via the wrap consumer patches
+    (the r02-r03 y_sched/x_sched cap flags are gone with the schedule
+    machinery); the extent-safety floor still applies."""
     from climate_sim_tpu.ops.pallas_stencil import (
         one_sided_periodic,
         one_sided_periodic_x,
@@ -442,22 +446,16 @@ def test_one_sided_periodic_caps_pass_size():
 
     cfg = make_cfg(128, 64, ONE_SIDED[0][0])  # one-sided in x
     assert one_sided_periodic(cfg) and one_sided_periodic_x(cfg)
-    assert pick_steps_per_pass(cfg, 100) == 1
-    assert pick_steps_per_pass(cfg, 100, y_sched=True) == 1  # x needs x_sched
-    assert pick_steps_per_pass(cfg, 100, x_sched=True) == 2  # 64 // 32
-    # one-sided in y: capped by default (non-sched paths), fused with y_sched
+    assert pick_steps_per_pass(cfg, 100) == 2  # extent floor: 64 // 32
+    # one-sided in y fuses at the full default depth
     cfgy = make_cfg(256, 256, ONE_SIDED[2][0])
     assert one_sided_periodic_y(cfgy) and not one_sided_periodic_x(cfgy)
-    assert pick_steps_per_pass(cfgy, 100) == 1
-    assert pick_steps_per_pass(cfgy, 100, y_sched=True) == 8
-    # both axes one-sided: fuses only when BOTH schedule layouts exist
+    assert pick_steps_per_pass(cfgy, 100) == 8
+    # both axes one-sided fuse too
     cfgb = make_cfg(256, 256, BOTH_AXES[0])
     assert one_sided_periodic_x(cfgb) and one_sided_periodic_y(cfgb)
-    assert pick_steps_per_pass(cfgb, 100) == 1
-    assert pick_steps_per_pass(cfgb, 100, y_sched=True) == 1
-    assert pick_steps_per_pass(cfgb, 100, x_sched=True) == 1
-    assert pick_steps_per_pass(cfgb, 100, y_sched=True, x_sched=True) == 8
-    # both-sides-periodic and compat mixes fuse normally
+    assert pick_steps_per_pass(cfgb, 100) == 8
+    # both-sides-periodic and compat mixes fuse as always
     cfg2 = make_cfg(256, 256, P4)
     assert not one_sided_periodic(cfg2)
     assert pick_steps_per_pass(cfg2, 100) == 8
@@ -476,13 +474,13 @@ BOTH_AXES = [
 
 @pytest.mark.parametrize("bcs", BOTH_AXES)
 def test_both_axes_one_sided_fuses_full_k(bcs):
-    """BOTH axes one-sided-periodic fuse at full k: the ghost-row and
-    ghost-COLUMN schedules run together (each strip is full-extent along
-    the other axis, so each evolves standalone — no cross-schedule
-    coupling).  k = 8 = khalo runs the creep margins at zero slack; mass
+    """BOTH axes one-sided-periodic fuse at full k: the wrap blocks of
+    both axes arrive with the input and the kernel applies both axes'
+    wrap consumer patches (composing on the corner wrap data).
+    k = 8 = khalo runs the creep margins at zero slack; mass
     is parked against every edge so corner contamination is visible."""
     cfg = make_cfg(256, 256, bcs, vx=0.3, vy=-0.5)
-    assert pick_steps_per_pass(cfg, 16, y_sched=True, x_sched=True) == 8
+    assert pick_steps_per_pass(cfg, 16) == 8
     u = gaussian_hotspot(cfg, jnp.float32)
     u = (
         u

@@ -322,7 +322,7 @@ def test_sharded_schedule_full_k8_tightest_margin(bcs, axis, mesh_shape):
     px, py = mesh_shape
     cfg = make_cfg(256 * px, 256 * py, bcs, out_every=16)
     tile_cfg = make_cfg(256, 256, bcs, out_every=16)
-    assert pick_steps_per_pass(tile_cfg, 16, y_sched=True, x_sched=True) == 8
+    assert pick_steps_per_pass(tile_cfg, 16) == 8
     u = gaussian_hotspot(cfg, jnp.float32)
     roll_ax = 0 if axis == 0 else 1
     u = u + 0.5 * jnp.roll(u, u.shape[roll_ax] // 2 - 2, axis=roll_ax)
@@ -376,7 +376,7 @@ def test_sharded_both_axes_corner_mass_full_k8():
     tile_cfg = make_cfg(256, 256, bcs, out_every=16)
     from climate_sim_tpu.ops.pallas_stencil import pick_steps_per_pass
 
-    assert pick_steps_per_pass(tile_cfg, 16, y_sched=True, x_sched=True) == 8
+    assert pick_steps_per_pass(tile_cfg, 16) == 8
     u = gaussian_hotspot(cfg, jnp.float32)
     u = u + jnp.roll(
         jnp.roll(u, cfg.ny // 2 - 4, axis=0), cfg.nx // 2 - 4, axis=1
@@ -402,7 +402,7 @@ def test_steps_per_pass_override_matches_oracle(spp):
     cfg = make_cfg(2048, 1024, MIX, out_every=16)
     cfg.steps_per_pass = spp
     tile_cfg = dataclasses.replace(cfg, nx=512, ny=512)
-    assert pick_steps_per_pass(tile_cfg, 16, y_sched=True, x_sched=True) == spp
+    assert pick_steps_per_pass(tile_cfg, 16) == spp
     mesh = make_mesh(4, 2)
     u = gaussian_hotspot(cfg, jnp.float32)
     ref = oracle(u, cfg, 16)
