@@ -1037,6 +1037,22 @@ def _build_multistep_call_cached(
         W = nx + 128  # main lanes + the packed ghost-strip lane tile
         xoff = 0
         BY = best[1]
+        if carrier:
+            # Carrier buffers are wider than the aligned slab's (the pad
+            # columns ride inside nx here), which shifts the BY locality
+            # optimum DOWN from the scorer's max-under-256 pick.  Measured
+            # (v5e, mixed BCs, 6000-step protocol): 4000² BY=160 180.9
+            # vs BY=200 174.3 (+3.7%, reproduced across three sessions);
+            # 3000² BY=120 162.2 vs 159.9 (+1.6%); 5000² has no divisor
+            # in the band and keeps the scorer's 200 (182, unaffected).
+            # Prefer the largest sublane-multiple divisor in [120, 176].
+            cand = max(
+                (d for d in range(-(-120 // sub) * sub, 177, sub)
+                 if ny % d == 0),
+                default=None,
+            )
+            if cand is not None:
+                BY = cand
         if by_override and ny % by_override == 0 and by_override % sub == 0:
             BY = by_override
         R = BY + 2 * khalo
