@@ -381,6 +381,14 @@ def build_sharded_overlap_advance(
     chained kernel form, so those configs round the band height AND the
     halo depth up to the full 8-row sublane tile (coherent configs keep
     the thinner half-sublane bands with exact-k halos).
+
+    bf16 (storage mode) is supported since r05: every bf16 region build
+    must take the chained form (that is where the f32-arithmetic /
+    one-rounding-per-pass semantics live), which needs the assembled
+    window R = BY + 2*khalo on the 16-row bf16 sublane tile — so bf16
+    rounds the band height, halo depth AND x band width to 16 (wb == kh
+    keeps the interior's input slice at full tile width).  f32 geometry
+    is untouched.
     """
     from ..ops.pallas_stencil import (
         one_sided_periodic, pick_steps_per_pass, tile_region_multistep,
@@ -607,7 +615,7 @@ def build_carrier_slab_advance(
     true extent (the same barrier argument as the trapezoid).
 
     Two-sided-periodic axes have no fixup; instead the pass STAGES true
-    wrap data into the pad before the halo exchange:
+    wrap data into the pad:
 
     * wrap-head: tile lines [l, l+8) of the edge shard := the first 8
       global lines (one ppermute from shard 0), so the true edge's upper
@@ -615,6 +623,20 @@ def build_carrier_slab_advance(
       k sub-steps (trapezoid argument, exactly like a neighbor slab);
     * tail-mirror: tile lines [m-8, m) := true lines [l-8, l), so the
       CYCLIC slab exchange delivers true wrap data to shard 0's ghost.
+
+    The staging collectives RIDE the exchange rounds instead of preceding
+    them (exchange slope stays 2, like every other path): the tail-mirror
+    is a local copy before round 1; the x wrap-head ppermute runs
+    CONCURRENTLY with round 1's x-face exchange and is patched in locally
+    before the y slabs are built; the y wrap-head ships the x-EXTENDED
+    head rows (gl|c|gr — its x ghosts travel with it) concurrently with
+    round 2's y-slab exchange, then patches the kernel inputs (c and the
+    gl/gr ghost blocks) locally.  The r04 form staged both heads upstream
+    of the exchange, which serialized 4 ppermute rounds per pass on a
+    staged torus — double the latency term of every other configuration
+    on a DCN mesh.  Kernel inputs are value-identical either way (the
+    corner cells route through the same tail-mirror/head data), so the
+    numerics are unchanged.
 
     One-sided-periodic configs are not supported (kernel returns None);
     the caller falls back.  Returns None when no geometry/layout fits.
@@ -743,29 +765,10 @@ def build_carrier_slab_advance(
         tail = c[ly - KH : ly, :]
         return c.at[my - KH :, :].set(jnp.where(on, tail, c[my - KH :, :]))
 
-    def stage_y_head(c):
-        # Wrap-head: the edge shard's pad rows [ly, ly+KH) := the first KH
-        # global rows (one ppermute from shard 0) — the true top edge's
-        # upper neighbors for a wrapping top side.
-        on = lax.axis_index("y") == e_y
-        head = (
-            c[:KH, :] if py == 1 or e_y == 0
-            else lax.ppermute(c[:KH, :], "y", [(0, e_y)])
-        )
-        return c.at[ly : ly + KH, :].set(jnp.where(on, head, c[ly : ly + KH, :]))
-
     def stage_x_tail(c):
         on = lax.axis_index("x") == px - 1
         tail = c[:, lx - KH : lx]
         return c.at[:, mx - KH :].set(jnp.where(on, tail, c[:, mx - KH :]))
-
-    def stage_x_head(c):
-        on = lax.axis_index("x") == e_x
-        head = (
-            c[:, :KH] if px == 1 or e_x == 0
-            else lax.ppermute(c[:, :KH], "x", [(0, e_x)])
-        )
-        return c.at[:, lx : lx + KH].set(jnp.where(on, head, c[:, lx : lx + KH]))
 
     # Which blocks each wrap mode needs: the tail-mirror feeds the LOW
     # side's ghost (via the cyclic exchange), the wrap-head feeds the HIGH
@@ -778,22 +781,69 @@ def build_carrier_slab_advance(
 
     wrap_xh, wrap_yh = axis_wrap_flags(cfg)
 
-    def tile_pass(c_local: jnp.ndarray, kk: int) -> jnp.ndarray:
+    def tile_pass(c: jnp.ndarray, kk: int) -> jnp.ndarray:
         if damp_pads:
-            c_local = zero_pads(c_local)
+            c = zero_pads(c)
+        # Tail-mirrors are LOCAL copies (the edge shard owns both source
+        # and destination); they must land before round 1 so the cyclic
+        # exchange ships true wrap data.
         if stage_y_tail_on:
-            c_local = stage_y_tail(c_local)
-        if stage_y_head_on:
-            c_local = stage_y_head(c_local)
+            c = stage_y_tail(c)
         if stage_x_tail_on:
-            c_local = stage_x_tail(c_local)
+            c = stage_x_tail(c)
+        xi = lax.axis_index("x")
+        yi = lax.axis_index("y")
+
+        # ROUND 1 — x-direction collectives, all concurrent (each consumes
+        # only the tail-staged local tile): the two face exchanges plus,
+        # when the x axis wraps at its high side, the x wrap-head ppermute.
+        gl = _pshift(c[:, -KH:], "x", px, +1, wrap_xh)
+        gr = _pshift(c[:, :KH], "x", px, -1, wrap_xh)
         if stage_x_head_on:
-            c_local = stage_x_head(c_local)
-        xhalo, yhalo = exchange_halos_slabs(
-            c_local, px, py, KH, wrap_xh, wrap_yh
+            hx = (
+                c[:, :KH] if px == 1 or e_x == 0
+                else lax.ppermute(c[:, :KH], "x", [(0, e_x)])
+            )
+            c = c.at[:, lx : lx + KH].set(
+                jnp.where(xi == e_x, hx, c[:, lx : lx + KH])
+            )
+
+        # ROUND 2 — y-direction collectives, all concurrent (each consumes
+        # round-1 x data + the locally patched tile): the y-slab exchange
+        # of the x-extended rows plus, when the y axis wraps at its high
+        # side, the y wrap-head ppermute of the x-EXTENDED first rows (its
+        # gl/gr columns carry the head block's own x ghosts — including
+        # the tail-mirror corner data a torus x axis routes through gl).
+        bottom = jnp.concatenate([gl[:KH, :], c[:KH, :], gr[:KH, :]], axis=1)
+        top = jnp.concatenate([gl[-KH:, :], c[-KH:, :], gr[-KH:, :]], axis=1)
+        gb = _pshift(top, "y", py, +1, wrap_yh)
+        gt = _pshift(bottom, "y", py, -1, wrap_yh)
+        if stage_y_head_on:
+            hy = (
+                bottom if py == 1 or e_y == 0
+                else lax.ppermute(bottom, "y", [(0, e_y)])
+            )
+            on = yi == e_y
+            c = c.at[ly : ly + KH, :].set(
+                jnp.where(on, hy[:, KH : KH + mx], c[ly : ly + KH, :])
+            )
+            gl = gl.at[ly : ly + KH, :].set(
+                jnp.where(on, hy[:, :KH], gl[ly : ly + KH, :])
+            )
+            gr = gr.at[ly : ly + KH, :].set(
+                jnp.where(on, hy[:, KH + mx :], gr[ly : ly + KH, :])
+            )
+
+        # Local assembly into the slab kernel's xhalo/yhalo layout
+        # (identical to exchange_halos_slabs' output positions).
+        z = jnp.zeros((my, 128 - KH), c.dtype)
+        xhalo = jnp.concatenate([z, gl, gr, z], axis=1)
+        zrow = jnp.zeros((2 * KH, 128 - KH), c.dtype)
+        yhalo = jnp.concatenate(
+            [zrow, jnp.concatenate([gb, gt], axis=0), zrow], axis=1
         )
         return carrier_tile_slab_multistep(
-            c_local, xhalo, yhalo, shard_flags(), cfg, dt, kk,
+            c, xhalo, yhalo, shard_flags(), cfg, dt, kk,
             interpret=interpret, khalo=KH,
         )
 

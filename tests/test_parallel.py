@@ -474,8 +474,9 @@ def test_structural_exchange_depth_per_pass():
     concurrently).  The jaxpr critical-path count is exact: 2 rounds per
     pass (x faces, then y slabs built from the x-extended rows — the same
     chain as the reference's columns-then-full-rows exchange,
-    halo.cpp:28-46) on every production path; the staged carrier torus
-    adds 2 staging rounds."""
+    halo.cpp:28-46) on every production path — INCLUDING the staged
+    carrier torus since r05 (the wrap-head staging ppermutes ride the
+    exchange rounds instead of preceding them; r04 measured 4 here)."""
     from climate_sim_tpu.ops.init import gaussian_hotspot
     from climate_sim_tpu.ops.step import make_interior_step
     from climate_sim_tpu.parallel import halo as H
@@ -504,8 +505,9 @@ def test_structural_exchange_depth_per_pass():
                                                interpret=True)
     assert ppermute_critical_depth(slab_t(8), u) == 2
 
-    # Carrier: 2 rounds plain; +2 when periodic pad staging is live (the
-    # wrap-head ppermutes feed the slab exchange).
+    # Carrier: 2 rounds plain AND with periodic pad staging (the x
+    # wrap-head ppermute rides round 1, the y wrap-head rides round 2 —
+    # never upstream of the slab exchange).
     icfg = SimConfig(nx=1000, ny=504, D=0.05, vx=0.5, vy=-0.25, dt=0.1,
                      steps=8, out_every=8)
     car = H.build_carrier_slab_advance(icfg, mesh, icfg.dt, interpret=True)
@@ -522,7 +524,7 @@ def test_structural_exchange_depth_per_pass():
     uct = car_t.embed(
         jax.device_put(gaussian_hotspot(icfg_t, jnp.float32), rep)
     )
-    assert ppermute_critical_depth(car_t(8), uct) == 4
+    assert ppermute_critical_depth(car_t(8), uct) == 2
 
 
 @pytest.mark.parametrize("name,bcs,mesh_shape", [
