@@ -398,17 +398,13 @@ def build_sharded_overlap_advance(
     py = mesh.shape["y"]
     if cfg.nx % px or cfg.ny % py:
         return None
-    if dtype_name == "bfloat16" and not interpret:
-        # The overlap band split's half-sublane geometry (_hb) assumes the
-        # f32 8-row tile; bf16 runs take the slab path (which supports it)
-        # or the per-step fallback instead.
-        return None
     mx = cfg.nx // px
     my = cfg.ny // py
     spec = PartitionSpec("y", "x")
 
     tile_cfg = dataclasses.replace(cfg, nx=mx, ny=my)
     os_ = one_sided_periodic(cfg)
+    bf16 = dtype_name == "bfloat16"
     k = pick_steps_per_pass(tile_cfg, cfg.out_every or 8)
     # y-band height: kk rounded up to a half-sublane multiple, so the
     # interior height my - 2*hb stays 8-row aligned whenever my is —
@@ -416,28 +412,43 @@ def build_sharded_overlap_advance(
     # sublane tile, and my - 2*kk has no aligned divisor for most kk.
     # One-sided configs round to the FULL 8-row tile: every band build
     # (remainder kk included) must land on R % 8 == 0 so the chained
-    # form — which hosts the wrap consumer patches — engages.
+    # form — which hosts the wrap consumer patches — engages.  bf16
+    # rounds to the FULL 16-row bf16 tile for the same reason: bf16
+    # storage numerics exist only in the chained form, which needs
+    # R = BY + 2*khalo on the 16-row tile for every region build.
     def _hb(kk: int) -> int:
-        step = 8 if os_ else 4
+        step = 16 if bf16 else (8 if os_ else 4)
         return -(-kk // step) * step
 
-    # Halo depth: one-sided band kernels take sublane-rounded pads (the
-    # wrap block is then khalo >= kk deep — same creep budget as the slab
-    # path); coherent configs exchange exactly kk as before.
+    # Halo depth: one-sided/bf16 band kernels take sublane-rounded pads
+    # (the wrap block is then khalo >= kk deep — same creep budget as the
+    # slab path); coherent f32 configs exchange exactly kk as before.
     def _kh(kk: int) -> int:
-        return _hb(kk) if os_ else kk
+        return _hb(kk) if (os_ or bf16) else kk
+
+    # x band width: bf16 widens the side bands to the halo depth so the
+    # interior's input slice stays the full tile width (wb == kh) and its
+    # own build lands on the 16-row tile too; f32 keeps the exact-kk bands.
+    def _wb(kk: int) -> int:
+        return _kh(kk) if bf16 else kk
+
+    # Interior halo depth: f32 keeps kk (its window is the raw tile rows
+    # [hb-kk, my-hb+kk)); bf16 uses the rounded kh (full-tile window).
+    def _ikh(kk: int) -> int:
+        return _kh(kk) if bf16 else kk
 
     # Interior must be non-empty and every region layout must exist, for k
     # and every chunk remainder (all static).
     for kk in range(1, k + 1):
         hb = _hb(kk)
         kh = _kh(kk)
-        if my <= 2 * hb or mx <= 2 * kk or mx < kh or my < kh:
+        wb = _wb(kk)
+        if my <= 2 * hb or mx <= 2 * wb or mx < kh or my < kh:
             return None
         shapes = [
-            (my - 2 * hb, mx - 2 * kk, False, kk),  # interior (no fixups)
-            (hb, mx, True, kh),                     # bottom/top bands
-            (my - 2 * hb, kk, True, kh),            # left/right bands
+            (my - 2 * hb, mx - 2 * wb, False, _ikh(kk)),  # interior (no fixups)
+            (hb, mx, True, kh),                           # bottom/top bands
+            (my - 2 * hb, wb, True, kh),                  # left/right bands
         ]
         for (ny_r, nx_r, flg, khl) in shapes:
             if tile_region_multistep(
@@ -451,6 +462,8 @@ def build_sharded_overlap_advance(
     def tile_pass(u: jnp.ndarray, kk: int) -> jnp.ndarray:
         hb = _hb(kk)
         kh = _kh(kk)
+        wb = _wb(kk)
+        ikh = _ikh(kk)
         xi = lax.axis_index("x")
         yi = lax.axis_index("y")
         l_ = (xi == 0).astype(jnp.int32)
@@ -462,12 +475,12 @@ def build_sharded_overlap_advance(
         # (1) face exchanges (kh-deep; kh == kk unless one-sided).
         mid, gb, gt = _exchange_parts(u, px, py, kh, wrap_x, wrap_y)
 
-        # (2) interior (rows [hb, my-hb), cols [kk, mx-kk)): its kk-deep
+        # (2) interior (rows [hb, my-hb), cols [wb, mx-wb)): its ikh-deep
         # input halo lies inside the raw tile — independent of every
         # ppermute above, so it runs concurrently with them.
         inner = tile_region_multistep(
-            u[hb - kk : my - hb + kk, :], None, cfg, dt, kk,
-            my - 2 * hb, mx - 2 * kk, False, interpret,
+            u[hb - ikh : my - hb + ikh, :], None, cfg, dt, kk,
+            my - 2 * hb, mx - 2 * wb, False, interpret, khalo=ikh,
         )
 
         # (3) edge bands consume the arrived halos.
@@ -482,13 +495,13 @@ def build_sharded_overlap_advance(
             khalo=kh,
         )
         left = tile_region_multistep(
-            mid[hb - kh : my - hb + kh, : kk + 2 * kh],
-            jnp.stack([l_, z, z, z]), cfg, dt, kk, my - 2 * hb, kk, True,
+            mid[hb - kh : my - hb + kh, : wb + 2 * kh],
+            jnp.stack([l_, z, z, z]), cfg, dt, kk, my - 2 * hb, wb, True,
             interpret, khalo=kh,
         )
         right = tile_region_multistep(
-            mid[hb - kh : my - hb + kh, -(kk + 2 * kh) :],
-            jnp.stack([z, r_, z, z]), cfg, dt, kk, my - 2 * hb, kk, True,
+            mid[hb - kh : my - hb + kh, -(wb + 2 * kh) :],
+            jnp.stack([z, r_, z, z]), cfg, dt, kk, my - 2 * hb, wb, True,
             interpret, khalo=kh,
         )
 

@@ -232,6 +232,29 @@ def prepare(cfg: SimConfig, devices=None):
             file=sys.stderr,
             flush=True,
         )
+    if cfg.precision == "bf16":
+        # Long-horizon advisory (sibling of the combined-dt one below):
+        # bf16 storage mode rounds the field once per k-step pass, and the
+        # error growth vs f32 is ~LINEAR in pass count — measured rel-L2
+        # ~1e-3/pass upper envelope (0.13 at 125 passes, 0.90 at 1250;
+        # docs/performance.md "bf16: a real storage mode").  Estimate the
+        # run's pass count and fail LOUD past a ~5% budget instead of
+        # silently producing decorrelated output at 60k steps.
+        from ..ops.pallas_stencil import pick_steps_per_pass
+
+        passes = cfg.steps / max(1, pick_steps_per_pass(cfg, cfg.out_every or 8))
+        est = 1e-3 * passes
+        if est > 0.05 and is_controller():
+            print(
+                f"[warn] precision=bf16 over {cfg.steps} steps"
+                f" (~{passes:.0f} rounding passes): estimated relative"
+                f" error vs f32 ~{est:.2g} (measured ~1e-3/pass, linear"
+                " growth — docs/performance.md).  bf16 storage mode is"
+                " fit for short-horizon/memory-constrained runs; use"
+                " precision=f32 for long-horizon accuracy",
+                file=sys.stderr,
+                flush=True,
+            )
     comb = combined_dt_limit(cfg.dx, cfg.dy, cfg.vx, cfg.vy, cfg.D)
     if dt > comb * (1.0 + 1e-12) and is_controller():
         # Advisory only — the clamp keeps the reference's envelope

@@ -236,6 +236,23 @@ def test_combined_stability_advisory_warning(tmp_path, capsys):
     assert "COMBINED" not in err
 
 
+def test_bf16_long_horizon_advisory_warning(tmp_path, capsys):
+    """precision=bf16 past the documented per-pass rounding budget
+    (~1e-3 rel/pass, linear growth) must warn LOUD at startup — a
+    60k-step bf16 run produces decorrelated output and previously said
+    nothing (round-4 verdict).  Short bf16 runs stay silent."""
+    # 800 steps at k=8 = 100 passes -> est 0.1 > the 0.05 budget
+    run(tmp_path, ["--nx=64", "--ny=64", "--precision=bf16",
+                   "--steps=800", "--out_every=800"])
+    err = capsys.readouterr().err
+    assert "precision=bf16" in err and "rounding passes" in err
+
+    run(tmp_path, ["--nx=64", "--ny=64", "--precision=bf16",
+                   "--steps=80", "--out_every=80"])
+    err = capsys.readouterr().err
+    assert "rounding passes" not in err
+
+
 def test_large_out_every_caps_dispatch_program_size(tmp_path, monkeypatch):
     """Snapshot-rarely production cadences (huge out_every) must not
     compile one giant unrolled program per span: the driver splits each

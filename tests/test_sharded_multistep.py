@@ -133,18 +133,44 @@ def test_overlap_path_rejects_tiny_tiles():
     assert build_sharded_overlap_advance(cfg, mesh, cfg.dt, interpret=True) is None
 
 
-def test_overlap_path_rejects_non_f32_on_hardware():
-    """Probe dtype must match the run dtype: bf16 must fall back cleanly
-    instead of crashing at trace time (code-review regression).  interpret
-    mode accepts every dtype, so probe the hardware path explicitly."""
+@pytest.mark.parametrize("bcs", [
+    D4,
+    (BCType.DIRICHLET, BCType.NEUMANN, BCType.PERIODIC, BCType.DIRICHLET),
+])
+def test_overlap_path_carries_bf16(bcs):
+    """bf16 STORAGE mode on the OVERLAP path (r05): every region build
+    takes the chained form via the 16-row bf16 band geometry (band
+    height, halo depth and x band width all rounded to 16), so
+    halo_overlap no longer silently does nothing for bf16 runs.  Error
+    vs the f32 oracle stays at the one-rounding-per-pass scale; the
+    one-sided row additionally exercises the wrap consumer patches in
+    the bf16 band kernels.  Hardware-probing with a mismatched x64 flag
+    must still fall back cleanly (None), never crash at trace time."""
+    from climate_sim_tpu.ops.step import reference_step
     from climate_sim_tpu.parallel.halo import build_sharded_overlap_advance
 
-    cfg = make_cfg(256, 128, D4)
-    mesh = make_mesh(4, 2)
+    cfg = make_cfg(256, 256, bcs)
+    mesh = make_mesh(2, 2, jax.devices()[:4])
     adv = build_sharded_overlap_advance(
-        cfg, mesh, cfg.dt, interpret=False, dtype_name="bfloat16"
+        cfg, mesh, cfg.dt, interpret=True, dtype_name="bfloat16"
     )
-    assert adv is None
+    assert adv is not None, "bf16 overlap no longer builds"
+    u32 = gaussian_hotspot(cfg, jnp.float32)
+    u32 = u32 + 0.4 * jnp.roll(u32, cfg.ny // 2 - 2, 0) \
+              + 0.4 * jnp.roll(u32, cfg.nx // 2 - 2, 1)
+    u = jax.device_put(u32.astype(jnp.bfloat16), field_sharding(mesh))
+    out = adv(8)(u)
+    assert out.dtype == jnp.bfloat16
+    ref = u32
+    for _ in range(8):
+        ref = reference_step(ref, cfg, cfg.dt)
+    d = np.abs(np.asarray(out, np.float32) - np.asarray(ref))
+    assert d.max() < 1.6e-2, f"bf16 overlap error too large: {d.max()}"
+
+    # hardware-mode probe under the suite's x64 flag: clean None, no crash
+    assert build_sharded_overlap_advance(
+        cfg, mesh, cfg.dt, interpret=False, dtype_name="bfloat16"
+    ) is None
 
 
 @pytest.mark.parametrize("mesh_shape", [(2, 2), (1, 4), (4, 1)])
