@@ -1045,10 +1045,17 @@ def _build_multistep_call_cached(
             # vs BY=200 174.3 (+3.7%, reproduced across three sessions);
             # 3000² BY=120 162.2 vs 159.9 (+1.6%); 5000² has no divisor
             # in the band and keeps the scorer's 200 (182, unaffected).
-            # Prefer the largest sublane-multiple divisor in [120, 176].
+            # Prefer the largest sublane-multiple divisor in [120, 176]
+            # that still respects _chain_geometry's 10 MB VMEM-window cap
+            # (on very wide single-shard carriers the scorer's
+            # budget-constrained BY can sit BELOW the band — overriding
+            # it upward would blow the budget and risk a Mosaic
+            # VMEM/compile failure instead of a clean fallback).
             cand = max(
                 (d for d in range(-(-120 // sub) * sub, 177, sub)
-                 if ny % d == 0),
+                 if ny % d == 0
+                 and (d + 2 * khalo) * W * compute_dtype.itemsize
+                 <= 10 * 1024 * 1024),
                 default=None,
             )
             if cand is not None:

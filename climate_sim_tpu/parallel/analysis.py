@@ -51,17 +51,30 @@ def _chain(jx, in_depths: Sequence[int]) -> int:
 
     out = 0
     for eqn in jx.eqns:
-        d = max([depth_of(v) for v in eqn.invars], default=0)
+        in_ds = [depth_of(v) for v in eqn.invars]
+        d = max(in_ds, default=0)
         subs = list(_subjaxprs(eqn.params))
         if eqn.primitive.name == "ppermute":
             d += 1
         elif subs:
-            # Floor at d: an empty/identity sub-jaxpr (outvars aliasing
-            # invars, zero eqns) returns 0, which must not RESET the
-            # accumulated chain passing through it.
-            d += max(
-                max(_chain(s, [d] * len(s.invars)) - d, 0) for s in subs
-            )
+            # Seed each sub-jaxpr invar with ITS caller operand's depth
+            # when the operand lists align 1:1 (pjit / shard_map / scan —
+            # the closed-jaxpr convention is consts+carry+xs in eqn-invar
+            # order), so a chain entering via one operand is not counted
+            # through an unrelated operand's ppermutes (advisor finding,
+            # r04).  Primitives whose sub-jaxprs bind only a subset
+            # (while_loop cond/body) keep the conservative max-depth
+            # seeding.  Floor at d either way: an empty/identity
+            # sub-jaxpr (outvars aliasing invars, zero eqns) returns 0,
+            # which must not RESET the accumulated chain passing through
+            # it; scan bodies still count once regardless of trip count
+            # (the per-iteration chain is what the one-pass caller wants).
+            best = d
+            for s in subs:
+                seed = in_ds if len(s.invars) == len(eqn.invars) \
+                    else [d] * len(s.invars)
+                best = max(best, _chain(s, seed))
+            d = best
         for v in eqn.outvars:
             env[v] = d
         out = max(out, d)

@@ -162,8 +162,37 @@ def dcn_granule_count(devices) -> int:
     if hasattr(devs[0], "slice_index"):
         return len({d.slice_index for d in devs})
     if all(getattr(d, "platform", "") == "tpu" for d in devs):
-        return len({d.process_index for d in devs})
+        n = len({d.process_index for d in devs})
+        if n > 1:
+            _warn_process_granule_fallback(n)
+        return n
     return 1  # CPU/virtual device sets have no DCN topology to honor
+
+
+_warned_process_granule = False
+
+
+def _warn_process_granule_fallback(n: int) -> None:
+    """Say (once) which granule convention classified the mesh as
+    DCN-crossing: users on older runtimes without ``slice_index`` then
+    know the auto policies may be mis-tuned on a single-slice multi-host
+    pod and can set halo_overlap / steps_per_pass explicitly."""
+    global _warned_process_granule
+    if _warned_process_granule:
+        return
+    _warned_process_granule = True
+    import sys
+
+    if jax.process_index() == 0:
+        print(
+            f"[info] DCN granules counted by PROCESS fallback ({n} processes;"
+            " this runtime exposes no slice_index): a multi-host"
+            " single-slice pod is then treated as DCN-crossing and the"
+            " auto policies apply DCN tuning on ICI links — set"
+            " halo_overlap / steps_per_pass explicitly to override",
+            file=sys.stderr,
+            flush=True,
+        )
 
 
 def make_mesh(
