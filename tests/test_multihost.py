@@ -183,6 +183,109 @@ def test_four_process_run_and_restart(tmp_path):
         open(os.path.join(ref_out2, "snapshots.nc"), "rb").read()
 
 
+KILL_WORKER = """
+import os, sys
+proc_id = int(sys.argv[1]); port = sys.argv[2]; out = sys.argv[3]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, {repo!r})
+# Hard-kill the WHOLE 4-process job right after the step-8 snapshot
+# (record 2) reaches the kernel (sync flushes user-space buffers; numrecs
+# is header-patched per append, so the file is complete up to that
+# record).  os._exit skips every destructor/atexit — the closest
+# single-machine analogue of the scheduler killing the job mid-run.
+import climate_sim_tpu.io.snapshots as snaps
+_orig = snaps.ShardedSnapshotWriter.write_shards
+def _kill_after_record_2(self, u, step_index=None):
+    idx = _orig(self, u, step_index)
+    if idx >= 2:
+        self.sync()
+        print("MH_KILLED_AT", idx, flush=True)
+        os._exit(137)
+    return idx
+snaps.ShardedSnapshotWriter.write_shards = _kill_after_record_2
+from climate_sim_tpu.config import merged_config
+from climate_sim_tpu.runtime.driver import run_simulation
+cfg = merged_config(None, [
+    "--nx=128", "--ny=64", "--steps=16", "--out_every=4", "--kernel=jnp",
+    "--output.dir=" + out,
+    "--distributed=127.0.0.1:" + port + ",4," + str(proc_id),
+])
+run_simulation(cfg)
+print("MH_UNEXPECTED_OK", proc_id, flush=True)
+""".format(repo=REPO)
+
+
+@pytest.mark.slow
+def test_four_process_kill_mid_run_then_restart(tmp_path):
+    """Checkpoint/resume under FAILURE, end-to-end: a 4-process run is
+    hard-killed (os._exit, no close/atexit) right after flushing the
+    step-8 snapshot; the surviving file must be readable with exactly the
+    3 completed records (numrecs is header-patched per append), and a
+    4-process restart from its LAST record must reproduce the
+    uninterrupted 16-step run's remaining snapshots EXACTLY.  The restart
+    keeps out_every=4, so its chunk boundaries align with the original
+    run's pass grouping (snapshots are f64 of an f32 field — the
+    round-trip is exact — and the jnp step is grouping-invariant, so
+    equality is bitwise; the Pallas chunk programs need the same cadence
+    alignment, the determinism nuance the sequential-restart test
+    documents)."""
+    out = str(tmp_path / "mh4_kill")
+    port = str(free_port())
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", KILL_WORKER, str(i), port, out],
+            cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(4)
+    ]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    for i, (p, o) in enumerate(zip(procs, outs)):
+        assert p.returncode == 137, f"proc {i} exit {p.returncode}:\n{o[-2000:]}"
+        assert "MH_KILLED_AT 2" in o
+        assert "MH_UNEXPECTED_OK" not in o
+
+    from climate_sim_tpu.config import merged_config
+    from climate_sim_tpu.io.netcdf import NetCDFFile
+    from climate_sim_tpu.runtime.driver import run_simulation
+
+    snap = os.path.join(out, "snapshots.nc")
+    with NetCDFFile(snap) as ds:
+        # complete up to the kill point: records for steps 0, 4, 8
+        assert ds.dimensions["time"] == 3
+
+    # Uninterrupted 16-step run (single-process; multi==single parity is
+    # proven byte-level by test_four_process_run_and_restart).
+    ref_out = str(tmp_path / "uninterrupted")
+    run_simulation(merged_config(None, [
+        "--nx=128", "--ny=64", "--steps=16", "--out_every=4",
+        "--kernel=jnp", f"--output.dir={ref_out}",
+    ]))
+
+    # Restart-from-last-record leg: 4 processes resume at step 8 and run
+    # the remaining 8 steps at the same cadence.
+    out2 = str(tmp_path / "mh4_resume")
+    extra = ("--steps=8",)
+    for attempt in range(2):
+        procs2, outs2 = _spawn_group(str(free_port()), out2, nproc=4,
+                                     ic_path=snap, extra_args=extra)
+        if all(p.returncode == 0 for p in procs2) or attempt == 1:
+            break
+    for i, (p, o) in enumerate(zip(procs2, outs2)):
+        assert p.returncode == 0, f"resume proc {i} failed:\n{o[-3000:]}"
+
+    with NetCDFFile(os.path.join(out2, "snapshots.nc")) as r, \
+            NetCDFFile(os.path.join(ref_out, "snapshots.nc")) as f:
+        assert r.dimensions["time"] == 2  # steps 8, 12 of the global run
+        assert f.dimensions["time"] == 4
+        for t in range(2):
+            np.testing.assert_array_equal(
+                r.variables["u"][t, :, :], f.variables["u"][2 + t, :, :]
+            )
+
+
 @pytest.mark.slow
 def test_two_process_scheduled_kernel_matches_oracle(tmp_path):
     """The one-sided-periodic kernel paths under TRUE multi-controller
