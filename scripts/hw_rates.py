@@ -24,7 +24,9 @@ BASELINE.md r04/r05 for the underlying absolutes):
                                       known-slow; auto policy never picks
                                       it here — band only catches a
                                       further collapse)
-  perstep fallback (1x1)  ~0.27      [0.15, 0.60]
+  perstep fallback (1x1)  ~0.12      [0.07, 0.25]  (24.5 Gpt/s class,
+                                      docs/performance.md r03; first gate
+                                      run measured 0.122)
 
 The hi bounds also catch a DENOMINATOR collapse that absolute floors
 would miss at path level.  Exits nonzero on any violation.  Runtime:
@@ -143,7 +145,7 @@ def main() -> int:
     ps_cfg = base_cfg
     add("perstep",
         sharded(ps_cfg, lambda c, m, dt: build_sharded_advance(
-            c, m, dt, make_interior_step(c, dt))), 0.15, 0.60)
+            c, m, dt, make_interior_step(c, dt))), 0.07, 0.25)
 
     failures += sum(not ok for ok in checks)
     n = len(checks) + 1

@@ -67,10 +67,18 @@ def _sim_args(nx: int, ny: int, steps: int, extra: list[str]) -> list[str]:
 
 
 def run_multiproc(p: int, nx: int, ny: int, steps: int,
-                  extra: list[str]) -> tuple[float, float]:
+                  extra: list[str], nocomm: bool = False) -> tuple[float, float]:
     """p coordinated jax.distributed processes (1 virtual CPU device each)
     forming one p-device mesh — the mpirun -np p analogue.  Returns the
-    controller's MAX-over-hosts timing."""
+    controller's MAX-over-hosts timing.
+
+    ``nocomm=True`` is the CONTENTION CONTROL: p INDEPENDENT single-rank
+    runs, each on 1/p of the grid, launched simultaneously on distinct
+    cores with no communication at all.  Its timing isolates the
+    shared-DRAM/core contention term of multiproc scaling from the
+    collective cost (the model decomposition in docs/performance.md
+    "Weak scaling validated against measurement"); the exchange-latency
+    term is measured separately by scripts/exchange_latency.py."""
     port = _free_port()
     env = dict(os.environ)
     env["CLIMATE_SIM_PLATFORM"] = "cpu"
@@ -97,11 +105,21 @@ def run_multiproc(p: int, nx: int, ny: int, steps: int,
     import tempfile
 
     outfiles = [tempfile.TemporaryFile(mode="w+") for _ in range(p)]
+
+    def rank_args(i):
+        if not nocomm:
+            return (_sim_args(nx, ny, steps, extra)
+                    + [f"--distributed=127.0.0.1:{port},{p},{i}"])
+        # independent 1/p-grid runs: split the LARGER axis p ways (the
+        # same per-rank interior work as the mesh run, zero comm)
+        if ny >= nx:
+            return _sim_args(nx, ny // p, steps, extra)
+        return _sim_args(nx // p, ny, steps, extra)
+
     procs = [
         subprocess.Popen(
             (["taskset", "-c", str(i % ncores)] if pin else [])
-            + _sim_args(nx, ny, steps, extra)
-            + [f"--distributed=127.0.0.1:{port},{p},{i}"],
+            + rank_args(i),
             cwd=REPO_ROOT, env=env, stdout=outfiles[i],
             stderr=subprocess.STDOUT, text=True,
         )
@@ -127,6 +145,19 @@ def run_multiproc(p: int, nx: int, ny: int, steps: int,
             raise RuntimeError(
                 f"multiproc rank {i}/{p} failed (exit {pr.returncode}):\n{o[-2000:]}"
             )
+    if nocomm:
+        # independent runs: the slowest rank is the honest analogue of
+        # the mesh run's MAX-over-hosts timing
+        totals = []
+        for i, o in enumerate(outs):
+            m = _TIMING_RE.search(o)
+            if not m:
+                raise RuntimeError(
+                    f"no timing line in nocomm rank-{i} output:\n{o[-2000:]}"
+                )
+            totals.append(float(m.group(1)))
+        total = max(totals)
+        return total, total / steps
     m = _TIMING_RE.search(outs[0])
     if not m:
         raise RuntimeError(f"no timing line in rank-0 output:\n{outs[0][-2000:]}")
@@ -139,6 +170,8 @@ def run_one(p: int, nx: int, ny: int, steps: int, platform: str,
     """One measurement -> (total_time, perstep_time)."""
     if platform == "multiproc":
         return run_multiproc(p, nx, ny, steps, extra)
+    if platform == "multiproc_nocomm":
+        return run_multiproc(p, nx, ny, steps, extra, nocomm=True)
     env = dict(os.environ)
     args = _sim_args(nx, ny, steps, extra)
     if platform == "cpu":
@@ -184,10 +217,14 @@ def annotate_strong(rows: list[tuple]) -> tuple[list[tuple], int]:
 
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--platform", choices=["multiproc", "cpu", "tpu"],
+    ap.add_argument("--platform",
+                    choices=["multiproc", "multiproc_nocomm", "cpu", "tpu"],
                     default="multiproc",
                     help="multiproc = p coordinated OS processes, 1 device "
-                         "each (real parallelism; default); cpu = one process "
+                         "each (real parallelism; default); multiproc_nocomm "
+                         "= p INDEPENDENT pinned runs on 1/p grids (the "
+                         "contention control for the latency-model "
+                         "validation); cpu = one process "
                          "with a virtual p-device mesh (path validation only, "
                          "NOT scaling); tpu = real attached chips")
     ap.add_argument("--steps", type=int, default=200)
