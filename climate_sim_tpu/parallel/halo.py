@@ -548,7 +548,9 @@ def build_sharded_advance(
     return advance
 
 
-def _carrier_axis_plan(n: int, p: int, periodic: str, align: int, kh: int = 8):
+def _carrier_axis_plan(
+    n: int, p: int, periodic: str, align: int, kh: int = 8, min_m: int = 0
+):
     """Per-axis carrier geometry for :func:`build_carrier_slab_advance`.
 
     ``periodic`` is the axis's wrap mode: ``"none"`` (both sides physical),
@@ -575,11 +577,15 @@ def _carrier_axis_plan(n: int, p: int, periodic: str, align: int, kh: int = 8):
       tile).
     """
     m0 = n // p
-    if n % p == 0 and m0 % align == 0:
+    if n % p == 0 and m0 % align == 0 and m0 >= min_m:
         # Uniform + aligned: no pad at all.  Periodic modes need no
         # staging either — the cyclic slab exchange IS the wrap.
         return m0, p - 1, m0
     m = -(-(-(-n // p)) // align) * align
+    if min_m:
+        # Caller-requested floor (the BY-friendliness expansion below):
+        # start the search at the aligned min_m instead.
+        m = max(m, -(-min_m // align) * align)
     if periodic == "none":
         e = -(-n // m) - 1
         return m, e, n - e * m
@@ -721,6 +727,54 @@ def build_carrier_slab_advance(
     if geom is None:
         return None
     mx, e_x, lx, my, e_y, ly = geom
+
+    # BY-FRIENDLINESS expansion (r05): the carrier's measured-best block
+    # height lives in the [120, 176] band (docs/performance.md "CARRIER
+    # BY BAND"), but some carrier heights have no divisor anywhere near
+    # it — e.g. ny=2500 -> my=2504 = 8x313 whose only sublane divisor is
+    # 8 (24-row windows, ~67% halo-redundant compute: 73.6 Gpt/s
+    # measured).  Padding my up by <= ~4% buys a band divisor
+    # (2504->2520: 175.7; 3504->3520: 160.2->174.2).  Expand ONLY when
+    # the best available height is BELOW the band floor (best BY < 120):
+    # heights that already have a >= 120 divisor measured flat-to-worse
+    # under expansion (2000: 170.5 vs 167.8; 5000: 177.5 vs 177.0 —
+    # BY=200 is close enough to the optimum that extra pad rows just
+    # cost their compute).  CLIMATE_SIM_CARRIER_EXPAND=0 disables (A/B
+    # perf-sweep knob, like CLIMATE_SIM_BX/BY).
+    import os as _os
+
+    expand_on = _os.environ.get("CLIMATE_SIM_CARRIER_EXPAND", "1") != "0"
+    sub_ = 16 if dtype_name == "bfloat16" else 8
+
+    def _has_band_by(m: int) -> bool:
+        lo = -(-120 // sub_) * sub_
+        return any(m % d == 0 for d in range(lo, 177, sub_))
+
+    def _best_by(m: int) -> int:
+        return max((d for d in range(sub_, 257, sub_) if m % d == 0),
+                   default=0)
+
+    if expand_on and _best_by(my) < 120:
+        budget = my + max(8, (int(my * 0.04) // 8) * 8)
+        fallback = None
+        for m2 in range(my + 8, budget + 1, 8):
+            plan2 = _carrier_axis_plan(ny, py, mode_y, 8, KH, min_m=m2)
+            if plan2 is None:
+                continue
+            m2p, e2, l2 = plan2
+            if m2p > budget or m2p < 32 or l2 < KH:
+                continue
+            if (m2p * py) * (mx * px) > 2 * ny * nx:
+                continue
+            if _has_band_by(m2p):
+                my, e_y, ly = m2p, e2, l2
+                fallback = None
+                break
+            if fallback is None and _best_by(my) < 64 <= _best_by(m2p):
+                fallback = (m2p, e2, l2)
+        if fallback is not None:
+            my, e_y, ly = fallback
+        # re-probe the kernel layout at the (possibly) new height below
 
     tile_cfg = dataclasses.replace(cfg, nx=mx, ny=my)
     # The carrier fuses one-sided-periodic mixes at full k via the

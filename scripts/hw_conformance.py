@@ -120,6 +120,12 @@ def main() -> int:
     # bf16 x ONE-SIDED periodic: the wrap consumer patches inside the
     # bf16 chained build (16-sublane tiles) must lower and match too.
     cases.append(("bf16_os_y", (D, N, P, D), args.nx, args.ny, "bf16"))
+    # BY-friendliness height expansion (r05): ny=1252 -> carrier height
+    # 1280 (the minimal 1256 = 8x313 has only divisor 8) — the expanded
+    # geometry's runtime edge rows/selects must lower and match on
+    # hardware; torus variant exercises staging at an expanded height.
+    cases.append(("carrier_byexp", BCS["mixed"], 1000, 1252, False))
+    cases.append(("carrier_byexp_t", BCS["torus"], 1000, 1252, False))
 
     for name, bcs, nx, ny, compat in cases:
         k16 = compat == "k16"

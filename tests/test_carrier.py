@@ -323,3 +323,45 @@ def test_carrier_steps_per_pass_16(bcs):
     got = run_carrier(cfg, (4, 2), 19)  # 16 + remainder 3
     assert got is not None, "carrier declined at KH=16"
     np.testing.assert_allclose(got[0], got[1], atol=5e-5)
+
+
+@pytest.mark.parametrize("bcs", [MIX, P4])
+def test_carrier_by_friendly_height_expansion(bcs):
+    """r05 BY-friendliness expansion: a carrier height whose divisor
+    structure is hostile to the measured-best BY band (ny=1252 -> my=1256
+    = 8x313, only divisor 8 -> 24-row windows, ~67% halo-redundant
+    compute) is padded up a few extra rows to the first height with a
+    band divisor (1280, +2.2%) — and stays oracle-exact, torus staging
+    included (docs/performance.md "CARRIER BY BAND")."""
+    cfg = make_cfg(256, 1252, bcs)
+    got_ref = run_carrier(cfg, (1, 1), 8)
+    assert got_ref is not None
+    got, ref = got_ref
+    np.testing.assert_allclose(got, ref, atol=5e-5)
+
+    mesh = make_mesh(1, 1, jax.devices()[:1])
+    adv = build_carrier_slab_advance(cfg, mesh, cfg.dt, interpret=True)
+    ncy, _ = adv.carrier_shape
+    assert ncy == 1280, f"expected BY-friendly height 1280, got {ncy}"
+
+
+def test_carrier_expansion_skipped_when_band_divisor_exists():
+    """Heights that already have a band divisor are NOT padded further
+    (ny=1080: 120 divides it)."""
+    cfg = make_cfg(250, 1080, MIX)
+    mesh = make_mesh(1, 1, jax.devices()[:1])
+    adv = build_carrier_slab_advance(cfg, mesh, cfg.dt, interpret=True)
+    assert adv is not None
+    assert adv.carrier_shape[0] == 1080
+
+
+def test_carrier_expansion_skipped_above_band_floor():
+    """Heights whose best divisor is >= 120 (e.g. ny=1000: BY=200) are
+    NOT expanded — measured flat-to-worse (2000²: 170.5 unexpanded vs
+    167.8 expanded; 5000²: a wash), so the policy expands only below
+    the band floor."""
+    cfg = make_cfg(250, 1000, MIX)
+    mesh = make_mesh(1, 1, jax.devices()[:1])
+    adv = build_carrier_slab_advance(cfg, mesh, cfg.dt, interpret=True)
+    assert adv is not None
+    assert adv.carrier_shape[0] == 1000
