@@ -391,7 +391,39 @@ def prepare(cfg: SimConfig, devices=None):
         if mesh is None:
             from jax.sharding import SingleDeviceSharding
 
-            u0 = place_ic(SingleDeviceSharding(devs[0]))
+            if advance is None and select_kernel(cfg) in PALLAS_KERNELS:
+                # SINGLE-CHIP misaligned grids: the fused/assembled
+                # single-device layouts decline shapes like 2500² (no
+                # 128-multiple width / sublane-hostile heights) and fall
+                # to jnp-class rates, but the padded-carrier kernel runs
+                # them at slab-class speed on a 1x1 mesh — measured
+                # 175.7 vs 52.5 Gpt/s at 2500², 170.5 vs 126.6 at 2000²,
+                # 174.2 vs 41.9 at 3500² (BASELINE r05; the carrier beat
+                # the best non-carrier option on every misaligned row
+                # ever measured).  Aligned grids return None here and
+                # keep the (faster) single-device fused path.
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                from ..parallel.halo import build_carrier_slab_advance
+
+                solo = make_mesh(1, 1, devs[:1])
+                car = build_carrier_slab_advance(
+                    cfg, solo, dt, dtype_name=jnp.dtype(dtype).name
+                )
+                if car is not None:
+                    ncy, ncx = car.carrier_shape
+                    _log(
+                        f"[info] grid {cfg.nx}x{cfg.ny} fits no aligned"
+                        " single-device kernel layout; running the Pallas"
+                        f" CARRIER path ({ncx}x{ncy} carrier, true edges"
+                        " at runtime flags) on this chip"
+                    )
+                    u0 = place_ic(
+                        NamedSharding(solo, PartitionSpec(None, None))
+                    )
+                    advance = car
+            if advance is None:
+                u0 = place_ic(SingleDeviceSharding(devs[0]))
         if advance is None:
             advance = build_single_device_advance(cfg, dt)
 

@@ -259,3 +259,37 @@ def test_auto_policy_resolution(monkeypatch):
     assert r.halo_overlap is True and r.steps_per_pass == 8
     off = dataclasses.replace(cfg, halo_overlap=False)
     assert drv.resolve_auto_policies(off, mesh).halo_overlap is False
+
+
+def test_single_device_misaligned_grid_takes_carrier(tmp_path, capsys):
+    """SINGLE-CHIP misaligned grids engage the padded-carrier path on a
+    1x1 mesh (r05): shapes like 250x1252 decline every fused/assembled
+    single-device layout and previously fell to jnp-class rates
+    (52-127 Gpt/s measured vs the carrier's 170-176).  End-to-end
+    through snapshots and exact vs the oracle; aligned grids keep the
+    plain single-device fused path (no carrier, no mesh banner)."""
+    from climate_sim_tpu.ops.init import gaussian_hotspot
+    from climate_sim_tpu.ops.step import reference_step
+
+    cfg = SimConfig(nx=250, ny=1080, D=0.02, dt=0.1, steps=2, out_every=1)
+    cfg.kernel = "pallas_multistep"
+    cfg.output_dir = str(tmp_path / "o")
+    res = drv.run_simulation(cfg, devices=jax.devices()[:1])
+    out = capsys.readouterr().out
+    assert "CARRIER path" in out and "on this chip" in out
+    assert res.snapshots_written == 2
+    assert res.mesh_shape is None  # still a single-device run
+    u = np.asarray(jax.device_get(res.u))
+    assert u.shape == (cfg.ny, cfg.nx)
+    ref = gaussian_hotspot(cfg, res.u.dtype)
+    for _ in range(cfg.steps):
+        ref = reference_step(ref, cfg, res.dt)
+    np.testing.assert_allclose(u, np.asarray(ref), atol=5e-5)
+
+    # aligned single-device grid: carrier declines, fused path serves
+    cfg2 = SimConfig(nx=256, ny=128, D=0.02, dt=0.1, steps=2, out_every=2)
+    cfg2.kernel = "pallas_multistep"
+    u0, advance, mesh, dt, clamped = drv.prepare(
+        cfg2, devices=jax.devices()[:1]
+    )
+    assert mesh is None and not hasattr(advance, "embed")
