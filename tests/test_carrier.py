@@ -253,12 +253,9 @@ def test_carrier_fuzz_random_geometries(rng):
         px, py = meshes[rng.integers(len(meshes))]
         nx = int(rng.integers(150 * px, 300 * px))
         ny = int(rng.integers(40 * py, 90 * py))
+        # one-sided periodic mixes included: first-class since r04 (wrap
+        # consumer patches) — the r03-era avoidance here was stale
         bcs = [kinds[rng.integers(3)] for _ in range(4)]
-        # avoid one-sided periodic (rejected by design)
-        if (bcs[0] == BCType.PERIODIC) != (bcs[1] == BCType.PERIODIC):
-            bcs[1] = bcs[0]
-        if (bcs[2] == BCType.PERIODIC) != (bcs[3] == BCType.PERIODIC):
-            bcs[3] = bcs[2]
         steps = int(rng.integers(3, 14))
         cfg = make_cfg(nx, ny, tuple(bcs), out_every=8,
                        compat=bool(rng.integers(4) == 0))
