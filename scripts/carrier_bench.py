@@ -26,7 +26,13 @@ def main() -> int:
     ap.add_argument("--bc", default="mixed",
                     choices=["mixed", "torus", "one_sided_y", "one_sided_x"])
     ap.add_argument("--chunk", type=int, default=2000)
-    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--reps", type=int, default=0,
+                    help="chained chunks per sync; 0 = auto-scale so the "
+                         "measured device window is ~1 s regardless of "
+                         "grid size — fixed-reps timing under-reads "
+                         "small grids by 10-25% because the tunnel's "
+                         "fixed per-sync cost is amortized over a "
+                         "shrinking window (docs/performance.md)")
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--steps-per-pass", type=int, default=0)
     ap.add_argument("--single", action="store_true",
@@ -53,6 +59,8 @@ def main() -> int:
 
     mesh = make_mesh(1, 1)
     for n in a.sizes:
+        # ~1 s device window at the ~200 Gpt/s class rate
+        reps = a.reps or max(3, -(-200_000_000_000 // (n * n * a.chunk)))
         cfg = bench_config(n, n, a.chunk)
         cfg.bc = BCConfig(*bcs)
         cfg.steps_per_pass = a.steps_per_pass
@@ -63,17 +71,17 @@ def main() -> int:
         u0 = gaussian_hotspot(cfg, jnp.float32)
         c0 = adv.embed(u0)
         fn = aot_compile(adv(a.chunk), c0, label=f"carrier:{n}")
-        best, _ = time_best_of(fn, c0, a.reps, a.trials)
-        g = n * n * a.chunk * a.reps / best / 1e9
+        best, _ = time_best_of(fn, c0, reps, a.trials)
+        g = n * n * a.chunk * reps / best / 1e9
         ncy, ncx = adv.carrier_shape
-        print(f"{n}^2 {a.bc}: carrier {g:.2f} Gpt/s (carrier {ncx}x{ncy})",
-              flush=True)
+        print(f"{n}^2 {a.bc}: carrier {g:.2f} Gpt/s "
+              f"(carrier {ncx}x{ncy}, reps={reps})", flush=True)
         if a.single:
             s = build_single_device_advance(cfg, cfg.dt)
             fs = aot_compile(s(a.chunk), jax.device_put(u0), label=f"single:{n}")
-            bs, _ = time_best_of(fs, jax.device_put(u0), a.reps, a.trials)
+            bs, _ = time_best_of(fs, jax.device_put(u0), reps, a.trials)
             print(f"{n}^2 {a.bc}: single  "
-                  f"{n * n * a.chunk * a.reps / bs / 1e9:.2f} Gpt/s", flush=True)
+                  f"{n * n * a.chunk * reps / bs / 1e9:.2f} Gpt/s", flush=True)
     return 0
 
 
