@@ -10,6 +10,12 @@ entirely (parallel/halo._pshift), so these numbers are pure per-shard
 kernel+exchange-assembly cost; collective lowering is validated separately
 on the multi-device virtual mesh (tests/ + dryrun_multichip).
 
+Defaults run the window-matched protocol (chunk=2000, reps auto-scaled
+to a ~1 s device window): the old chunk=100/reps=5 defaults read ~2.5x
+low through the tunnel (dispatch-dominated), and even the 6000-step
+r03/r04 protocol paid a ~6-8% per-sync tax at 4096^2 (docs/performance.md
+"Measuring through the tunnel" — ratios were unaffected).
+
 Paths timed at --nx/--ny per shard (default 4096^2):
   single    — build_single_device_advance (no shard_map): the ceiling
   slab      — build_sharded_multistep_advance, slab-input fast path
@@ -34,9 +40,14 @@ def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--nx", type=int, default=4096)
     ap.add_argument("--ny", type=int, default=4096)
-    ap.add_argument("--chunk", type=int, default=100)
-    ap.add_argument("--reps", type=int, default=5)
-    ap.add_argument("--trials", type=int, default=2)
+    ap.add_argument("--chunk", type=int, default=2000)
+    ap.add_argument("--reps", type=int, default=0,
+                    help="chained chunks per sync; 0 = auto-scale to a "
+                         "~1 s device window (fixed-reps protocols "
+                         "under-read by the per-sync tax's relative "
+                         "weight — docs/performance.md 'Measuring "
+                         "through the tunnel')")
+    ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--interpret", action="store_true",
                     help="Pallas interpret mode (CPU dry-runs; timings "
                          "meaningless)")
@@ -104,15 +115,16 @@ def main() -> int:
         interior = make_interior_step(cfg, cfg.dt)
         return build_sharded_advance(cfg, mesh, cfg.dt, interior), u_sharded
 
+    reps = a.reps or max(3, -(-200_000_000_000 // (a.nx * a.ny * a.chunk)))
     for path in a.paths:
         adv, u0 = build(path)
         if adv is None:
             print(f"{path}: unavailable for this shape", flush=True)
             continue
         fn = aot_compile(adv(a.chunk), u0, label=f"bench:{path}")
-        best, _ = time_best_of(fn, u0, a.reps, a.trials)
-        g = a.nx * a.ny * a.chunk * a.reps / best / 1e9
-        print(f"{path}: {g:.2f} Gpt/s/shard", flush=True)
+        best, _ = time_best_of(fn, u0, reps, a.trials)
+        g = a.nx * a.ny * a.chunk * reps / best / 1e9
+        print(f"{path}: {g:.2f} Gpt/s/shard (reps={reps})", flush=True)
     return 0
 
 
