@@ -1608,12 +1608,14 @@ def carrier_tile_slab_multistep(
     )
     # The caller's staging/exchange depth (KH) fixes the slab layout; a
     # remainder pass (k < KH) runs fewer sub-steps on the same shapes.
-    khalo8 = khalo or -(-k // 8) * 8
+    # bf16 rounds to its 16-row sublane tile.
+    dtype_name = probe_dtype if probe else jnp.dtype(tile.dtype).name
+    sub = 16 if dtype_name == "bfloat16" else 8
+    khalo8 = khalo or -(-k // sub) * sub
     rest = (
         float(dt), float(cfg.D), float(cfg.vx), float(cfg.vy),
         float(cfg.dx), float(cfg.dy), 0.0,
     )
-    dtype_name = probe_dtype if probe else jnp.dtype(tile.dtype).name
     # PADLESS roll-wrap layout first (same win as the aligned slab path:
     # no strip-pad lanes, 6 DMAs); the runtime true-edge selects compose
     # with it — only the strip-pad layout below serves tiles past the

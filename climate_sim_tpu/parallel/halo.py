@@ -674,9 +674,14 @@ def build_carrier_slab_advance(
     px = mesh.shape["x"]
     py = mesh.shape["y"]
     nx, ny = cfg.nx, cfg.ny
+    # The dtype's sublane tile governs every row-geometry quantum: the
+    # staging/exchange depth KH, the y-axis shard alignment, and the
+    # "already aligned, no carrier needed" test (a bf16 grid whose tiles
+    # are 8-row- but not 16-row-aligned IS carrier territory).
+    sub = 16 if dtype_name == "bfloat16" else 8
     aligned = (
         nx % px == 0 and ny % py == 0
-        and (nx // px) % 128 == 0 and (ny // py) % 8 == 0
+        and (nx // px) % 128 == 0 and (ny // py) % sub == 0
     )
     if aligned:
         return None
@@ -701,12 +706,16 @@ def build_carrier_slab_advance(
     # steps_per_pass > 8 (e.g. the DCN auto-depth 16) raises it — but a
     # deeper depth needs more staging room, which some periodic geometries
     # cannot provide (e.g. 2*KH pad lines on a torus axis), so fall back
-    # to KH=8 rather than declining the grid outright.
-    kh_candidates = [16, 8] if (cfg.steps_per_pass or 8) > 8 else [8]
+    # to KH=8 rather than declining the grid outright.  bf16 needs
+    # KH % 16 == 0 (its sublane tile), so its only depth is 16.
+    if sub == 16:
+        kh_candidates = [16]
+    else:
+        kh_candidates = [16, 8] if (cfg.steps_per_pass or 8) > 8 else [8]
 
     def try_plans(kh):
         plan_x = _carrier_axis_plan(nx, px, mode_x, 128, kh)
-        plan_y = _carrier_axis_plan(ny, py, mode_y, 8, kh)
+        plan_y = _carrier_axis_plan(ny, py, mode_y, sub, kh)
         if plan_x is None or plan_y is None:
             return None
         mx, e_x, lx = plan_x
@@ -744,21 +753,20 @@ def build_carrier_slab_advance(
     import os as _os
 
     expand_on = _os.environ.get("CLIMATE_SIM_CARRIER_EXPAND", "1") != "0"
-    sub_ = 16 if dtype_name == "bfloat16" else 8
 
     def _has_band_by(m: int) -> bool:
-        lo = -(-120 // sub_) * sub_
-        return any(m % d == 0 for d in range(lo, 177, sub_))
+        lo = -(-120 // sub) * sub
+        return any(m % d == 0 for d in range(lo, 177, sub))
 
     def _best_by(m: int) -> int:
-        return max((d for d in range(sub_, 257, sub_) if m % d == 0),
+        return max((d for d in range(sub, 257, sub) if m % d == 0),
                    default=0)
 
     if expand_on and _best_by(my) < 120:
-        budget = my + max(8, (int(my * 0.04) // 8) * 8)
+        budget = my + max(sub, (int(my * 0.04) // sub) * sub)
         fallback = None
-        for m2 in range(my + 8, budget + 1, 8):
-            plan2 = _carrier_axis_plan(ny, py, mode_y, 8, KH, min_m=m2)
+        for m2 in range(my + sub, budget + 1, sub):
+            plan2 = _carrier_axis_plan(ny, py, mode_y, sub, KH, min_m=m2)
             if plan2 is None:
                 continue
             m2p, e2, l2 = plan2

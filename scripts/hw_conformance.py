@@ -126,6 +126,11 @@ def main() -> int:
     # hardware; torus variant exercises staging at an expanded height.
     cases.append(("carrier_byexp", BCS["mixed"], 1000, 1252, False))
     cases.append(("carrier_byexp_t", BCS["torus"], 1000, 1252, False))
+    # bf16 x CARRIER (r05): 16-row staging depth / alignment quantum —
+    # the bf16 carrier build must lower and match on hardware (storage
+    # tolerance); the misaligned grid also engages the single-device
+    # assembled fallback chain under bf16.
+    cases.append(("bf16_carrier", BCS["mixed"], 1000, 504, "bf16"))
 
     for name, bcs, nx, ny, compat in cases:
         k16 = compat == "k16"

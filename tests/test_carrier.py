@@ -362,3 +362,31 @@ def test_carrier_expansion_skipped_above_band_floor():
     adv = build_carrier_slab_advance(cfg, mesh, cfg.dt, interpret=True)
     assert adv is not None
     assert adv.carrier_shape[0] == 1000
+
+
+def test_carrier_carries_bf16_storage_mode():
+    """bf16 x carrier (r05): misaligned bf16 grids previously had NO
+    carrier (the build hardcoded the f32 8-row staging/alignment
+    quantum) and fell to jnp-class fallbacks.  The carrier now rounds
+    KH / y-alignment / BY candidates to the 16-row bf16 tile; error vs
+    the f32 oracle from the same cast IC stays at the
+    one-rounding-per-pass scale.  Includes a grid that is 8-row- but
+    not 16-row-aligned (bf16 carrier territory that f32 calls aligned);
+    the torus row exercises KH=16 wrap staging under bf16."""
+    for ny, bcs in ((504, MIX), (1000, MIX), (504, P4)):
+        cfg = make_cfg(1000, ny, bcs)
+        mesh = make_mesh(1, 1, jax.devices()[:1])
+        adv = build_carrier_slab_advance(
+            cfg, mesh, cfg.dt, interpret=True, dtype_name="bfloat16"
+        )
+        assert adv is not None, f"bf16 carrier declined at ny={ny}"
+        assert adv.carrier_shape[0] % 16 == 0
+        u = gaussian_hotspot(cfg, jnp.bfloat16)
+        got = np.asarray(
+            adv.extract(adv(8)(adv.embed(u))), np.float32
+        )
+        ref = jnp.asarray(u, jnp.float32)
+        for _ in range(8):
+            ref = reference_step(ref, cfg, cfg.dt)
+        d = np.abs(got - np.asarray(ref)).max()
+        assert d < 1.6e-2, f"bf16 carrier error too large at ny={ny}: {d}"
