@@ -38,7 +38,7 @@ def capture(nx: int, ny: int, chunk: int, reps: int, outdir: str,
     from climate_sim_tpu.ops.step import build_single_device_advance
 
     cfg = bench_config(nx, ny, chunk)
-    if bc != "bench":
+    if bc != "bench" and not bc.startswith("carrier"):
         from climate_sim_tpu.config import BCConfig, BCType
 
         D, N, P = BCType.DIRICHLET, BCType.NEUMANN, BCType.PERIODIC
@@ -49,8 +49,24 @@ def capture(nx: int, ny: int, chunk: int, reps: int, outdir: str,
             "one_sided_x": (P, D, N, D),
             "both_one_sided": (P, D, P, N),
         }[bc])
-    fn = build_single_device_advance(cfg, cfg.dt)(chunk)
-    u = jax.device_put(gaussian_hotspot(cfg, jnp.float32), jax.devices()[0])
+    if bc.startswith("carrier"):
+        # carrier path on a 1x1 mesh (misaligned grids); bc "carrier" =
+        # mixed D/N, "carrier_torus" = periodic^4
+        from climate_sim_tpu.config import BCConfig, BCType
+        from climate_sim_tpu.parallel.halo import build_carrier_slab_advance
+        from climate_sim_tpu.parallel.mesh import make_mesh
+
+        D, N, P = BCType.DIRICHLET, BCType.NEUMANN, BCType.PERIODIC
+        cfg.bc = BCConfig(*((P, P, P, P) if bc == "carrier_torus"
+                            else (D, N, D, N)))
+        adv = build_carrier_slab_advance(cfg, make_mesh(1, 1), cfg.dt)
+        if adv is None:
+            raise SystemExit(f"carrier unavailable for {nx}x{ny}")
+        fn = adv(chunk)
+        u = adv.embed(gaussian_hotspot(cfg, jnp.float32))
+    else:
+        fn = build_single_device_advance(cfg, cfg.dt)(chunk)
+        u = jax.device_put(gaussian_hotspot(cfg, jnp.float32), jax.devices()[0])
     fn = fn.lower(u).compile()  # traces must cover only the compiled program
     u = fn(u)
     sync_fetch(u)  # flush the deferred remote compile before tracing
@@ -102,7 +118,8 @@ def main() -> int:
                     help="skip capture; analyze this existing trace dir")
     ap.add_argument("--bc", default="bench",
                     choices=["bench", "dirichlet", "torus", "one_sided_y",
-                             "one_sided_x", "both_one_sided"],
+                             "one_sided_x", "both_one_sided",
+                             "carrier", "carrier_torus"],
                     help="BC class (the one-sided classes trace the "
                          "wrap-consumer-patch paths)")
     a = ap.parse_args()
