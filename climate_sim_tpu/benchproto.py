@@ -32,6 +32,16 @@ def bench_config(nx: int, ny: int, chunk: int):
     return cfg
 
 
+def auto_reps(nx: int, ny: int, chunk: int,
+              window_points: int = 200_000_000_000) -> int:
+    """Chained chunks per sync for a ~1 s device window at the ~200 Gpt/s
+    class rate — the window-matched protocol (fixed-reps timing
+    under-reads by the per-sync tax's relative weight, 10-25% at small
+    grids; docs/performance.md "Measuring through the tunnel").  Single
+    source of truth for carrier_bench/sharded_path_bench."""
+    return max(3, -(-window_points // (nx * ny * chunk)))
+
+
 def aot_compile(fn, u, label: str = "bench"):
     """Lower+compile ahead of time; on failure warn and return ``fn`` (jit
     path) so the measurement still runs."""

@@ -856,6 +856,28 @@ def _substep_override(raw: Optional[str]) -> Optional[str]:
 
 _MAX_CHAIN_W = 5120  # lanes; wider VMEM windows measured slower (locality)
 
+# Carrier block-height band: the carrier's wider row stride shifts the BY
+# locality optimum below the aligned case's max-under-256 pick (measured,
+# docs/performance.md "CARRIER BY BAND").  Single source of truth for the
+# in-kernel BY override AND parallel/halo's BY-friendliness height
+# expansion — retuning one without the other would desynchronize them.
+_CARRIER_BY_BAND = (120, 176)
+
+
+def carrier_band_divisor(
+    m: int, sub: int, width_lanes: int, itemsize: int, khalo: int
+):
+    """Largest ``sub``-multiple divisor of ``m`` inside the carrier BY
+    band whose (d + 2*khalo, width_lanes) VMEM window also respects the
+    chain scorer's 10 MB cap, or None."""
+    lo, hi = _CARRIER_BY_BAND
+    return max(
+        (d for d in range(-(-lo // sub) * sub, hi + 1, sub)
+         if m % d == 0
+         and (d + 2 * khalo) * width_lanes * itemsize <= 10 * 1024 * 1024),
+        default=None,
+    )
+
 
 def _chain_geometry(
     nx: int,
@@ -1051,12 +1073,8 @@ def _build_multistep_call_cached(
             # budget-constrained BY can sit BELOW the band — overriding
             # it upward would blow the budget and risk a Mosaic
             # VMEM/compile failure instead of a clean fallback).
-            cand = max(
-                (d for d in range(-(-120 // sub) * sub, 177, sub)
-                 if ny % d == 0
-                 and (d + 2 * khalo) * W * compute_dtype.itemsize
-                 <= 10 * 1024 * 1024),
-                default=None,
+            cand = carrier_band_divisor(
+                ny, sub, W, compute_dtype.itemsize, khalo
             )
             if cand is not None:
                 BY = cand

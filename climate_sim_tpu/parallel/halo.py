@@ -426,15 +426,12 @@ def build_sharded_overlap_advance(
     def _kh(kk: int) -> int:
         return _hb(kk) if (os_ or bf16) else kk
 
-    # x band width: bf16 widens the side bands to the halo depth so the
-    # interior's input slice stays the full tile width (wb == kh) and its
-    # own build lands on the 16-row tile too; f32 keeps the exact-kk bands.
+    # x band width AND interior halo depth (one quantum, BY DESIGN: the
+    # interior's input slice spans the full tile width exactly when its
+    # x halo equals the side-band width): bf16 rounds both to the halo
+    # depth kh so every build lands on the 16-row tile; f32 keeps the
+    # exact-kk bands/windows.
     def _wb(kk: int) -> int:
-        return _kh(kk) if bf16 else kk
-
-    # Interior halo depth: f32 keeps kk (its window is the raw tile rows
-    # [hb-kk, my-hb+kk)); bf16 uses the rounded kh (full-tile window).
-    def _ikh(kk: int) -> int:
         return _kh(kk) if bf16 else kk
 
     # Interior must be non-empty and every region layout must exist, for k
@@ -446,7 +443,7 @@ def build_sharded_overlap_advance(
         if my <= 2 * hb or mx <= 2 * wb or mx < kh or my < kh:
             return None
         shapes = [
-            (my - 2 * hb, mx - 2 * wb, False, _ikh(kk)),  # interior (no fixups)
+            (my - 2 * hb, mx - 2 * wb, False, wb),  # interior (no fixups)
             (hb, mx, True, kh),                           # bottom/top bands
             (my - 2 * hb, wb, True, kh),                  # left/right bands
         ]
@@ -463,7 +460,6 @@ def build_sharded_overlap_advance(
         hb = _hb(kk)
         kh = _kh(kk)
         wb = _wb(kk)
-        ikh = _ikh(kk)
         xi = lax.axis_index("x")
         yi = lax.axis_index("y")
         l_ = (xi == 0).astype(jnp.int32)
@@ -475,12 +471,12 @@ def build_sharded_overlap_advance(
         # (1) face exchanges (kh-deep; kh == kk unless one-sided).
         mid, gb, gt = _exchange_parts(u, px, py, kh, wrap_x, wrap_y)
 
-        # (2) interior (rows [hb, my-hb), cols [wb, mx-wb)): its ikh-deep
+        # (2) interior (rows [hb, my-hb), cols [wb, mx-wb)): its wb-deep
         # input halo lies inside the raw tile — independent of every
         # ppermute above, so it runs concurrently with them.
         inner = tile_region_multistep(
-            u[hb - ikh : my - hb + ikh, :], None, cfg, dt, kk,
-            my - 2 * hb, mx - 2 * wb, False, interpret, khalo=ikh,
+            u[hb - wb : my - hb + wb, :], None, cfg, dt, kk,
+            my - 2 * hb, mx - 2 * wb, False, interpret, khalo=wb,
         )
 
         # (3) edge bands consume the arrived halos.
@@ -657,8 +653,10 @@ def build_carrier_slab_advance(
     corner cells route through the same tail-mirror/head data), so the
     numerics are unchanged.
 
-    One-sided-periodic configs are not supported (kernel returns None);
-    the caller falls back.  Returns None when no geometry/layout fits.
+    One-sided-periodic configs are FIRST-CLASS (r04): the one-sided
+    axis stages only the block its periodic side needs and the kernel's
+    wrap consumer patch re-pins the opposite side's BC at the block's
+    outer line.  Returns None when no geometry/layout fits.
 
     The returned ``advance`` carries ``.embed`` / ``.extract`` jitted
     helpers mapping the true (ny, nx) field into/out of the carrier, and
@@ -752,11 +750,18 @@ def build_carrier_slab_advance(
     # perf-sweep knob, like CLIMATE_SIM_BX/BY).
     import os as _os
 
+    from ..ops.pallas_stencil import carrier_band_divisor
+
     expand_on = _os.environ.get("CLIMATE_SIM_CARRIER_EXPAND", "1") != "0"
+    # band test shares the kernel's definition INCLUDING its 10 MB
+    # VMEM-window cap (same W = mx + 128 strip-lane buffer width and
+    # khalo the kernel will use), so the expansion never pads for a band
+    # divisor the kernel's own override would then reject on very wide
+    # carriers (review finding).
+    itemsize = 2 if dtype_name == "bfloat16" else 4
 
     def _has_band_by(m: int) -> bool:
-        lo = -(-120 // sub) * sub
-        return any(m % d == 0 for d in range(lo, 177, sub))
+        return carrier_band_divisor(m, sub, mx + 128, itemsize, KH) is not None
 
     def _best_by(m: int) -> int:
         return max((d for d in range(sub, 257, sub) if m % d == 0),

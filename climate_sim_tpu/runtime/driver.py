@@ -234,21 +234,31 @@ def prepare(cfg: SimConfig, devices=None):
         )
     if cfg.precision == "bf16":
         # Long-horizon advisory (sibling of the combined-dt one below):
-        # bf16 storage mode rounds the field once per k-step pass, and the
-        # error growth vs f32 is ~LINEAR in pass count — measured rel-L2
-        # ~1e-3/pass upper envelope (0.13 at 125 passes, 0.90 at 1250;
-        # docs/performance.md "bf16: a real storage mode").  Estimate the
-        # run's pass count and fail LOUD past a ~5% budget instead of
-        # silently producing decorrelated output at 60k steps.
+        # bf16 storage mode rounds the field once per ROUNDING EVENT —
+        # one per k-step pass on the chained Pallas paths, one per STEP
+        # on the jnp / per-step paths (kernel=jnp, or any fallback) —
+        # and the error growth vs f32 is ~LINEAR in event count
+        # (measured rel-L2 ~1e-3/pass upper envelope: 0.13 at 125
+        # passes, 0.90 at 1250; docs/performance.md "bf16: a real
+        # storage mode").  Estimate the run's event count and fail LOUD
+        # past a ~5% budget instead of silently producing decorrelated
+        # output at 60k steps.  (A Pallas request that later falls back
+        # per-step rounds more often than estimated here — the advisory
+        # is a floor, not a ceiling.)
         from ..ops.pallas_stencil import pick_steps_per_pass
 
-        passes = cfg.steps / max(1, pick_steps_per_pass(cfg, cfg.out_every or 8))
-        est = 1e-3 * passes
+        if select_kernel(cfg) in PALLAS_KERNELS:
+            events = cfg.steps / max(
+                1, pick_steps_per_pass(cfg, cfg.out_every or 8)
+            )
+        else:
+            events = float(cfg.steps)  # per-step rounding paths
+        est = 1e-3 * events
         if est > 0.05 and is_controller():
             print(
                 f"[warn] precision=bf16 over {cfg.steps} steps"
-                f" (~{passes:.0f} rounding passes): estimated relative"
-                f" error vs f32 ~{est:.2g} (measured ~1e-3/pass, linear"
+                f" (~{events:.0f} rounding events): estimated relative"
+                f" error vs f32 ~{est:.2g} (measured ~1e-3/event, linear"
                 " growth — docs/performance.md).  bf16 storage mode is"
                 " fit for short-horizon/memory-constrained runs; use"
                 " precision=f32 for long-horizon accuracy",
@@ -288,24 +298,28 @@ def prepare(cfg: SimConfig, devices=None):
             return device_initial_condition(cfg, dtype, sharding)
         return jax.device_put(apply_initial_condition(cfg, dtype), sharding)
 
-    def try_carrier():
+    def try_carrier(on_mesh=None, where=None):
         # Padded-carrier Pallas path: mesh-uniform aligned carrier, true
         # edges at runtime flags (slab-kernel class; the jnp fallbacks
         # below are ~7x slower).  None when no geometry/layout fits.
+        # ``on_mesh`` defaults to the run mesh; the single-chip dispatch
+        # passes a 1x1 mesh and its own banner suffix.
         if select_kernel(cfg) not in PALLAS_KERNELS:
             return None
         from ..parallel.halo import build_carrier_slab_advance
 
+        m = on_mesh if on_mesh is not None else mesh
         adv = build_carrier_slab_advance(
-            cfg, mesh, dt, dtype_name=jnp.dtype(dtype).name
+            cfg, m, dt, dtype_name=jnp.dtype(dtype).name
         )
         if adv is not None:
             ncy, ncx = adv.carrier_shape
             _log(
-                f"[info] grid {cfg.nx}x{cfg.ny} has no aligned uniform"
-                f" shards on the {mesh.shape['x']}x{mesh.shape['y']} mesh;"
-                f" running the Pallas CARRIER path ({ncx}x{ncy} carrier,"
-                " true edges at runtime flags)"
+                f"[info] grid {cfg.nx}x{cfg.ny} "
+                + (where or "has no aligned uniform shards on the"
+                   f" {m.shape['x']}x{m.shape['y']} mesh")
+                + f"; running the Pallas CARRIER path ({ncx}x{ncy}"
+                " carrier, true edges at runtime flags)"
             )
         return adv
 
@@ -391,33 +405,25 @@ def prepare(cfg: SimConfig, devices=None):
         if mesh is None:
             from jax.sharding import SingleDeviceSharding
 
-            if advance is None and select_kernel(cfg) in PALLAS_KERNELS:
+            if advance is None:
                 # SINGLE-CHIP misaligned grids: the fused/assembled
                 # single-device layouts decline shapes like 2500² (no
                 # 128-multiple width / sublane-hostile heights) and fall
                 # to jnp-class rates, but the padded-carrier kernel runs
-                # them at slab-class speed on a 1x1 mesh — measured
-                # 175.7 vs 52.5 Gpt/s at 2500², 170.5 vs 126.6 at 2000²,
-                # 174.2 vs 41.9 at 3500² (BASELINE r05; the carrier beat
-                # the best non-carrier option on every misaligned row
-                # ever measured).  Aligned grids return None here and
-                # keep the (faster) single-device fused path.
+                # them at slab-class speed on a 1x1 mesh (window-matched
+                # 183.7 vs 52.5 Gpt/s at 2500²; BASELINE r05 — the
+                # carrier beat the best non-carrier option on every
+                # misaligned row ever measured).  Aligned grids return
+                # None here and keep the (faster) single-device path.
                 from jax.sharding import NamedSharding, PartitionSpec
 
-                from ..parallel.halo import build_carrier_slab_advance
-
                 solo = make_mesh(1, 1, devs[:1])
-                car = build_carrier_slab_advance(
-                    cfg, solo, dt, dtype_name=jnp.dtype(dtype).name
+                car = try_carrier(
+                    on_mesh=solo,
+                    where="fits no aligned single-device kernel layout"
+                    " on this chip",
                 )
                 if car is not None:
-                    ncy, ncx = car.carrier_shape
-                    _log(
-                        f"[info] grid {cfg.nx}x{cfg.ny} fits no aligned"
-                        " single-device kernel layout; running the Pallas"
-                        f" CARRIER path ({ncx}x{ncy} carrier, true edges"
-                        " at runtime flags) on this chip"
-                    )
                     u0 = place_ic(
                         NamedSharding(solo, PartitionSpec(None, None))
                     )

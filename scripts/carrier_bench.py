@@ -42,7 +42,9 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
-    from climate_sim_tpu.benchproto import aot_compile, bench_config, time_best_of
+    from climate_sim_tpu.benchproto import (
+        aot_compile, auto_reps, bench_config, time_best_of,
+    )
     from climate_sim_tpu.config import BCConfig, BCType
     from climate_sim_tpu.ops.init import gaussian_hotspot
     from climate_sim_tpu.ops.step import build_single_device_advance
@@ -59,8 +61,7 @@ def main() -> int:
 
     mesh = make_mesh(1, 1)
     for n in a.sizes:
-        # ~1 s device window at the ~200 Gpt/s class rate
-        reps = a.reps or max(3, -(-200_000_000_000 // (n * n * a.chunk)))
+        reps = a.reps or auto_reps(n, n, a.chunk)
         cfg = bench_config(n, n, a.chunk)
         cfg.bc = BCConfig(*bcs)
         cfg.steps_per_pass = a.steps_per_pass

@@ -70,7 +70,9 @@ def main() -> int:
     if os.environ.get("CLIMATE_SIM_PLATFORM") == "cpu":
         jax.config.update("jax_platforms", "cpu")
 
-    from climate_sim_tpu.benchproto import aot_compile, bench_config, time_best_of
+    from climate_sim_tpu.benchproto import (
+        aot_compile, auto_reps, bench_config, time_best_of,
+    )
     from climate_sim_tpu.ops.init import gaussian_hotspot
     from climate_sim_tpu.ops.step import build_single_device_advance, make_interior_step
     from climate_sim_tpu.parallel.halo import (
@@ -115,7 +117,7 @@ def main() -> int:
         interior = make_interior_step(cfg, cfg.dt)
         return build_sharded_advance(cfg, mesh, cfg.dt, interior), u_sharded
 
-    reps = a.reps or max(3, -(-200_000_000_000 // (a.nx * a.ny * a.chunk)))
+    reps = a.reps or auto_reps(a.nx, a.ny, a.chunk)
     for path in a.paths:
         adv, u0 = build(path)
         if adv is None:

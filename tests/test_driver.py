@@ -245,12 +245,20 @@ def test_bf16_long_horizon_advisory_warning(tmp_path, capsys):
     run(tmp_path, ["--nx=64", "--ny=64", "--precision=bf16",
                    "--steps=800", "--out_every=800"])
     err = capsys.readouterr().err
-    assert "precision=bf16" in err and "rounding passes" in err
+    assert "precision=bf16" in err and "rounding events" in err
 
     run(tmp_path, ["--nx=64", "--ny=64", "--precision=bf16",
                    "--steps=80", "--out_every=80"])
     err = capsys.readouterr().err
-    assert "rounding passes" not in err
+    assert "rounding events" not in err
+
+    # per-step-rounding paths (kernel=jnp) round EVERY step: 320 steps =
+    # 320 events -> must warn even though 320/8 passes would stay under
+    # budget (review finding: the pass-based estimate was silent here)
+    run(tmp_path, ["--nx=64", "--ny=64", "--precision=bf16",
+                   "--kernel=jnp", "--steps=320", "--out_every=320"])
+    err = capsys.readouterr().err
+    assert "rounding events" in err
 
 
 def test_large_out_every_caps_dispatch_program_size(tmp_path, monkeypatch):
