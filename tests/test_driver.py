@@ -241,13 +241,18 @@ def test_bf16_long_horizon_advisory_warning(tmp_path, capsys):
     (~1e-3 rel/pass, linear growth) must warn LOUD at startup — a
     60k-step bf16 run produces decorrelated output and previously said
     nothing (round-4 verdict).  Short bf16 runs stay silent."""
-    # 800 steps at k=8 = 100 passes -> est 0.1 > the 0.05 budget
+    # Pallas paths round once per pass: 800 steps at k=8 = 100 events ->
+    # est 0.1 > the 0.05 budget; 80 steps = 10 events stays silent.
+    # (kernel pinned explicitly: on this CPU test backend kernel=auto
+    # resolves to jnp, whose per-step rounding rightly warns earlier.)
     run(tmp_path, ["--nx=64", "--ny=64", "--precision=bf16",
+                   "--kernel=pallas_multistep",
                    "--steps=800", "--out_every=800"])
     err = capsys.readouterr().err
     assert "precision=bf16" in err and "rounding events" in err
 
     run(tmp_path, ["--nx=64", "--ny=64", "--precision=bf16",
+                   "--kernel=pallas_multistep",
                    "--steps=80", "--out_every=80"])
     err = capsys.readouterr().err
     assert "rounding events" not in err
