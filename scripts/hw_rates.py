@@ -19,7 +19,9 @@ BASELINE.md r04/r05 for the underlying absolutes):
   single bf16             ~1.01      [0.75, 1.40]
   slab dirichlet (1x1)    ~0.97      [0.70, 1.30]
   slab one-sided-y (1x1)  ~0.95      [0.68, 1.30]
-  carrier 4000² mixed     ~0.88      [0.60, 1.30]
+  carrier 4000² mixed     ~0.90      [0.60, 1.30]
+  carrier 2500² (byexp)   ~0.88      [0.55, 1.30]  (guards the height
+                                      expansion: 0.36 without it)
   overlap mixed (1x1)     ~0.65      [0.35, 1.10]   (large-tile overlap is
                                       known-slow; auto policy never picks
                                       it here — band only catches a
@@ -140,6 +142,12 @@ def main() -> int:
     add("carrier_4000_mixed",
         sharded(cfg_for(4000, 4000), build_carrier_slab_advance,
                 dtype_name="float32"), 0.60, 1.30)
+    # 2500^2 triggers the BY-friendliness height expansion (2504/BY 8 ->
+    # 2520/BY 168): this row read 0.36x before the expansion landed —
+    # the band also guards that feature
+    add("carrier_2500_byexp",
+        sharded(cfg_for(2500, 2500), build_carrier_slab_advance,
+                dtype_name="float32"), 0.55, 1.30)
     add("overlap_mixed",
         sharded(base_cfg, build_sharded_overlap_advance), 0.35, 1.10)
     ps_cfg = base_cfg
