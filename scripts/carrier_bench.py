@@ -37,6 +37,8 @@ def main() -> int:
     ap.add_argument("--steps-per-pass", type=int, default=0)
     ap.add_argument("--single", action="store_true",
                     help="also time the single-device path on the same grid")
+    ap.add_argument("--precision", default="f32", choices=["f32", "bf16"],
+                    help="bf16 = storage mode (16-row staging quantum)")
     a = ap.parse_args()
 
     import jax
@@ -65,11 +67,14 @@ def main() -> int:
         cfg = bench_config(n, n, a.chunk)
         cfg.bc = BCConfig(*bcs)
         cfg.steps_per_pass = a.steps_per_pass
-        adv = build_carrier_slab_advance(cfg, mesh, cfg.dt)
+        dtype = jnp.bfloat16 if a.precision == "bf16" else jnp.float32
+        adv = build_carrier_slab_advance(
+            cfg, mesh, cfg.dt, dtype_name=jnp.dtype(dtype).name
+        )
         if adv is None:
             print(f"{n}^2 {a.bc}: carrier unavailable", flush=True)
             continue
-        u0 = gaussian_hotspot(cfg, jnp.float32)
+        u0 = gaussian_hotspot(cfg, dtype)
         c0 = adv.embed(u0)
         fn = aot_compile(adv(a.chunk), c0, label=f"carrier:{n}")
         best, _ = time_best_of(fn, c0, reps, a.trials)
