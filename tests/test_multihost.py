@@ -448,6 +448,48 @@ def test_two_process_carrier_path(tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_carrier_torus_staged_wrap(tmp_path):
+    """The STAGED torus carrier under true multi-controller execution:
+    both wrap-head/tail blocks staged with the r05 slope-2 scheme (the
+    x head ppermute rides round 1, the x-extended y head rides round 2,
+    local patches) across REAL cross-process collectives — the virtual
+    mesh cannot catch transport-level ordering mistakes here.  Values
+    must match a single-process run of the same config."""
+    out = str(tmp_path / "mh_ct")
+    extra = ["--nx=1000", "--ny=72", "--kernel=pallas_multistep",
+             "--bc.left=periodic", "--bc.right=periodic",
+             "--bc.bottom=periodic", "--bc.top=periodic"]
+    for attempt in range(2):
+        procs, outs = _spawn_group(str(free_port()), out, nproc=2,
+                                   extra_args=extra)
+        if all(p.returncode == 0 for p in procs) or attempt == 1:
+            break
+    for i, (p, o) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{o[-3000:]}"
+    assert "CARRIER path" in outs[0]
+
+    from climate_sim_tpu.config import merged_config
+    from climate_sim_tpu.io.netcdf import NetCDFFile
+    from climate_sim_tpu.runtime.driver import run_simulation
+
+    ref_out = str(tmp_path / "single_ct")
+    cfg = merged_config(None, [
+        "--nx=1000", "--ny=72", "--steps=8", "--out_every=4",
+        "--kernel=pallas_multistep", f"--output.dir={ref_out}",
+        "--bc.left=periodic", "--bc.right=periodic",
+        "--bc.bottom=periodic", "--bc.top=periodic",
+    ])
+    run_simulation(cfg)
+    with NetCDFFile(os.path.join(out, "snapshots.nc")) as a, \
+            NetCDFFile(os.path.join(ref_out, "snapshots.nc")) as b:
+        for t in range(a.dimensions["time"]):
+            np.testing.assert_allclose(
+                a.variables["u"][t, :, :], b.variables["u"][t, :, :],
+                atol=5e-5,
+            )
+
+
+@pytest.mark.slow
 def test_two_process_overlap_one_sided_matches_oracle(tmp_path):
     """The halo-overlap path (interior kernel concurrent with the face
     exchanges + four edge-band kernels) under TRUE multi-controller
