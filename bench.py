@@ -43,15 +43,17 @@ def main() -> int:
 
     NX = NY = 4096
     CHUNK = 100         # steps per dispatched program
-    REPS = 200          # timed chunks -> 20000 steps per trial
+    REPS = 600          # timed chunks -> 60000 steps per trial
     # REPS sizing: through the tunneled TPU, the end-of-trial sync
     # (block_until_ready + a scalar fetch) costs a fixed ~65 ms regardless
     # of work; profiler traces show chained chunk executions run
-    # back-to-back on device (~14 us gaps).  20000 steps/trial (~2.1 s
-    # device time at the measured rate) amortizes the sync to ~3%, so the
-    # wall-clock rate converges on the device's sustained rate — the number
-    # a non-tunneled deployment would see.  (At the old REPS=10, the sync
-    # was ~38% of the trial and the headline underread by a third.)
+    # back-to-back on device (~14 us gaps).  60000 steps/trial (~4.4 s
+    # device time at the measured rate) amortizes the sync to ~1%, so the
+    # wall-clock rate converges on the device's sustained 229.6 Gpt/s —
+    # the number a non-tunneled deployment would see.  Same-session
+    # ladder (r05): REPS 200/400/600 -> 220.8/225.0/226.3 Gpt/s.  (At
+    # the original REPS=10, the sync was ~38% of the trial and the
+    # headline underread by a third.)
 
     cfg = bench_config(NX, NY, CHUNK)
 
